@@ -1,0 +1,172 @@
+package graft.functions
+
+/** Pure text-analysis kernels for the training-data-pipeline operators
+  * (dedup, language ID, quality scoring, fingerprinting). All hashes are
+  * deterministic (no wall-clock, no JVM hashCode of objects) so results
+  * hash-match across runs and across executors.
+  *
+  * Used inside UDFs / typed maps; the corresponding relational operators
+  * in graft.operators prefer built-in `functions._` columns wherever the
+  * semantics are expressible (SURVEY.md §7.1).
+  */
+object TextKernels {
+
+  /** Whitespace tokenizer: splits on runs of whitespace, drops empties. */
+  def tokenize(text: String): Array[String] =
+    if (text == null || text.isEmpty) Array.empty
+    else text.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** BPE-ish subword count heuristic: whitespace tokens plus an extra
+    * token per 4 chars of overlong words (approximates byte-pair token
+    * inflation on long words without a vocab).
+    */
+  def approxTokenCount(text: String): Long = {
+    val toks = tokenize(text)
+    toks.map(t => 1L + (if (t.length > 4) (t.length - 1) / 4 else 0)).sum
+  }
+
+  /** Deterministic 64-bit polynomial rolling hash of a string (base-31,
+    * unsigned-wrap). Stable across JVMs — used for shingles, minhash,
+    * simhash, and document fingerprints.
+    */
+  def hash64(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** Second independent hash for double-hashing minhash permutations. */
+  def hash64b(s: String): Long = {
+    var h = -7046029254386353131L
+    var i = 0
+    while (i < s.length) { h = 1099511628211L * h ^ s.charAt(i); i += 1 }
+    h
+  }
+
+  /** Word k-shingles of a document (the unit set for Jaccard/minhash). */
+  def shingles(text: String, k: Int): Set[String] = {
+    val toks = tokenize(text)
+    if (toks.length < k) Set(toks.mkString(" "))
+    else toks.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  /** Exact Jaccard similarity of two shingle sets. */
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    if (a.isEmpty && b.isEmpty) 1.0
+    else {
+      val inter = a.intersect(b).size
+      val union = a.size + b.size - inter
+      if (union == 0) 1.0 else inter.toDouble / union
+    }
+  }
+
+  /** MinHash signature of a shingle set: `numHashes` permutations via
+    * double hashing h1 + i*h2 (Kirsch–Mitzenmacher). Deterministic.
+    */
+  def minhash(sh: Set[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    for (s <- sh) {
+      val h1 = hash64(s); val h2 = hash64b(s)
+      var i = 0
+      while (i < numHashes) {
+        val h = h1 + i * h2
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band keys of a minhash signature: hash each band of `rowsPerBand`
+    * consecutive signature slots; docs sharing any band key are candidate
+    * near-duplicates (join on (bandIdx, bandHash)).
+    */
+  def lshBands(sig: Array[Long], rowsPerBand: Int): Array[Long] = {
+    sig.grouped(rowsPerBand).zipWithIndex.map { case (band, i) =>
+      var h = 1125899906842597L + i
+      for (v <- band) h = 31 * h + v
+      h
+    }.toArray
+  }
+
+  /** 64-bit SimHash over word shingles: per-bit majority vote of shingle
+    * hashes. Hamming-close simhashes ⇒ similar documents.
+    */
+  def simhash(text: String, k: Int = 2): Long = {
+    val counts = new Array[Int](64)
+    for (s <- shingles(text, k)) {
+      val h = hash64(s)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Rolling-hash document fingerprint: min of window hashes (winnowing-
+    * lite). Two documents sharing long runs share fingerprints.
+    */
+  def fingerprint(text: String, window: Int = 8): Long = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) 0L
+    else if (toks.length <= window) hash64(toks.mkString(" "))
+    else toks.sliding(window).map(w => hash64(w.mkString(" "))).min
+  }
+
+  /** Tiny stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. Public common-word lists; intentionally minimal.
+    */
+  val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Set("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "les"),
+    "zh" -> Set.empty)
+
+  /** Language-ID heuristic: score = fraction of tokens in each language's
+    * stopword list; CJK codepoint ratio shortcuts to zh. Returns the
+    * argmax language or "und" when nothing scores.
+    */
+  def languageId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val cjk = text.codePoints.toArray.count(cp =>
+      Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN)
+    if (cjk * 4 >= text.length) return "zh"
+    val toks = tokenize(text.toLowerCase).toSeq
+    if (toks.isEmpty) return "und"
+    val scores = stopwords.collect { case (lang, sw) if sw.nonEmpty =>
+      lang -> toks.count(sw.contains).toDouble / toks.length
+    }
+    val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+    if (score <= 0.0) "und" else best
+  }
+
+  /** Quality score in [0,1]: blends length band, alpha ratio, punct
+    * ratio, mean word length band, and repetition (distinct-token ratio).
+    * Deterministic, cheap, order-free.
+    */
+  def qualityScore(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val toks = tokenize(text)
+    if (toks.isEmpty) return 0.0
+    val n = text.length.toDouble
+    val alpha = text.count(_.isLetter) / n
+    val punct = text.count(c => !c.isLetterOrDigit && !c.isWhitespace) / n
+    val meanWord = toks.map(_.length).sum.toDouble / toks.length
+    val distinctRatio = toks.distinct.length.toDouble / toks.length
+    val lengthOk = if (toks.length >= 10 && toks.length <= 10000) 1.0
+      else if (toks.length >= 3) 0.5 else 0.1
+    val wordOk = if (meanWord >= 3 && meanWord <= 12) 1.0 else 0.5
+    val punctOk = if (punct <= 0.2) 1.0 else math.max(0.0, 1.0 - punct)
+    0.25 * lengthOk + 0.2 * alpha + 0.15 * punctOk + 0.15 * wordOk +
+      0.25 * distinctRatio
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scan → filter/project (pushdown), hash
+  * aggregation, multi-way joins with broadcast dims, distinct, top-k,
+  * and JSON projection. The reference has no SQL layer (SURVEY.md §2
+  * "Joins: none"); these queries are the harness-facing analytical
+  * surface every engine needs, expressed declaratively so Catalyst
+  * handles pushdown/pruning/join-strategy.
+  *
+  * Scale notes (100 TB): aggregations are partial (map-side combine is
+  * automatic for hash aggs), dimension tables are broadcast explicitly
+  * (no shuffle of the fact table beyond the final agg exchange), and
+  * every scan projects only the needed columns so parquet column
+  * pruning applies.
+  */
+object Relational {
+
+  /** Doubles summed across partitions can differ from the oracle in the
+    * last ulp; round aggregates so both sides land on the same digits.
+    */
+  private val R = 2
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Q01: pricing summary (TPC-H Q1 shape): scan → filter → hash agg.
+    QueryDef("q01_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), R).as("sum_qty"),
+          round(sum(col("l_extendedprice")), R).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), R)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── Q02: revenue by nation — fact ⋈ broadcast dims (star join).
+    QueryDef("q02_revenue_by_nation",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables.nation(s, dir)
+        val reg = Tables.region(s, dir)
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), R)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // ── Q03: top-10 customers by order value — join + agg + top-k.
+    QueryDef("q03_top_customers",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(round(sum(col("o_totalprice")), R).as("total_spent"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("total_spent").desc, col("c_custkey"))
+          .limit(10)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  round(sum(o_totalprice), 2) AS total_spent,
+             |  count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY total_spent DESC, c_custkey
+             |LIMIT 10""".stripMargin)),
+
+    // ── Q04: filter + narrow projection — predicate/column pushdown to
+    // the parquet scan (ReadSchema should show exactly 3 columns).
+    QueryDef("q04_filter_pushdown",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45 &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1997-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ── Q05: distinct aggregation (count distinct per group).
+    QueryDef("q05_distinct_parts",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ── Q06: JSON projection over the events props column (the
+    // reference JSON-parses every Kafka message — op B; here the
+    // relational twin: extract a field, aggregate).
+    QueryDef("q06_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── Q07: set ops — events of rare types UNION ALL high-value, then
+    // EXCEPT a subset; exercises union/except distinct semantics.
+    QueryDef("q07_set_ops",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val highVal = e.filter(col("value") > 90).select(col("event_id"))
+        val click = e.filter(col("event_type") === "click").select(col("event_id"))
+        val purchase = e.filter(col("event_type") === "purchase").select(col("event_id"))
+        highVal.union(click).except(purchase)
+          .distinct().orderBy(col("event_id"))
+      },
+      Some("""SELECT DISTINCT event_id FROM (
+             |  SELECT event_id FROM events WHERE value > 90
+             |  UNION ALL
+             |  SELECT event_id FROM events WHERE event_type = 'click')
+             |EXCEPT
+             |SELECT event_id FROM events WHERE event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin)),
+
+    // ── Q08: semi/anti joins — customers with and without orders.
+    QueryDef("q08_semi_anti",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).select(col("o_custkey"))
+        val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit(1L).as("has_orders"))
+        val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit(0L).as("has_orders"))
+        withO.union(without).orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, CAST(1 AS BIGINT) AS has_orders FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |UNION ALL
+             |SELECT c_custkey, CAST(0 AS BIGINT) AS has_orders FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |ORDER BY c_custkey""".stripMargin)))
+}

@@ -1,0 +1,294 @@
+package graft.operators
+
+import graft.model.CocoClasses
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational twins of the reference's video dataflow capabilities
+  * (SURVEY.md §2, §7.1), run over the driver's `events`/`lineitem`
+  * tables (FIXTURES.md §B capability mapping: user_id ≈ streamId,
+  * ts ≈ frame timestamp):
+  *
+  *  - 3-minute tumbling segmentation (ref op D1, VideoSegmentBuffer
+  *    semantics) → `groupBy(key, window(ts, "3 minutes"))`.
+  *  - keyframe time rule (ref op D2, KeyFrameExtractor.java:57-61)
+  *    → `lag` gap predicate over an event-time window.
+  *  - detection explode + Doris-row projection (ref ops F/G,
+  *    DorisSinkBuilder.java:100-124) → explode/to flat columns +
+  *    date_format.
+  *  - NMS analog (ref YOLODetector.java:289-322) → rank window
+  *    partitioned by (frame, class) ordered confidence-desc.
+  *
+  * A detections-shaped table is derived DETERMINISTICALLY from
+  * `lineitem` with arithmetic reproducible in ANSI SQL, so every query
+  * here has an exact DuckDB oracle.
+  */
+object VideoAnalytics {
+
+  /** Derived detections: one row per (frame, detection). All columns are
+    * pure integer/double arithmetic over lineitem so the DuckDB oracle
+    * (cte below) produces bit-identical values.
+    */
+  def detections(s: SparkSession, dir: String): DataFrame = {
+    val coco = array(CocoClasses.names.map(lit).toIndexedSeq: _*)
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("frame_id"),
+      concat(lit("camera_"), (col("l_suppkey") % 10).cast("string"))
+        .as("stream_id"),
+      col("l_shipdate").as("ts"),
+      col("l_linenumber").as("det_id"),
+      element_at(coco, (col("l_partkey") % 80).cast("int") + 1)
+        .as("object_class"),
+      (((col("l_partkey") * 7 + col("l_linenumber") * 13) % 100)
+        .cast("double") / 100.0).as("confidence"),
+      (col("l_partkey") % 320).cast("double").as("x1"),
+      (col("l_suppkey") % 320).cast("double").as("y1"),
+      ((col("l_partkey") % 320).cast("double") + 64.0
+        + col("l_linenumber") * 3).as("x2"),
+      ((col("l_suppkey") % 320).cast("double") + 48.0
+        + (col("l_orderkey") % 5).cast("double") * 7).as("y2"))
+  }
+
+  /** DuckDB CTE matching [[detections]] exactly. */
+  val detectionsCte: String = {
+    val cocoList = CocoClasses.names.map(n => s"'$n'").mkString("[", ", ", "]")
+    s"""WITH detections AS (
+       |  SELECT
+       |    l_orderkey AS frame_id,
+       |    'camera_' || CAST(l_suppkey % 10 AS VARCHAR) AS stream_id,
+       |    l_shipdate AS ts,
+       |    l_linenumber AS det_id,
+       |    ($cocoList)[CAST(l_partkey % 80 AS INT) + 1] AS object_class,
+       |    CAST((l_partkey * 7 + l_linenumber * 13) % 100 AS DOUBLE) / 100.0 AS confidence,
+       |    CAST(l_partkey % 320 AS DOUBLE) AS x1,
+       |    CAST(l_suppkey % 320 AS DOUBLE) AS y1,
+       |    CAST(l_partkey % 320 AS DOUBLE) + 64.0 + l_linenumber * 3 AS x2,
+       |    CAST(l_suppkey % 320 AS DOUBLE) + 48.0 + CAST(l_orderkey % 5 AS DOUBLE) * 7 AS y2
+       |  FROM lineitem)""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Q10: 3-minute tumbling segmentation (ref segment cadence,
+    // application.properties:34). Keys are (stream, window-start);
+    // the agg is partial-aggregated map-side before the single shuffle.
+    QueryDef("q10_segments_tumbling",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          window(col("ts"), "3 minutes").getField("start").as("seg_start"))
+        .agg(count(lit(1)).as("frame_count"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"),
+          (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+            .as("duration_ms"))
+        .select(col("user_id"), unix_timestamp(col("seg_start")).as("seg_start_s"),
+          col("frame_count"), col("first_event"), col("last_event"),
+          col("duration_ms"))
+        .orderBy(col("user_id"), col("seg_start_s")),
+      Some("""SELECT user_id,
+             |  CAST(floor(epoch(ts) / 180) AS BIGINT) * 180 AS seg_start_s,
+             |  count(*) AS frame_count,
+             |  min(event_id) AS first_event,
+             |  max(event_id) AS last_event,
+             |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+             |FROM events
+             |GROUP BY user_id, seg_start_s
+             |ORDER BY user_id, seg_start_s""".stripMargin)),
+
+    // ── Q11: keyframe time rule — event is a "keyframe" iff ≥ 6h since
+    // the previous event of the same stream (ref rule is ≥5s between
+    // frames, KeyFrameExtractor.java:57-61; the threshold scales to the
+    // events table's cadence, the predicate shape is identical).
+    QueryDef("q11_keyframe_gap",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("gap_s",
+            when(col("prev_ts").isNull, lit(null))
+              .otherwise(unix_millis(col("ts")) / 1000.0
+                - unix_millis(col("prev_ts")) / 1000.0))
+          .filter(col("prev_ts").isNull || col("gap_s") >= 21600.0)
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ts_ms"),
+            round(coalesce(col("gap_s"), lit(-1.0)), 3).as("gap_s"))
+          .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events)
+             |SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             |  round(coalesce((epoch_ms(ts) - epoch_ms(prev_ts)) / 1000.0, -1.0), 3) AS gap_s
+             |FROM g
+             |WHERE prev_ts IS NULL
+             |   OR (epoch_ms(ts) / 1000.0 - epoch_ms(prev_ts) / 1000.0) >= 21600.0
+             |ORDER BY user_id, ts_ms, event_id""".stripMargin)),
+
+    // ── Q12: explode round-trip (ref op F is explode-in-disguise):
+    // pack detections into per-frame arrays, then explode + flatten.
+    // The oracle is the direct projection — proving the generator
+    // (collect_list → explode) is lossless.
+    QueryDef("q12_detections_explode",
+      (s, dir) => {
+        val d = detections(s, dir)
+        d.groupBy(col("frame_id"))
+          .agg(collect_list(struct(col("det_id"), col("object_class"),
+            col("confidence"))).as("dets"))
+          .select(col("frame_id"), explode(col("dets")).as("d"))
+          .select(col("frame_id"), col("d.det_id").as("det_id"),
+            col("d.object_class").as("object_class"),
+            col("d.confidence").as("confidence"))
+          .orderBy(col("frame_id"), col("det_id"))
+      },
+      Some(s"""$detectionsCte
+              |SELECT frame_id, det_id, object_class, confidence
+              |FROM detections
+              |ORDER BY frame_id, det_id""".stripMargin)),
+
+    // ── Q13: Doris-row projection (ref DorisSinkBuilder.java:109-120
+    // field names + date format; confidence filter = ref threshold 0.5).
+    QueryDef("q13_doris_rows",
+      (s, dir) => detections(s, dir)
+        .filter(col("confidence") >= 0.5)
+        .select(col("stream_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("detection_time"),
+          col("frame_id"), col("det_id"), col("object_class"),
+          col("confidence"),
+          col("x1").as("bbox_x1"), col("y1").as("bbox_y1"),
+          col("x2").as("bbox_x2"), col("y2").as("bbox_y2"),
+          lit("").as("frame_url"))
+        .orderBy(col("frame_id"), col("det_id")),
+      Some(s"""$detectionsCte
+              |SELECT stream_id,
+              |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS detection_time,
+              |  frame_id, det_id, object_class, confidence,
+              |  x1 AS bbox_x1, y1 AS bbox_y1, x2 AS bbox_x2, y2 AS bbox_y2,
+              |  '' AS frame_url
+              |FROM detections
+              |WHERE confidence >= 0.5
+              |ORDER BY frame_id, det_id""".stripMargin)),
+
+    // ── Q14: NMS-rank analog — keep the best detection per
+    // (frame, class), confidence-desc with stable det_id tiebreak
+    // (ref sort at YOLODetector.java:294).
+    QueryDef("q14_nms_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("frame_id"), col("object_class"))
+          .orderBy(col("confidence").desc, col("det_id"))
+        detections(s, dir)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") === 1)
+          .select(col("frame_id"), col("object_class"), col("confidence"),
+            col("det_id"))
+          .orderBy(col("frame_id"), col("object_class"))
+      },
+      Some(s"""$detectionsCte
+              |SELECT frame_id, object_class, confidence, det_id FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY frame_id, object_class
+              |    ORDER BY confidence DESC, det_id) AS rank
+              |  FROM detections)
+              |WHERE rank = 1
+              |ORDER BY frame_id, object_class""".stripMargin)),
+
+    // ── Q15: top-3 detections per stream (top-k per group).
+    QueryDef("q15_topk_per_stream",
+      (s, dir) => {
+        val w = Window.partitionBy(col("stream_id"))
+          .orderBy(col("confidence").desc, col("frame_id"), col("det_id"))
+        detections(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("stream_id"), col("rn"), col("frame_id"),
+            col("det_id"), col("confidence"))
+          .orderBy(col("stream_id"), col("rn"))
+      },
+      Some(s"""$detectionsCte
+              |SELECT stream_id, rn, frame_id, det_id, confidence FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY stream_id
+              |    ORDER BY confidence DESC, frame_id, det_id) AS rn
+              |  FROM detections)
+              |WHERE rn <= 3
+              |ORDER BY stream_id, rn""".stripMargin)),
+
+    // ── Q16: per-class histogram (ref metric: detections by class).
+    QueryDef("q16_class_histogram",
+      (s, dir) => detections(s, dir)
+        .filter(col("confidence") >= 0.5)
+        .groupBy(col("object_class"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("confidence")), 4).as("avg_conf"))
+        .orderBy(col("object_class")),
+      Some(s"""$detectionsCte
+              |SELECT object_class, count(*) AS n,
+              |  round(avg(confidence), 4) AS avg_conf
+              |FROM detections WHERE confidence >= 0.5
+              |GROUP BY object_class ORDER BY object_class""".stripMargin)),
+
+    // ── Q17: IoU theta-join — same-frame same-class box pairs with
+    // IoU above the NMS threshold (ref IoU math,
+    // YOLODetector.java:324-336, as pure column arithmetic).
+    QueryDef("q17_iou_pairs",
+      (s, dir) => {
+        val d = detections(s, dir)
+        val a = d.select(col("frame_id"), col("object_class"),
+          col("det_id").as("det_a"), col("x1").as("ax1"), col("y1").as("ay1"),
+          col("x2").as("ax2"), col("y2").as("ay2"))
+        val b = d.select(col("frame_id").as("frame_id_b"),
+          col("object_class").as("object_class_b"),
+          col("det_id").as("det_b"), col("x1").as("bx1"), col("y1").as("by1"),
+          col("x2").as("bx2"), col("y2").as("by2"))
+        val joined = a.join(b,
+          col("frame_id") === col("frame_id_b") &&
+            col("object_class") === col("object_class_b") &&
+            col("det_a") < col("det_b"))
+        val iw = greatest(lit(0.0),
+          least(col("ax2"), col("bx2")) - greatest(col("ax1"), col("bx1")))
+        val ih = greatest(lit(0.0),
+          least(col("ay2"), col("by2")) - greatest(col("ay1"), col("by1")))
+        val inter = iw * ih
+        val areaA = (col("ax2") - col("ax1")) * (col("ay2") - col("ay1"))
+        val areaB = (col("bx2") - col("bx1")) * (col("by2") - col("by1"))
+        val iou = inter / (areaA + areaB - inter)
+        joined.select(col("frame_id"), col("object_class"), col("det_a"),
+          col("det_b"), round(iou, 6).as("iou"))
+          .filter(col("iou") > 0.45)
+          .orderBy(col("frame_id"), col("det_a"), col("det_b"))
+      },
+      Some(s"""$detectionsCte,
+              |pairs AS (
+              |  SELECT a.frame_id, a.object_class, a.det_id AS det_a, b.det_id AS det_b,
+              |    greatest(0.0, least(a.x2, b.x2) - greatest(a.x1, b.x1))
+              |      * greatest(0.0, least(a.y2, b.y2) - greatest(a.y1, b.y1)) AS inter,
+              |    (a.x2 - a.x1) * (a.y2 - a.y1) AS area_a,
+              |    (b.x2 - b.x1) * (b.y2 - b.y1) AS area_b
+              |  FROM detections a JOIN detections b
+              |    ON a.frame_id = b.frame_id AND a.object_class = b.object_class
+              |   AND a.det_id < b.det_id)
+              |SELECT frame_id, object_class, det_a, det_b,
+              |  round(inter / (area_a + area_b - inter), 6) AS iou
+              |FROM pairs
+              |WHERE round(inter / (area_a + area_b - inter), 6) > 0.45
+              |ORDER BY frame_id, det_a, det_b""".stripMargin)),
+
+    // ── Q18: daily per-stream activity rollup (ref OSS object-key
+    // scheme partitions by stream/date/hour, OSSVideoSink.java:48-57).
+    QueryDef("q18_stream_day_rollup",
+      (s, dir) => detections(s, dir)
+        .groupBy(col("stream_id"),
+          date_format(col("ts"), "yyyyMMdd").as("day"))
+        .agg(count(lit(1)).as("n_detections"),
+          countDistinct(col("frame_id")).as("n_frames"))
+        .orderBy(col("stream_id"), col("day")),
+      Some(s"""$detectionsCte
+              |SELECT stream_id, strftime(ts, '%Y%m%d') AS day,
+              |  count(*) AS n_detections,
+              |  count(DISTINCT frame_id) AS n_frames
+              |FROM detections
+              |GROUP BY stream_id, day
+              |ORDER BY stream_id, day""".stripMargin)))
+}
