@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.functions.TextKernels
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH,
+  * SimHash, and winnowing fingerprints.
+  *
+  * Scale design (100 TB): every variant avoids the O(n²) all-pairs
+  * trap. Exact dedup is one hash-shuffle groupBy on the text hash;
+  * MinHash/LSH generates candidate pairs ONLY within equal LSH-band
+  * buckets (an equi-join Catalyst executes as a shuffled hash join on
+  * the band key); SimHash joins on 16-bit bands of the 64-bit hash
+  * (pigeonhole: any pair within hamming ≤ 3 shares at least one of 4
+  * bands). Oversized buckets (degenerate keys) are capped before the
+  * join so one hot key cannot produce a quadratic explosion — at 100 TB
+  * a single pathological band would otherwise dominate the stage.
+  *
+  * The signature computation is a deterministic Scala UDF
+  * (TextKernels) — an opaque per-row map with no pushdown value, the
+  * documented exception to the no-UDF rule (SURVEY.md §4).
+  */
+object Dedup {
+
+  private val SHINGLE_K = 3
+  private val NUM_HASHES = 128
+  private val ROWS_PER_BAND = 8 // 16 bands; P(collide) ≈ j^8 per band
+  private val MAX_BUCKET = 100 // cap candidate bucket fan-out
+
+  private val minhashBandsUdf = udf { text: String =>
+    TextKernels.lshBands(
+      TextKernels.minhash(TextKernels.shingles(text, SHINGLE_K), NUM_HASHES),
+      ROWS_PER_BAND)
+  }
+  private val shingleJaccardUdf = udf { (a: String, b: String) =>
+    TextKernels.jaccard(TextKernels.shingles(a, SHINGLE_K),
+      TextKernels.shingles(b, SHINGLE_K))
+  }
+  private val simhashUdf = udf { text: String => TextKernels.simhash(text, 2) }
+  private val fingerprintUdf = udf { text: String =>
+    TextKernels.fingerprint(text, 8)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Q40: exact dedup — group identical texts, keep min doc_id.
+    // One shuffle on the (pruned) text column; at scale, group on
+    // sha2(text) instead of raw text to shrink shuffle payload —
+    // demonstrated in q41.
+    QueryDef("q40_dedup_exact",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keeper_doc_id"), col("n_copies"))
+        .orderBy(col("keeper_doc_id")),
+      Some("""SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+             |FROM documents GROUP BY text
+             |ORDER BY keeper_doc_id""".stripMargin)),
+
+    // ── Q41: exact dedup via content hash — the 100 TB shape: shuffle
+    // 64 hex chars per row, not the document body.
+    QueryDef("q41_dedup_hash",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("h"), col("keeper_doc_id"), col("n_copies"))
+        .orderBy(col("keeper_doc_id")),
+      Some("""SELECT sha256(text) AS h, min(doc_id) AS keeper_doc_id,
+             |  count(*) AS n_copies
+             |FROM documents GROUP BY sha256(text)
+             |ORDER BY keeper_doc_id""".stripMargin)),
+
+    // ── Q42: MinHash + LSH near-dup pairs (no SQL oracle — the
+    // signature fold isn't ANSI-expressible; correctness is unit-tested
+    // against exact shingle Jaccard in DedupSpec).
+    QueryDef("q42_minhash_lsh_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val bands = docs
+          .select(col("doc_id"),
+            posexplode(minhashBandsUdf(col("text")))
+              .as(Seq("band_idx", "band_hash")))
+        // cap degenerate buckets before the self-join
+        val bucketed = bands.withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_idx"), col("band_hash"))))
+          .filter(col("bucket_n") <= MAX_BUCKET)
+        val a = bucketed.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("doc_a"))
+        val b = bucketed.select(col("band_idx").as("bi"),
+          col("band_hash").as("bh"), col("doc_id").as("doc_b"))
+        val cands = a.join(b,
+          col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+            col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+        val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+        cands.join(ta, "doc_a").join(tb, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(shingleJaccardUdf(col("text_a"), col("text_b")), 6)
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.7)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // ── Q43: SimHash near-dup pairs — 4×16-bit band join, hamming ≤ 3
+    // verify (pigeonhole guarantees recall for hamming ≤ 3).
+    QueryDef("q43_simhash_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), simhashUdf(col("text")).as("sh"))
+        // bit-slice per band: (sh >>> 16*i) & 0xFFFF
+        val sliced = docs.select(col("doc_id"), col("sh"),
+          posexplode(array((0 until 4).map(i =>
+            shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(lit(65535L))): _*))
+            .as(Seq("band_idx", "band_val")))
+        val a = sliced.select(col("band_idx"), col("band_val"),
+          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = sliced.select(col("band_idx").as("bi"),
+          col("band_val").as("bv"), col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"))
+        a.join(b, col("band_idx") === col("bi") &&
+            col("band_val") === col("bv") && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // ── Q44: winnowing fingerprint groups — docs sharing a minimal
+    // window hash (fingerprint collisions ⇒ shared long runs).
+    QueryDef("q44_fingerprint_groups",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), fingerprintUdf(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+          collect_list(col("doc_id")).as("members"))
+        .filter(col("n_docs") > 1)
+        .select(col("keeper"), col("n_docs"),
+          array_sort(col("members")).as("members"))
+        .orderBy(col("keeper")),
+      None))
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (token counting, quality scoring,
+  * language scoring, adjacent-document similarity). Everything here is
+  * built from codegen'd `functions._` columns (split / higher-order
+  * array functions), NOT UDFs, so the scan→project pipeline stays in
+  * whole-stage codegen and scales linearly with no shuffle except the
+  * declared aggregations.
+  *
+  * SQL-expressible semantics on purpose: each query has an exact DuckDB
+  * oracle. The hash-based operators (minhash/simhash/fingerprints) live
+  * in [[Dedup]] with rows-only checks + unit tests.
+  */
+object TextAnalysis {
+
+  /** Tokens = split on single space (documents are space-joined word
+    * lists; single-space split is reproducible verbatim in ANSI SQL,
+    * unlike locale/regex-sensitive tokenizers).
+    */
+  private val toks = split(col("text"), " ")
+
+  private val enWords = Seq("the", "a", "and", "of", "to", "in", "is",
+    "it", "that", "for")
+  private val esWords = Seq("el", "la", "de", "que", "y", "en", "un",
+    "por", "con", "los")
+  private val deWords = Seq("der", "die", "das", "und", "ist", "von",
+    "mit", "den", "ein", "zu")
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Q30: token statistics per document (token counting op).
+    QueryDef("q30_token_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(length(text) AS BIGINT) AS len_chars,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── Q31: quality scoring — length band, mean word length,
+    // repetition (distinct-token ratio), blended to one score.
+    QueryDef("q31_quality_score",
+      (s, dir) => {
+        val nTokens = size(toks).cast("double")
+        val distinctRatio = size(array_distinct(toks)).cast("double") / nTokens
+        val meanWord = length(regexp_replace(col("text"), lit(" "), lit("")))
+          .cast("double") / nTokens
+        val lengthBand = least(lit(1.0), nTokens / 50.0)
+        val wordBand = least(lit(1.0), meanWord / 8.0)
+        val quality = lit(0.4) * distinctRatio + lit(0.3) * lengthBand +
+          lit(0.3) * wordBand
+        // Scalar per-row doubles: both engines compute bit-identical
+        // values from the same inputs, so NO rounding — builtin round()
+        // differs between engines at .5 boundaries and would only
+        // introduce mismatch risk.
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            distinctRatio.as("distinct_ratio"),
+            meanWord.as("mean_word_len"),
+            quality.as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS distinct_ratio,
+             |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS mean_word_len,
+             |  0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |          / len(string_split(text, ' ')))
+             |      + 0.3 * least(1.0, len(string_split(text, ' ')) / 50.0)
+             |      + 0.3 * least(1.0, (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |          / len(string_split(text, ' '))) / 8.0) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── Q32: stopword language scoring (language-ID heuristic):
+    // per-language stopword hit ratio + deterministic argmax.
+    QueryDef("q32_lang_scores",
+      (s, dir) => {
+        val nTokens = size(toks).cast("double")
+        def score(ws: Seq[String]) =
+          size(filter(toks, t => t.isInCollection(ws))).cast("double") / nTokens
+        val en = score(enWords); val es = score(esWords); val de = score(deWords)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            round(en, 6).as("en_score"),
+            round(es, 6).as("es_score"),
+            round(de, 6).as("de_score"),
+            when(en >= es && en >= de, "en")
+              .when(es >= de, "es").otherwise("de").as("predicted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, lang,
+              |    CAST(len(list_filter(string_split(text, ' '),
+              |      x -> x IN (${inList(enWords)}))) AS DOUBLE)
+              |      / len(string_split(text, ' ')) AS en_s,
+              |    CAST(len(list_filter(string_split(text, ' '),
+              |      x -> x IN (${inList(esWords)}))) AS DOUBLE)
+              |      / len(string_split(text, ' ')) AS es_s,
+              |    CAST(len(list_filter(string_split(text, ' '),
+              |      x -> x IN (${inList(deWords)}))) AS DOUBLE)
+              |      / len(string_split(text, ' ')) AS de_s
+              |  FROM documents)
+              |SELECT doc_id, lang,
+              |  round(en_s, 6) AS en_score, round(es_s, 6) AS es_score,
+              |  round(de_s, 6) AS de_score,
+              |  CASE WHEN en_s >= es_s AND en_s >= de_s THEN 'en'
+              |       WHEN es_s >= de_s THEN 'es' ELSE 'de' END AS predicted
+              |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // ── Q33: per-source corpus profile (the "corpus report" agg).
+    QueryDef("q33_corpus_profile",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks).cast("long")).as("total_tokens"),
+          round(avg(length(col("text"))), 4).as("avg_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source"), col("lang")),
+      Some("""SELECT source, lang, count(*) AS n_docs,
+             |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+             |  round(avg(length(text)), 4) AS avg_chars,
+             |  max(n_chars) AS max_chars
+             |FROM documents GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin)),
+
+    // ── Q34: adjacent-document token-set Jaccard (n-gram Jaccard op at
+    // k=1, pair selection = consecutive ids to stay O(n); the full
+    // LSH-pruned pairing is q42 in Dedup).
+    QueryDef("q34_jaccard_adjacent",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val a = d.select(col("doc_id").as("doc_a"),
+          array_distinct(toks).as("ta"))
+        val b = d.select(col("doc_id").as("doc_b"),
+          array_distinct(toks).as("tb"))
+        a.join(b, col("doc_b") === col("doc_a") + 1)
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+              (size(col("ta")) + size(col("tb"))
+                - size(array_intersect(col("ta"), col("tb")))).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("doc_a"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+             |  FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+             |    AS jaccard
+             |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+             |ORDER BY doc_a""".stripMargin)))
+}

@@ -255,7 +255,7 @@ object VideoAnalytics {
         val areaB = (col("bx2") - col("bx1")) * (col("by2") - col("by1"))
         val iou = inter / (areaA + areaB - inter)
         joined.select(col("frame_id"), col("object_class"), col("det_a"),
-          col("det_b"), round(iou, 6).as("iou"))
+          col("det_b"), iou.as("iou"))
           .filter(col("iou") > 0.45)
           .orderBy(col("frame_id"), col("det_a"), col("det_b"))
       },
@@ -270,9 +270,9 @@ object VideoAnalytics {
               |    ON a.frame_id = b.frame_id AND a.object_class = b.object_class
               |   AND a.det_id < b.det_id)
               |SELECT frame_id, object_class, det_a, det_b,
-              |  round(inter / (area_a + area_b - inter), 6) AS iou
+              |  inter / (area_a + area_b - inter) AS iou
               |FROM pairs
-              |WHERE round(inter / (area_a + area_b - inter), 6) > 0.45
+              |WHERE inter / (area_a + area_b - inter) > 0.45
               |ORDER BY frame_id, det_a, det_b""".stripMargin)),
 
     // ── Q18: daily per-stream activity rollup (ref OSS object-key
