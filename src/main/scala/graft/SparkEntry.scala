@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     Relational.defs ++ VideoAnalytics.defs ++ TextAnalysis.defs ++
-      Dedup.defs ++ Similarity.defs
+      Dedup.defs ++ Similarity.defs ++ Pipeline.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -60,20 +60,26 @@ object VectorKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Component i of deterministic pseudo-random hyperplane p, in
+    * [-1,1]. mix64 is essential: the raw polynomial string hash of
+    * "plane:p:i" barely changes with the trailing index chars, which
+    * would make every plane approximately the same all-ones direction.
+    */
+  def planeValue(p: Int, i: Int): Double =
+    (TextKernels.mix64(TextKernels.hash64(s"plane:$p:$i")) % 1000003L)
+      .toDouble / 1000003.0
+
+  def plane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => planeValue(p, i))
+
   /** Random-hyperplane LSH bucket id for an embedding: sign bits against
     * `nPlanes` deterministic pseudo-random hyperplanes (seeded by plane
     * index — no RNG state, reproducible on any executor). Vectors in the
     * same bucket are likely cosine-close; used to prune ANN candidate
     * pairs from O(n^2) to per-bucket.
     */
-  def lshBucket(a: Column, dim: Int, nPlanes: Int): Column = {
-    // plane(p)(i) = deterministic pseudo-random in [-1,1]
-    def plane(p: Int): Seq[Double] = (0 until dim).map { i =>
-      val h = TextKernels.hash64(s"plane:$p:$i")
-      (h % 1000003).toDouble / 1000003.0
-    }
+  def lshBucket(a: Column, dim: Int, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
-      when(dotConst(a, plane(p)) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      when(dotConst(a, plane(p, dim)) >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 }

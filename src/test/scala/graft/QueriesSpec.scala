@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + semantic spot-checks for every SparkEntry query at sf0.001
+  * (full DuckDB hash parity runs via tools/check_parity.py; this guards
+  * compile-to-result regressions inside `sbt test`).
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and returns rows at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = fn(spark, sf).count()
+        if (n == 0) Some(name) else None
+    }
+    // q54 legitimately may be sparse at tiny SF; everything else must
+    // produce rows.
+    assert(empty.filterNot(_ == "q54_embed_neardup").isEmpty,
+      s"queries with empty results: $empty")
+  }
+
+  test("oracleSql keys ⊆ queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+
+  test("ANN (q53) finds most of brute-force top-10 (recall ≥ 0.5)") {
+    val brute = SparkEntry.queries("q50_knn_query")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val ann = SparkEntry.queries("q53_ann_lsh")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ANN recall $recall too low (got $ann vs $brute)")
+  }
+
+  test("minhash LSH pairs have high exact jaccard (precision of verify step)") {
+    import graft.functions.TextKernels
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = SparkEntry.queries("q42_minhash_lsh_pairs")(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    for (p <- pairs) {
+      val j = TextKernels.jaccard(
+        TextKernels.shingles(docs(p.getLong(0)), 3),
+        TextKernels.shingles(docs(p.getLong(1)), 3))
+      assert(j >= 0.7, s"pair (${p.getLong(0)},${p.getLong(1)}) jaccard $j")
+    }
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import graft.model._
+import graft.sources.FrameCodec
+import graft.streaming.{FrameGenerator, VideoPipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stateful-core semantics (pure fold + streaming e2e): segment
+  * boundary at exactly segmentDuration (ref VideoSegmentBuffer.java:48-53),
+  * keyframe time + scene rules (KeyFrameExtractor.java:57-78),
+  * batch/stream equivalence, and the JSON wire codec round-trip.
+  */
+class VideoPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val cfg = EngineConfig()
+
+  private def frame(sid: String, id: Long, ts: Long,
+      scene: Int = 0): VideoFrame =
+    VideoFrame(sid, id, ts, FrameGenerator.frameBytes(id, scene), id.toInt,
+      FrameMetadata(1920, 1080, 25, "jpeg"))
+
+  private def fold(frames: Seq[VideoFrame]) =
+    VideoPipeline.processFrames("s1", frames, VideoPipeline.initialState,
+      cfg, VideoPipeline.defaultDetector(cfg))
+
+  test("segment flushes at exactly segmentDuration, including the trigger frame") {
+    val t0 = 1700000000000L
+    val frames = Seq(
+      frame("s1", 0, t0),
+      frame("s1", 1, t0 + 100000),
+      frame("s1", 2, t0 + 179999), // span 179999 < 180000 → no flush
+      frame("s1", 3, t0 + 180000), // span exactly 180000 → flush NOW
+      frame("s1", 4, t0 + 180001))
+    val (events, st) = fold(frames)
+    val segs = events.filter(_.kind == "segment").flatMap(_.segment)
+    assert(segs.length === 1)
+    val s = segs.head
+    assert(s.startTime === t0)
+    assert(s.endTime === t0 + 180000) // trigger frame included
+    assert(s.frameCount === 4)
+    assert(s.duration === 180000L)
+    // frame 4 opens the next segment
+    assert(st.segStart === t0 + 180001)
+    assert(st.segFrames === 1)
+  }
+
+  test("segment path follows the OSS key scheme") {
+    assert(VideoPipeline.segmentPath("camera_001", 1700000000000L) ===
+      "videos/camera_001/20231114/22/camera_001_1700000000000.mp4")
+  }
+
+  test("keyframe time rule: first frame keys, then every >= minInterval") {
+    val t0 = 1700000000000L
+    // identical payloads (scene 0) → similarity 1.0 → scene rule never fires
+    val frames = (0 until 12).map(i => frame("s1", i, t0 + i * 1000, 0)
+      .copy(frameData = FrameGenerator.frameBytes(99, 0))) // same bytes
+    val (events, st) = fold(frames)
+    val keyTs = events.filter(_.kind == "detection").map(_.timestamp)
+    // first frame: ts - 0 >= 5000 → key; then every 5 s
+    assert(keyTs === Seq(t0, t0 + 5000, t0 + 10000))
+    assert(st.keyFrames === 3 && st.totalFrames === 12)
+  }
+
+  test("scene-change rule fires on payload distribution shift") {
+    val t0 = 1700000000000L
+    val frames = Seq(
+      frame("s1", 0, t0, 0), // key (time rule)
+      frame("s1", 1, t0 + 1000, 0), // same scene → not key
+      frame("s1", 2, t0 + 2000, 3)) // scene shift → key (scene rule)
+    val sim = VideoPipeline.similarity(
+      VideoPipeline.signature(frames(1).frameData),
+      VideoPipeline.signature(frames(2).frameData))
+    assert(sim < cfg.similarityThreshold, s"fixture must shift scene (sim=$sim)")
+    val (events, _) = fold(frames)
+    val keyIds = events.filter(_.kind == "detection").map(_.frameId)
+    assert(keyIds === Seq(0L, 2L))
+  }
+
+  test("segments partition the stream: frame counts add up per key") {
+    val frames = FrameGenerator.frames(streams = 1, fps = 5, durationSec = 600)
+    val (events, st) = fold(frames)
+    val segs = events.filter(_.kind == "segment").flatMap(_.segment)
+    assert(segs.nonEmpty)
+    assert(segs.map(_.frameCount).sum + st.segFrames === frames.length)
+    // segments are disjoint and ordered
+    segs.sliding(2).foreach {
+      case Seq(a, b) => assert(a.endTime < b.startTime)
+      case _ =>
+    }
+  }
+
+  test("batch process() equals the pure fold per key") {
+    import spark.implicits._
+    val frames = FrameGenerator.frames(streams = 2, fps = 5, durationSec = 500)
+    val ds = spark.createDataset(scala.util.Random.shuffle(frames)) // order-independence
+    val got = VideoPipeline.process(ds, cfg).collect()
+      .groupBy(_.streamId).view.mapValues(_.toSeq).toMap
+    for (sid <- frames.map(_.streamId).distinct) {
+      val expected = VideoPipeline.processFrames(sid,
+        frames.filter(_.streamId == sid), VideoPipeline.initialState, cfg,
+        VideoPipeline.defaultDetector(cfg))._1
+      // events within a key are emitted in fold order
+      assert(got(sid) === expected, s"stream $sid")
+    }
+  }
+
+  test("streaming e2e (MemoryStream, 2 batches) matches single-batch run") {
+    import spark.implicits._
+    val frames = FrameGenerator.frames(streams = 2, fps = 5, durationSec = 500)
+    val (b1, b2) = frames.partition(_.timestamp < FrameGenerator.BASE_TS + 250000)
+
+    val mem = MemoryStream[VideoFrame](spark)
+    val q = VideoPipeline.process(mem.toDS(), cfg).writeStream
+      .format("memory").queryName("pipe_out").outputMode("append").start()
+    mem.addData(b1)
+    q.processAllAvailable()
+    mem.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("pipe_out").as[PipelineEvent].collect()
+    q.stop()
+
+    val batch = VideoPipeline.process(spark.createDataset(frames), cfg).collect()
+    // same event multiset (batch boundaries fall between frames in time
+    // order here, so state carries identically)
+    def key(e: PipelineEvent) = (e.kind, e.streamId, e.frameId, e.timestamp,
+      e.detections.map(_.objectClass).mkString(","),
+      e.segment.map(_.startTime).getOrElse(-1L)).toString
+    assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
+    assert(streamed.count(_.kind == "segment") > 0)
+  }
+
+  test("frame codec round-trip preserves frames byte-for-byte") {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val frames = FrameGenerator.frames(streams = 1, fps = 5, durationSec = 2)
+    val wire = FrameCodec.encode(spark.createDataset(frames))
+      .select($"value".cast("binary").as("value"))
+    val decoded = FrameCodec.decode(wire).collect()
+    assert(decoded.length === frames.length)
+    val byId = decoded.map(f => f.frameId -> f).toMap
+    for (f <- frames) {
+      val d = byId(f.frameId)
+      assert(d.streamId === f.streamId)
+      assert(d.timestamp === f.timestamp)
+      assert(d.frameData.toSeq === f.frameData.toSeq)
+      assert(d.metadata === f.metadata)
+    }
+  }
+
+  test("doris rows: empty-detection results produce no rows") {
+    import spark.implicits._
+    val events = Seq(
+      PipelineEvent("detection", "s1", 1L, 1700000000000L, Seq.empty, None),
+      PipelineEvent("detection", "s1", 2L, 1700000000000L,
+        Seq(Detection("car", 0.9f, BoundingBox(1, 2, 3, 4))), None))
+    val rows = VideoPipeline.dorisRows(spark.createDataset(events)).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("frame_id") === 2L)
+    assert(rows.head.getAs[String]("detection_time") === "2023-11-14 22:13:20")
+  }
+}
