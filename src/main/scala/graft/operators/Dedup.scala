@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextKernels
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — exact, MinHash+LSH,
@@ -108,26 +109,34 @@ object Dedup {
       None),
 
     // ── Q43: SimHash near-dup pairs — 4×16-bit band join, hamming ≤ 3
-    // verify (pigeonhole guarantees recall for hamming ≤ 3).
+    // verify (pigeonhole guarantees recall for hamming ≤ 3). A pair
+    // sharing several bands is emitted once, by its FIRST matching band
+    // (both simhashes ride along; a predicate drops non-first matches)
+    // — cheaper than distinct() on the candidate set.
     QueryDef("q43_simhash_pairs",
       (s, dir) => {
+        def bandOf(sh: Column, j: Int): Column =
+          shiftrightunsigned(sh, 16 * j).bitwiseAND(lit(65535L))
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), simhashUdf(col("text")).as("sh"))
         // bit-slice per band: (sh >>> 16*i) & 0xFFFF
         val sliced = docs.select(col("doc_id"), col("sh"),
-          posexplode(array((0 until 4).map(i =>
-            shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(lit(65535L))): _*))
+          posexplode(array((0 until 4).map(i => bandOf(col("sh"), i)): _*))
             .as(Seq("band_idx", "band_val")))
         val a = sliced.select(col("band_idx"), col("band_val"),
           col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val b = sliced.select(col("band_idx").as("bi"),
           col("band_val").as("bv"), col("doc_id").as("doc_b"),
           col("sh").as("sh_b"))
+        val earlierMatch = (0 until 3).map(j =>
+          lit(j) < col("band_idx") &&
+            bandOf(col("sh_a"), j) === bandOf(col("sh_b"), j))
+          .reduce(_ || _)
         a.join(b, col("band_idx") === col("bi") &&
             col("band_val") === col("bv") && col("doc_a") < col("doc_b"))
+          .filter(!earlierMatch)
           .select(col("doc_a"), col("doc_b"),
             bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-          .distinct()
           .filter(col("hamming") <= 3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
