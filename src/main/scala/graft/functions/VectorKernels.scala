@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from
-  * codegen'd higher-order functions (`zip_with`, `aggregate`) rather
-  * than UDFs so the hot path stays inside whole-stage codegen.
+/** Vector math over `array<float>` embedding columns, backed by the
+  * native Catalyst expressions in graft.plans (fused codegen loops —
+  * see VectorExpressions.scala; callers must have run
+  * GraftFunctions.ensure on the session, which Tables.embeddings does).
   *
   * Float-vs-double note: elements are cast to double BEFORE the fold and
   * accumulated strictly left-to-right — the same order and precision an
@@ -14,24 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorKernels {
 
-  /** Sequential left-to-right sum of an array<numeric> column in double. */
-  private def dsum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
-
-  /** Dot product of two array columns. */
-  def dot(a: Column, b: Column): Column =
-    dsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  /** Dot product of two array columns (native codegen expression). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Dot product against a constant query vector (broadcast as a
     * literal array — no join, no shuffle).
     */
   def dotConst(a: Column, q: Seq[Double]): Column =
-    dsum(zip_with(a, array(q.map(lit): _*),
-      (x, y) => x.cast("double") * y))
+    call_function("graft_dot", a, array(q.map(lit): _*))
 
-  /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(dsum(zip_with(a, a, (x, y) => x.cast("double") * y.cast("double"))))
+  /** L2 norm (native codegen expression, one pass). */
+  def norm(a: Column): Column = call_function("graft_norm", a)
 
   /** Cosine similarity of two array columns (0 when either norm is 0). */
   def cosine(a: Column, b: Column): Column = {

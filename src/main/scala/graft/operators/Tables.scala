@@ -34,6 +34,12 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-  def embeddings(s: SparkSession, dir: String): DataFrame =
+  /** Also installs the graft_* native expressions into the session —
+    * the driver hands us its own SparkSession (no
+    * spark.sql.extensions), so vector operators self-register here.
+    */
+  def embeddings(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.ensure(s)
     s.read.parquet(s"$dir/embeddings.parquet")
+  }
 }

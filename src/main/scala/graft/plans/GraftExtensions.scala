@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point. Two installation paths:
+  *
+  *  1. `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  *     build time (the canonical SparkSessionExtensions route);
+  *  2. [[GraftFunctions.ensure]] on an already-built session (the
+  *     driver contract hands us its own SparkSession, so the vector
+  *     operators self-register idempotently at query-construction
+  *     time).
+  *
+  * Both register the same SQL-callable native expressions, so
+  * `SELECT graft_dot(a.embedding, b.embedding)` works alongside the
+  * Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
+      (args: Seq[Expression]) => L2Norm(args.head)))
+
+  /** Idempotent session-local registration (overwrites are no-ops —
+    * the builders are stateless).
+    */
+  def ensure(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    descriptors.foreach { case (ident, info, builder) =>
+      reg.registerFunction(ident, info, builder)
+    }
+  }
+}
