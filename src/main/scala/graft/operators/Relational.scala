@@ -157,6 +157,89 @@ object Relational {
              |SELECT event_id FROM events WHERE event_type = 'purchase'
              |ORDER BY event_id""".stripMargin)),
 
+    // ── Q09: hierarchical rollup — region ⊃ nation subtotals + grand
+    // total in ONE pass (Catalyst expands the grouping sets before the
+    // exchange, so partial aggregation still applies per set).
+    QueryDef("q09_rollup",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_extendedprice"))
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables.nation(s, dir)
+        val reg = Tables.region(s, dir)
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice")), R).as("total_price"),
+            count(lit(1)).as("n_items"))
+          .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("total_price"), col("n_items"))
+          .orderBy(col("region"), col("nation"))
+      },
+      Some("""SELECT coalesce(r_name, 'ALL') AS region,
+             |  coalesce(n_name, 'ALL') AS nation,
+             |  round(sum(l_extendedprice), 2) AS total_price,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY region, nation""".stripMargin)),
+
+    // ── Q19: as-of join — each click event joined to the latest
+    // purchase of the same user at-or-before its timestamp. Expressed
+    // as union + last(ignoreNulls) over an ordered per-key window: ONE
+    // shuffle + sort per key, no range-join candidate explosion — the
+    // scalable as-of shape (a sort-merge band join would re-scan
+    // overlapping ranges; a cross-filter is quadratic). Ties at equal
+    // ts resolve purchase-first, then event_id, in both engines.
+    QueryDef("q19_asof_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("ts_ms"))
+          .filter(col("event_type").isin("click", "purchase"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"),
+            when(col("event_type") === "purchase", 0).otherwise(1),
+            col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        e.withColumn("purchase_ts",
+            last(when(col("event_type") === "purchase", col("ts_ms")), true).over(w))
+          .withColumn("purchase_id",
+            last(when(col("event_type") === "purchase", col("event_id")), true).over(w))
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts_ms").as("click_ts"),
+            col("purchase_id"), col("purchase_ts"),
+            (col("ts_ms") - col("purchase_ts")).as("ms_since_purchase"))
+          .orderBy(col("user_id"), col("click_ts"), col("click_id"))
+      },
+      Some("""WITH tagged AS (
+             |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |w AS (
+             |  SELECT *,
+             |    last_value(CASE WHEN event_type = 'purchase' THEN ts_ms END
+             |      IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts_ms, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ts,
+             |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+             |      IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts_ms, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_id
+             |  FROM tagged)
+             |SELECT user_id, event_id AS click_id, ts_ms AS click_ts,
+             |  purchase_id, purchase_ts,
+             |  ts_ms - purchase_ts AS ms_since_purchase
+             |FROM w WHERE event_type = 'click'
+             |ORDER BY user_id, click_ts, click_id""".stripMargin)),
+
     // ── Q08: semi/anti joins — customers with and without orders.
     QueryDef("q08_semi_anti",
       (s, dir) => {

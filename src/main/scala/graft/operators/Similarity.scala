@@ -201,5 +201,62 @@ object Similarity {
           .filter(col("cosine") >= 0.45)
           .orderBy(col("vec_a"), col("vec_b"))
       },
+      None),
+
+    // ── Q55: IVF-style ANN — coarse quantizer = per-label centroids
+    // (q52's computation), probe the nProbe cells whose centroid is
+    // closest to the query, exact re-rank ONLY within those cells.
+    // At 100 TB the corpus is stored partitioned/bucketed by cell id,
+    // so probing k of K cells prunes the scan to k/K of the data via
+    // partition pruning — here the cell filter plays that role (an
+    // isin on the partition column). Centroid training is one
+    // posexplode + hash agg; the probe set is decided driver-side from
+    // K×dim doubles (collect of K rows — constant, not data-scaled).
+    QueryDef("q55_ann_ivf",
+      (s, dir) => ivfTopK(Tables.embeddings(s, dir), queryVec, 2, 10),
       None))
+
+  /** IVF search over a (vec_id, label, embedding) DataFrame: label is
+    * the cell id (a k-means assignment in a real deployment; the
+    * driver's labels here). Train = per-cell mean; probe = nProbe
+    * cells nearest the query; exact re-rank within probed cells only.
+    * The centroid collect is K rows (K = #cells — constant), the
+    * standard IVF probe-selection step, not a data-sized collect.
+    */
+  def ivfTopK(e: org.apache.spark.sql.DataFrame, q: Seq[Double],
+      nProbe: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val qn2 = q.map(x => x * x).sum
+    // train: per-label mean vector (K rows, K = #labels)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("cv"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv"))))
+        .as("pairs"))
+      .select(col("label"),
+        transform(col("pairs"), p => p.getField("cv")).as("centroid"))
+    // probe selection: score centroids against the query driver-side
+    val centroids = cent.collect().map(r =>
+      r.get(0) -> r.getSeq[Double](1).toArray)
+    val qArr = q.toArray
+    val probes = centroids
+      .map { case (lbl, c) =>
+        var d = 0.0; var na = 0.0; var i = 0
+        while (i < c.length) {
+          d += c(i) * qArr(i); na += c(i) * c(i); i += 1
+        }
+        (lbl, if (na == 0.0) 0.0 else d / math.sqrt(na * qn2))
+      }
+      .sortBy { case (lbl, sc) => (-sc, String.valueOf(lbl)) }
+      .take(nProbe).map(_._1).toSeq
+    val cos = VectorKernels.dotConst(col("embedding"), q) /
+      (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qn2)))
+    e.filter(col("label").isin(probes: _*))
+      .select(col("vec_id"), col("label"), cos.as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"),
+        round(col("cos_raw"), 6).as("cosine"))
+  }
 }

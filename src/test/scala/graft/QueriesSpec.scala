@@ -48,6 +48,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall too low (got $ann vs $brute)")
   }
 
+  test("IVF (q55_ann_ivf helper) achieves full recall on a clustered corpus") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // 4 tight clusters around orthogonal-ish centers; query sits near
+    // cluster 0's center, so its true top-10 all live in cell 0 and
+    // nProbe=1 must reproduce brute force exactly.
+    val dim = 64
+    def center(c: Int): Array[Double] =
+      Array.tabulate(dim)(i => if (i % 4 == c) 1.0 else 0.05 * ((i + c) % 3))
+    val rows = for {
+      c <- 0 until 4
+      j <- 0 until 50
+    } yield {
+      val base = center(c)
+      val noise = Array.tabulate(dim)(i =>
+        0.01 * (((c * 131 + j * 17 + i * 7) % 11) - 5)) // seeded, tiny
+      (c.toLong * 50 + j, c, base.zip(noise).map { case (a, b) => (a + b).toFloat })
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val q = center(0).toSeq
+    val ivf = Similarity.ivfTopK(df, q, nProbe = 1, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // brute force over the same corpus
+    val brute = rows.map { case (id, _, e) =>
+      val d = e.zip(q).map { case (a, b) => a.toDouble * b }.sum
+      val n = math.sqrt(e.map(x => x.toDouble * x).sum) *
+        math.sqrt(q.map(x => x * x).sum)
+      (id, d / n)
+    }.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    assert(ivf === brute)
+    assert(ivf.forall(_ < 50), "all results from cell 0")
+  }
+
   test("minhash LSH pairs have high exact jaccard (precision of verify step)") {
     import graft.functions.TextKernels
     val docs = spark.read.parquet(s"$sf/documents.parquet")
