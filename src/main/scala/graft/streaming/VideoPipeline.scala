@@ -195,6 +195,32 @@ object VideoPipeline {
         col("segment.fileSize").as("file_size"),
         col("segment.duration").as("duration_ms"))
 
+  /** Streaming twin of the tumbling segmentation (q10) as a
+    * watermarked windowed aggregation: event-time 3-minute windows per
+    * stream, closed (and emitted, in append mode) once the watermark
+    * passes window end. The reference runs NO watermarks
+    * (VideoStreamProcessingJob.java:61) and silently distorts segments
+    * under disorder (SURVEY.md §2 streaming notes); this operator is
+    * the documented-intent fix: bounded disorder tolerance with
+    * deterministic late-frame drop. State per (stream, window) is the
+    * aggregate only — O(1), never buffered frames.
+    */
+  def segmentSummaries(frames: Dataset[VideoFrame],
+      lateness: String = "30 seconds"): DataFrame =
+    frames.toDF()
+      .select(col("streamId"), timestamp_millis(col("timestamp")).as("ts"),
+        col("frameData"))
+      .withWatermark("ts", lateness)
+      .groupBy(col("streamId"), window(col("ts"), "3 minutes"))
+      .agg(count(lit(1)).as("frame_count"),
+        sum(length(col("frameData"))).as("byte_count"),
+        min(unix_millis(col("ts"))).as("first_ts"),
+        max(unix_millis(col("ts"))).as("last_ts"))
+      .select(col("streamId").as("stream_id"),
+        unix_millis(col("window.start")).as("window_start"),
+        col("frame_count"), col("byte_count"), col("first_ts"),
+        col("last_ts"))
+
   /** End-to-end streaming wiring (ref job DAG,
     * VideoStreamProcessingJob.java:56-102): one stateful pass, both
     * branches written per micro-batch from the SAME foreachBatch (one

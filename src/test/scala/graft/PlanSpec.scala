@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the `.explain("formatted")` audit as
+  * regression tests. These encode the 100 TB design decisions: small
+  * dims broadcast (never shuffle the fact table for a dim join),
+  * filters and projections reach the parquet scan, top-k never does a
+  * global sort, and the relational hot path stays inside whole-stage
+  * codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
+
+  test("q02 star join: all three dims broadcast, no sort-merge join") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dim join must not shuffle the fact table")
+  }
+
+  test("q03/q09: dim joins broadcast") {
+    for (q <- Seq("q03_top_customers", "q09_rollup")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(500)}")
+      assert(!p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("q04: predicate + projection pushed to the parquet scan") {
+    val p = plan("q04_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_shipdate)"),
+      p.take(2000))
+    assert(p.contains("GreaterThan(l_quantity"), "quantity predicate must push down")
+    // ReadSchema carries exactly the 3 projected + filtered columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .forall(read.contains) && !read.contains("l_extendedprice"), read)
+  }
+
+  test("q01: aggregation is partial (map-side combine before the exchange)") {
+    val p = plan("q01_pricing_summary")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n${p.take(1500)}")
+    assert(p.contains("WholeStageCodegen") ||
+      !p.contains("CodegenFallback"), "agg path must stay in codegen")
+  }
+
+  test("q50 top-k: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q50_knn_query")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q51: query side broadcast (corpus is never shuffled)") {
+    val p = plan("q51_knn_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+  }
+
+  test("q10: single exchange for the windowed aggregation") {
+    val p = plan("q10_segments_tumbling")
+    // one exchange for the groupBy, one for the final orderBy — the agg
+    // itself must be partial before its exchange
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, p.take(1500))
+  }
+
+  test("q13 projection prunes the detections derivation to used columns") {
+    val p = plan("q13_doris_rows")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // l_comment / l_shipinstruct etc. must not be read
+    assert(!read.contains("l_comment") && !read.contains("l_shipinstruct"), read)
+  }
+}

@@ -138,6 +138,36 @@ class VideoPipelineSpec extends AnyFunSuite {
     assert(streamed.count(_.kind == "segment") > 0)
   }
 
+  test("watermarked segment summaries: windows close in append mode, late frames drop") {
+    import spark.implicits._
+    val t0 = FrameGenerator.BASE_TS
+    def f(id: Long, ts: Long) = frame("s1", id, ts)
+    val mem = MemoryStream[VideoFrame](spark)
+    val q = VideoPipeline.segmentSummaries(mem.toDS(), "30 seconds")
+      .writeStream.format("memory").queryName("seg_sum")
+      .outputMode("append").start()
+    // batch 1: two frames in window [t0, t0+180s)
+    mem.addData(Seq(f(0, t0), f(1, t0 + 60000)))
+    q.processAllAvailable()
+    // batch 2: advance event time past window end + lateness → closes w0
+    mem.addData(Seq(f(2, t0 + 180000 + 31000)))
+    q.processAllAvailable()
+    // batch 3: a LATE frame for the closed window — must be dropped
+    mem.addData(Seq(f(3, t0 + 1000)))
+    q.processAllAvailable()
+    // batch 4: advance far enough to close the second window too
+    mem.addData(Seq(f(4, t0 + 2 * 180000 + 31000)))
+    q.processAllAvailable()
+    val rows = spark.table("seg_sum").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap // window_start → count
+    q.stop()
+    val w0 = t0 / 180000 * 180000
+    val w1 = (t0 + 211000) / 180000 * 180000
+    assert(rows(w0) === 2L,
+      s"first window has exactly the 2 on-time frames (late frame dropped): $rows")
+    assert(rows(w1) === 1L, s"second window closed with its single frame: $rows")
+  }
+
   test("frame codec round-trip preserves frames byte-for-byte") {
     implicit val s: SparkSession = spark
     import spark.implicits._
