@@ -173,16 +173,23 @@ object VideoAnalytics {
 
     // ── Q14: NMS-rank analog — keep the best detection per
     // (frame, class), confidence-desc with stable det_id tiebreak
-    // (ref sort at YOLODetector.java:294).
+    // (ref sort at YOLODetector.java:294). Implemented as an argmax
+    // aggregation — max(struct(confidence, -det_id)) is lexicographic,
+    // so ties resolve to the smallest det_id — rather than a
+    // row_number window: the agg partial-combines map-side and never
+    // sorts partitions, where the window shape sorts every group's
+    // rows and hotspots on skewed (frame, class) keys at scale. (The
+    // generic window form is exercised by q15's top-k.)
     QueryDef("q14_nms_rank",
       (s, dir) => {
-        val w = Window.partitionBy(col("frame_id"), col("object_class"))
-          .orderBy(col("confidence").desc, col("det_id"))
+        val best = max(struct(col("confidence"), (-col("det_id")).as("neg_det")))
+          .as("best")
         detections(s, dir)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") === 1)
-          .select(col("frame_id"), col("object_class"), col("confidence"),
-            col("det_id"))
+          .groupBy(col("frame_id"), col("object_class"))
+          .agg(best)
+          .select(col("frame_id"), col("object_class"),
+            col("best.confidence").as("confidence"),
+            (-col("best.neg_det")).cast("int").as("det_id"))
           .orderBy(col("frame_id"), col("object_class"))
       },
       Some(s"""$detectionsCte
