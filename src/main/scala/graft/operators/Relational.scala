@@ -240,6 +240,29 @@ object Relational {
              |FROM w WHERE event_type = 'click'
              |ORDER BY user_id, click_ts, click_id""".stripMargin)),
 
+    // ── Q25: salted shuffle join — each event annotated with its
+    // user's event count via Skew.saltedJoin (hot user_ids spread over
+    // 8 shuffle keys; semantics identical to the plain join the oracle
+    // runs). AQE skew-split is the runtime fallback; this is the
+    // known-skew explicit plan.
+    QueryDef("q25_salted_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+        val counts = e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("user_events"))
+        Skew.saltedJoin(e, counts, "user_id", 8)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("user_events"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT e.user_id, e.event_id, e.event_type, c.user_events
+             |FROM events e JOIN (
+             |  SELECT user_id, count(*) AS user_events
+             |  FROM events GROUP BY user_id) c
+             |  ON e.user_id = c.user_id
+             |ORDER BY e.user_id, e.event_id""".stripMargin)),
+
     // ── Q08: semi/anti joins — customers with and without orders.
     QueryDef("q08_semi_anti",
       (s, dir) => {

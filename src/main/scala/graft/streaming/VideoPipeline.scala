@@ -181,6 +181,17 @@ object VideoPipeline {
         col("d.bbox.x2").as("bbox_x2"), col("d.bbox.y2").as("bbox_y2"),
         lit("").as("frame_url"))
 
+  /** Detection rows → the exact JSON-lines wire the Doris Stream-Load
+    * sink posts (field names/order: sink/DorisSinkBuilder.java:109-120;
+    * escaping is to_json's — the reference hand-escapes, :129-136).
+    */
+  def dorisJsonLines(events: Dataset[PipelineEvent]): DataFrame =
+    dorisRows(events).select(to_json(struct(
+      col("stream_id"), col("detection_time"), col("frame_id"),
+      col("object_class"), col("confidence"),
+      col("bbox_x1"), col("bbox_y1"), col("bbox_x2"), col("bbox_y2"),
+      col("frame_url"))).as("value"))
+
   /** Segment branch → segment descriptor rows (ref side output → OSS
     * sink, model/VideoSegment.java:17-55).
     */

@@ -186,6 +186,36 @@ class VideoPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("doris json lines carry exactly the reference sink's field names") {
+    import spark.implicits._
+    val events = Seq(PipelineEvent("detection", "s1", 2L, 1700000000000L,
+      Seq(Detection("car", 0.9f, BoundingBox(1, 2, 3, 4))), None))
+    val line = VideoPipeline.dorisJsonLines(spark.createDataset(events))
+      .collect().head.getString(0)
+    // field names per sink/DorisSinkBuilder.java:109-120
+    val parsed = spark.read.json(Seq(line).toDS()).columns.toSet
+    assert(parsed === Set("stream_id", "detection_time", "frame_id",
+      "object_class", "confidence", "bbox_x1", "bbox_y1", "bbox_x2",
+      "bbox_y2", "frame_url"))
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import graft.operators.Skew
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val big = (0 until 2000).map(i =>
+      (if (i % 10 == 0) s"user_${i % 7}" else "hot_user", i.toLong))
+      .toDF("user_id", "event_id")
+    val small = big.groupBy("user_id").count()
+    val salted = Skew.saltedJoin(big, small, "user_id", 8)
+      .select("user_id", "event_id", "count")
+      .collect().map(_.toSeq).sortBy(_.toString())
+    val plain = big.join(small, "user_id")
+      .select("user_id", "event_id", "count")
+      .collect().map(_.toSeq).sortBy(_.toString())
+    assert(salted === plain)
+  }
+
   test("doris rows: empty-detection results produce no rows") {
     import spark.implicits._
     val events = Seq(
