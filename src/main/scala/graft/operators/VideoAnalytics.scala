@@ -201,18 +201,22 @@ object VideoAnalytics {
               |WHERE rank = 1
               |ORDER BY frame_id, object_class""".stripMargin)),
 
-    // ── Q15: top-3 detections per stream (top-k per group).
+    // ── Q15: top-3 detections per stream — the custom TopKPerKey
+    // operator (graft.plans): bounded k-heaps on both sides of one
+    // hash exchange, so the shuffle carries ≤ k rows per (key,
+    // partition) and no group is ever fully sorted. Semantics equal
+    // row_number() ≤ k (asserted in TopKPerKeySpec); the oracle runs
+    // the window form.
     QueryDef("q15_topk_per_stream",
-      (s, dir) => {
-        val w = Window.partitionBy(col("stream_id"))
-          .orderBy(col("confidence").desc, col("frame_id"), col("det_id"))
-        detections(s, dir)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("stream_id"), col("rn"), col("frame_id"),
-            col("det_id"), col("confidence"))
-          .orderBy(col("stream_id"), col("rn"))
-      },
+      (s, dir) => graft.plans.TopK.perKey(
+          detections(s, dir).select(col("stream_id"), col("confidence"),
+            col("frame_id"), col("det_id")),
+          Seq("stream_id"),
+          Seq(("confidence", false), ("frame_id", true), ("det_id", true)),
+          k = 3)
+        .select(col("stream_id"), col("rn"), col("frame_id"),
+          col("det_id"), col("confidence"))
+        .orderBy(col("stream_id"), col("rn")),
       Some(s"""$detectionsCte
               |SELECT stream_id, rn, frame_id, det_id, confidence FROM (
               |  SELECT *, row_number() OVER (

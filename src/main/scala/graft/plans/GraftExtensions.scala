@@ -19,10 +19,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }
 
 object GraftFunctions {

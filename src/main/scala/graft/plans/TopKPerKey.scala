@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator custom plan: top-k rows per key under an ordering,
+  * with a dense 1..k rank column appended — the relational shape of
+  * "best N detections per stream" (reference: the NMS confidence sort,
+  * YOLODetector.java:294, relationalized per SURVEY.md §2 "window
+  * functions").
+  *
+  * Why a custom operator instead of `row_number().over(window)`: the
+  * window form sorts EVERY group's full row set after the shuffle
+  * (O(n log n) per group, and a straggler on any hot key), and ships
+  * all rows through the exchange. This operator keeps a bounded k-heap
+  * per key on BOTH sides of the exchange — the map side discards all
+  * but k rows per (partition, key) before shuffling, the reduce side
+  * merges heaps — so shuffle volume is ≤ k·keys·partitions rows and
+  * per-group cost is O(n log k), insensitive to key skew.
+  *
+  * Memory: O(distinct keys per partition × k) rows, the same residency
+  * class as a hash aggregate's map (no spill path in this
+  * implementation — k is small by construction; a production version
+  * would fall back to sort when the map outgrows the task budget).
+  *
+  * The full custom-operator ladder is exercised: logical UnaryNode →
+  * Strategy (injected via SparkSessionExtensions or
+  * spark.experimental.extraStrategies) → partial+final physical execs
+  * with a required ClusteredDistribution that EnsureRequirements
+  * satisfies with a single hash exchange.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Attribute],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Attribute],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    rankAttr: Option[AttributeReference],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output ++ rankAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val orderExprs = order
+    val kk = k
+    val isPartial = partial
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = GenerateOrdering.generate(orderExprs, childOutput)
+      // heap head is the WORST kept row (reverse order) → O(log k) evict
+      val reverse = ordering.reversed()
+      val heaps = new java.util.LinkedHashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kk, reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < kk) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      if (isPartial) {
+        // emit kept rows unranked; the final pass re-ranks after merge
+        val entries = heaps.values().iterator()
+        new Iterator[InternalRow] {
+          private var cur: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator()
+          override def hasNext: Boolean = {
+            while (!cur.hasNext && entries.hasNext)
+              cur = entries.next().iterator()
+            cur.hasNext
+          }
+          override def next(): InternalRow = cur.next()
+        }
+      } else {
+        val outAttrs = childOutput :+ rankAttr.get
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        new Iterator[InternalRow] {
+          private val outer = heaps.values().iterator()
+          private var sorted: Array[InternalRow] = Array.empty
+          private var idx = 0
+          override def hasNext: Boolean = {
+            while (idx >= sorted.length && outer.hasNext) {
+              sorted = outer.next().toArray(new Array[InternalRow](0))
+              java.util.Arrays.sort(sorted, ordering)
+              idx = 0
+            }
+            idx < sorted.length
+          }
+          override def next(): InternalRow = {
+            val r = sorted(idx)
+            idx += 1
+            rankRow.setInt(0, idx) // dense rank 1..k within the key
+            proj(joined(r, rankRow))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+      val childPlan = planLater(child)
+      val part = TopKPerKeyExec(keys, order, k, partial = true, None, childPlan)
+      TopKPerKeyExec(keys, order, k, partial = false, Some(rankAttr), part) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Column-API entry point. */
+object TopK {
+
+  /** Ensures the strategy is installed on the session (idempotent;
+    * complements the GraftExtensions injection route).
+    */
+  def ensure(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraStrategies.contains(TopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+  }
+
+  /** Top `k` rows per `keyCols` group under `orderSpec`
+    * ((column, ascending) pairs; ties broken by later columns), with a
+    * dense rank column `rn` (1..k) appended.
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String],
+      orderSpec: Seq[(String, Boolean)], k: Int,
+      rankCol: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    ensure(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output
+      .find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${analyzed.output.map(_.name)}"))
+    val keys = keyCols.map(attr)
+    val order = orderSpec.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    val rank = AttributeReference(rankCol, IntegerType, nullable = false)()
+    GraftSqlBridge.ofRows(spark,
+      TopKPerKeyNode(keys, order, k, rank, analyzed))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.plans.TopK
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom TopKPerKey operator vs the row_number window reference
+  * implementation: same rows, same ranks, on skewed keyed data with
+  * ties; plus physical-plan shape (partial before the exchange).
+  */
+class TopKPerKeySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def data = {
+    import spark.implicits._
+    // deterministic skew: key "hot" has 80% of rows; scores collide to
+    // force tie-breaking through the secondary column
+    spark.range(0, 5000).map { i =>
+      val key = if (i % 5 != 0) "hot" else s"key_${i % 17}"
+      val score = (i * 31 % 97).toDouble
+      (key, score, i)
+    }.toDF("k", "score", "id").repartition(7) // uneven input partitions
+  }
+
+  test("matches row_number window semantics exactly (desc score, asc id)") {
+    val df = data
+    val got = TopK.perKey(df, Seq("k"), Seq(("score", false), ("id", true)), 3)
+      .select("k", "rn", "score", "id")
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("score").desc, col("id"))
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("k", "rn", "score", "id")
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(got === expected)
+  }
+
+  test("k larger than group size returns whole groups, ranked") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
+    val got = TopK.perKey(df, Seq("k"), Seq(("v", true)), 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === Set(("a", 1, 1), ("a", 2, 2), ("b", 9, 1)))
+  }
+
+  test("physical plan: partial top-k before the exchange, final after") {
+    val plan = TopK.perKey(data, Seq("k"), Seq(("score", false)), 3)
+      .queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("TopKPerKey")
+    assert(partialIdx >= 0, plan.take(1500))
+    assert(plan.contains("Exchange") || plan.contains("ShuffleExchange"),
+      "must shuffle by key between partial and final")
+    // two TopKPerKeyExec nodes
+    assert(plan.sliding("TopKPerKey".length).count(_ == "TopKPerKey") >= 2,
+      plan.take(1500))
+  }
+
+  test("multi-column keys") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("b", 1, 40))
+      .toDF("k1", "k2", "v")
+    val got = TopK.perKey(df, Seq("k1", "k2"), Seq(("v", false)), 1)
+      .select("k1", "k2", "v", "rn")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(got === Set(("a", 1, 20, 1), ("a", 2, 30, 1), ("b", 1, 40, 1)))
+  }
+}
