@@ -10,9 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // session warmup (JVM/codegen/scheduler init), not query work —
-    // keeps the first timed query from absorbing one-time costs
+    // session warmup (JVM/codegen/scheduler/parquet-reader init), not
+    // query work — keeps the first timed query from absorbing one-time
+    // costs. Warms with the SMALLEST sf dir, never the bench data.
     spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet("/root/testdata/sf0.001/region.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

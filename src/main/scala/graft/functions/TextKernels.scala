@@ -36,14 +36,6 @@ object TextKernels {
     h
   }
 
-  /** Second independent hash for double-hashing minhash permutations. */
-  def hash64b(s: String): Long = {
-    var h = -7046029254386353131L
-    var i = 0
-    while (i < s.length) { h = 1099511628211L * h ^ s.charAt(i); i += 1 }
-    h
-  }
-
   /** Word k-shingles of a document (the unit set for Jaccard/minhash). */
   def shingles(text: String, k: Int): Set[String] = {
     val toks = tokenize(text)

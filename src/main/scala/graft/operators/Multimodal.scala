@@ -88,6 +88,29 @@ object Multimodal {
     }.toDF("media_id", "kind", "features")
   }
 
+  /** STUB resize: deterministic payload decimation to a target "pixel"
+    * budget — keeps every ceil(len/target)-th byte so output size ≤
+    * target (stands in for a real thumbnailer; the 1→1 binary map with
+    * updated dimension metadata is the real contract). Batched via
+    * mapPartitions like extractFeatures: a real codec initializes once
+    * per partition, processes whole batches, and must bound PEAK
+    * memory by input-split sizing, not row count.
+    */
+  def resizeStub(media: Dataset[MediaRow], targetBytes: Int = 64,
+      targetW: Int = 320, targetH: Int = 180): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val in = m.payload
+        val stride = math.max(1, (in.length + targetBytes - 1) / targetBytes)
+        val out = new Array[Byte]((in.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = in(i * stride); i += 1 }
+        m.copy(payload = out, width = targetW, height = targetH)
+      }
+    }
+  }
+
   /** STUB frame sampling: every `stride`-th 64-byte block of a video
     * payload as one "frame" (stands in for I-frame extraction; the
     * 1→N row shape and array<binary> schema are the real contract).
@@ -118,6 +141,12 @@ object Multimodal {
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame_bytes"))).as("sampled_bytes"))
+        .orderBy(col("media_id")),
+      None),
+    QueryDef("q62_media_resize",
+      (s, dir) => resizeStub(mediaTable(s)).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("thumb_bytes"))
         .orderBy(col("media_id")),
       None))
 }

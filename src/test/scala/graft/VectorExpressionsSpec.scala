@@ -46,6 +46,20 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("graft_dot/graft_norm agree with the pure-Scala cosine kernel") {
+    import graft.functions.VectorKernels
+    val a = Array(1.5f, -2.25f, 3.0f)
+    val b = Array(0.5f, 4.0f, -1.0f)
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(call_function("graft_dot", col("a"), col("b")) /
+        (call_function("graft_norm", col("a")) *
+          call_function("graft_norm", col("b"))))
+      .collect().head.getDouble(0)
+    assert(math.abs(row - VectorKernels.cosineScala(a, b)) < 1e-15)
+  }
+
   test("graft_norm matches sqrt of self-dot") {
     val got = mkDf
       .select(col("id"), call_function("graft_norm", col("a")))
