@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.functions.DetectionKernels
 import graft.model._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** The stateful core of the engine — the Spark re-expression of the
   * reference's keyed process function (function/VideoProcessFunction
@@ -205,6 +205,46 @@ object VideoPipeline {
         col("segment.frameCount").as("frame_count"),
         col("segment.fileSize").as("file_size"),
         col("segment.duration").as("duration_ms"))
+
+  /** Spark 4 `transformWithState` form of [[process]] — the same pure
+    * fold behind the new StatefulProcessor API (SURVEY.md §7.1's
+    * stated target). Differences from flatMapGroupsWithState: typed
+    * named state handles (multiple states, TTL, timers available) and
+    * a state store contract that supports the RocksDB provider's
+    * changelog checkpointing. Streaming-only (the classic API remains
+    * the batch path).
+    */
+  class VideoStatefulProcessor(cfg: EngineConfig,
+      detector: VideoFrame => Seq[Detection])
+      extends StatefulProcessor[String, VideoFrame, PipelineEvent] {
+    @transient private var state: ValueState[StreamState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[StreamState]("pipelineState",
+        Encoders.product[StreamState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[VideoFrame],
+        timerValues: TimerValues): Iterator[PipelineEvent] = {
+      val sorted = rows.toSeq.sortBy(f => (f.timestamp, f.frameId))
+      val st = if (state.exists()) state.get() else initialState
+      val (events, next) = processFrames(key, sorted, st, cfg, detector)
+      state.update(next)
+      events.iterator
+    }
+  }
+
+  /** [[process]] via transformWithState (streaming queries only; needs
+    * the RocksDB state store provider for production checkpointing).
+    */
+  def processTWS(frames: Dataset[VideoFrame],
+      cfg: EngineConfig = EngineConfig(),
+      detector: VideoFrame => Seq[Detection] = null): Dataset[PipelineEvent] = {
+    import frames.sparkSession.implicits._
+    val det = if (detector == null) defaultDetector(cfg) else detector
+    frames.groupByKey(_.streamId)
+      .transformWithState(new VideoStatefulProcessor(cfg, det),
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Streaming twin of the tumbling segmentation (q10) as a
     * watermarked windowed aggregation: event-time 3-minute windows per

@@ -138,6 +138,32 @@ class VideoPipelineSpec extends AnyFunSuite {
     assert(streamed.count(_.kind == "segment") > 0)
   }
 
+  test("transformWithState path matches flatMapGroupsWithState across batches") {
+    // dedicated session (shared context): TWS requires the RocksDB
+    // state store provider, a session-level conf
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    locally {
+      import s2.implicits._
+      val frames = FrameGenerator.frames(streams = 2, fps = 5, durationSec = 500)
+      val (b1, b2) = frames.partition(_.timestamp < FrameGenerator.BASE_TS + 250000)
+      val mem = MemoryStream[VideoFrame](s2)
+      val q = VideoPipeline.processTWS(mem.toDS(), cfg).writeStream
+        .format("memory").queryName("tws_out").outputMode("append").start()
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val streamed = s2.table("tws_out").as[PipelineEvent].collect()
+      q.stop()
+      val batch = VideoPipeline.process(s2.createDataset(frames), cfg).collect()
+      def key(e: PipelineEvent) = (e.kind, e.streamId, e.frameId, e.timestamp,
+        e.detections.map(_.objectClass).mkString(","),
+        e.segment.map(_.startTime).getOrElse(-1L)).toString
+      assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
+      assert(streamed.count(_.kind == "segment") > 0)
+    }
+  }
+
   test("watermarked segment summaries: windows close in append mode, late frames drop") {
     import spark.implicits._
     val t0 = FrameGenerator.BASE_TS
