@@ -98,6 +98,45 @@ class VideoPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random streams — segment partition + time-rule gap invariants") {
+    // arbitrary (seeded) frame cadence: segments always partition the
+    // stream, never under-run the duration, and never overlap
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 20) {
+      val n = 50 + rnd.nextInt(300)
+      var ts = 1700000000000L
+      val frames = (0 until n).map { i =>
+        ts += 1 + rnd.nextInt(20000).toLong
+        frame("s1", i, ts, rnd.nextInt(4))
+      }
+      val (events, st) = fold(frames)
+      val segs = events.filter(_.kind == "segment").flatMap(_.segment)
+      assert(segs.map(_.frameCount).sum + st.segFrames === n)
+      segs.foreach(s => assert(s.duration >= cfg.segmentDurationMs))
+      segs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.endTime < b.startTime)
+        case _ =>
+      }
+    }
+    // constant payload → similarity 1.0 → pure time rule: consecutive
+    // keyframe gaps are never below the configured interval
+    val still = FrameGenerator.frameBytes(7, 0)
+    for (trial <- 0 until 10) {
+      val rnd2 = new scala.util.Random(100 + trial)
+      var ts = 1700000000000L
+      val frames = (0 until 200).map { i =>
+        ts += 1 + rnd2.nextInt(3000).toLong
+        frame("s1", i, ts).copy(frameData = still)
+      }
+      val keyTs = fold(frames)._1.filter(_.kind == "detection").map(_.timestamp)
+      assert(keyTs.nonEmpty)
+      keyTs.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a >= cfg.keyframeMinIntervalMs)
+        case _ =>
+      }
+    }
+  }
+
   test("batch process() equals the pure fold per key") {
     import spark.implicits._
     val frames = FrameGenerator.frames(streams = 2, fps = 5, durationSec = 500)
