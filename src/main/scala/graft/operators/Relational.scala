@@ -240,6 +240,26 @@ object Relational {
              |FROM w WHERE event_type = 'click'
              |ORDER BY user_id, click_ts, click_id""".stripMargin)),
 
+    // ── Q26: explicit grouping sets — (type), (user), and () totals in
+    // one pass over events (complements q09's rollup; exercises the
+    // general grouping-sets expansion rather than the hierarchy).
+    QueryDef("q26_grouping_sets",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_gs")
+        s.sql("""SELECT coalesce(event_type, 'ALL') AS etype,
+                |  coalesce(CAST(user_id AS STRING), 'ALL') AS uid,
+                |  count(*) AS n, round(sum(value), 2) AS total_value
+                |FROM events_gs
+                |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+                |ORDER BY etype, uid""".stripMargin)
+      },
+      Some("""SELECT coalesce(event_type, 'ALL') AS etype,
+             |  coalesce(CAST(user_id AS VARCHAR), 'ALL') AS uid,
+             |  count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+             |ORDER BY etype, uid""".stripMargin)),
+
     // ── Q25: salted shuffle join — each event annotated with its
     // user's event count via Skew.saltedJoin (hot user_ids spread over
     // 8 shuffle keys; semantics identical to the plain join the oracle

@@ -55,4 +55,19 @@ object FrameCodec {
       .option("subscribe", topic)
       .option("startingOffsets", "latest")
       .load())(s)
+
+  /** Kafka streaming sink (inverse wiring — the mock producer's role,
+    * mock/VideoStreamMockProducer.java:122-196, keyed by streamId so
+    * per-stream ordering holds within a partition). Not exercised in
+    * this harness (no broker); encode() is covered by the round-trip
+    * test.
+    */
+  def kafkaSink(frames: Dataset[VideoFrame], brokers: String,
+      topic: String, checkpointDir: String) =
+    encode(frames).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -21,7 +21,25 @@ class BucketingSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a crashed prior run can leave the managed location behind with no
+    // catalog entry, which CTAS then refuses to overwrite
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val dir = new java.io.File(s"$wh/$name")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("bucketed+sorted tables join with no shuffle exchange") {
+    dropTable("orders_b")
+    dropTable("lineitem_b")
     val o = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice")
     val l = spark.read.parquet(s"$sf/lineitem.parquet")
