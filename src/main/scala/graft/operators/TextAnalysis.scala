@@ -134,6 +134,33 @@ object TextAnalysis {
              |FROM documents GROUP BY source, lang
              |ORDER BY source, lang""".stripMargin)),
 
+    // ── Q35: corpus-wide top-20 bigrams — generate per-doc bigram
+    // arrays (guarded: sequence() on <2 tokens would produce a
+    // DESCENDING range in Spark), explode, hash-agg count, global
+    // top-k (TakeOrderedAndProject — never a full sort).
+    QueryDef("q35_top_bigrams",
+      (s, dir) => {
+        val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(toks) - 2),
+            i => concat(element_at(toks, i + 1), lit(" "),
+              element_at(toks, i + 2))))
+        Tables.documents(s, dir)
+          .select(explode(bigrams).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT string_split(text, ' ') AS t FROM documents),
+             |bg AS (
+             |  SELECT unnest(list_transform(range(1, len(t)),
+             |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+             |  FROM toks)
+             |SELECT bigram, count(*) AS n
+             |FROM bg GROUP BY bigram
+             |ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
     // ── Q34: adjacent-document token-set Jaccard (n-gram Jaccard op at
     // k=1, pair selection = consecutive ids to stay O(n); the full
     // LSH-pruned pairing is q42 in Dedup).

@@ -286,6 +286,43 @@ object VideoAnalytics {
               |WHERE inter / (area_a + area_b - inter) > 0.45
               |ORDER BY frame_id, det_a, det_b""".stripMargin)),
 
+    // ── Q27: sketch-based distinct — approx_count_distinct (HLL++)
+    // next to the exact count. At 100 TB the sketch is the only
+    // shuffle-light option for high-cardinality distincts (fixed-size
+    // buffer, one pass, mergeable); rows-only check (the estimate is
+    // approximate by construction), accuracy bound unit-tested.
+    QueryDef("q27_approx_distinct",
+      (s, dir) => detections(s, dir)
+        .groupBy(col("stream_id"))
+        .agg(approx_count_distinct(col("frame_id"), 0.02).as("approx_frames"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("stream_id")),
+      None),
+
+    // ── Q28: per-class confidence histogram via a custom typed
+    // Aggregator (functions/HistogramAgg — the Aggregator[IN,BUF,OUT]
+    // UDAF surface): O(bins) buffer, associative merge, map-side
+    // partial agg. Bin counts are integers, so the DuckDB oracle is
+    // exact (floor-binning matches toInt truncation for v ≥ 0).
+    QueryDef("q28_conf_histogram",
+      (s, dir) => {
+        val hist = udaf(graft.functions.HistogramAgg(10, 0.0, 1.0))
+        detections(s, dir)
+          .groupBy(col("object_class"))
+          .agg(hist(col("confidence")).as("bins"))
+          .select(col("object_class"),
+            posexplode(col("bins")).as(Seq("bin", "n")))
+          .filter(col("n") > 0)
+          .orderBy(col("object_class"), col("bin"))
+      },
+      Some(s"""$detectionsCte
+              |SELECT object_class,
+              |  least(9, greatest(0, CAST(floor(confidence * 10) AS INT))) AS bin,
+              |  count(*) AS n
+              |FROM detections
+              |GROUP BY object_class, bin
+              |ORDER BY object_class, bin""".stripMargin)),
+
     // ── Q18: daily per-stream activity rollup (ref OSS object-key
     // scheme partitions by stream/date/hour, OSSVideoSink.java:48-57).
     QueryDef("q18_stream_day_rollup",

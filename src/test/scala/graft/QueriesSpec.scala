@@ -81,6 +81,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(ivf.forall(_ < 50), "all results from cell 0")
   }
 
+  test("approx distinct (q27) within 3x the configured 2% rsd of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q27_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.VideoAnalytics.detections(spark, sf)
+      .groupBy(col("stream_id"))
+      .agg(countDistinct(col("frame_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.06,
+        s"stream $k: approx $a vs exact $e")
+    }
+  }
+
   test("minhash LSH pairs have high exact jaccard (precision of verify step)") {
     import graft.functions.TextKernels
     val docs = spark.read.parquet(s"$sf/documents.parquet")
