@@ -40,5 +40,28 @@ object Pipeline {
           min(col("timestamp")).as("min_ts"),
           max(col("timestamp")).as("max_ts"))
         .orderBy(col("stream_id"), col("kind")),
+      None),
+
+    // ── Q23: keyframe-extraction rate per stream — the reference's
+    // runtime counters (totalFramesProcessed / keyFramesExtracted
+    // ratio, function/VideoProcessFunction.java:49-51,133-138) as a
+    // relational metric: detections (= keyframes) joined against the
+    // generated frame counts.
+    QueryDef("q23_pipeline_rates",
+      (s, dir) => {
+        val frames = FrameGenerator
+          .framesDs(s, streams = 3, fps = 25, durationSec = 400).toDF()
+          .groupBy(col("streamId").as("stream_id"))
+          .agg(count(lit(1)).as("total_frames"))
+        val keys = events(s).toDF()
+          .filter(col("kind") === "detection")
+          .groupBy(col("streamId").as("stream_id"))
+          .agg(count(lit(1)).as("key_frames"))
+        frames.join(keys, "stream_id")
+          .select(col("stream_id"), col("total_frames"), col("key_frames"),
+            round(col("key_frames").cast("double") / col("total_frames"), 6)
+              .as("keyframe_rate"))
+          .orderBy(col("stream_id"))
+      },
       None))
 }

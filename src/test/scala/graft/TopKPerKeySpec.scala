@@ -63,6 +63,23 @@ class TopKPerKeySpec extends AnyFunSuite {
       plan.take(1500))
   }
 
+  test("null keys and null order values match window semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(3.0), 1L), (Some("a"), None, 2L),
+      (None, Some(5.0), 3L), (None, Some(1.0), 4L), (None, None, 5L)
+    ).toDF("k", "score", "id")
+    val got = TopK.perKey(df, Seq("k"), Seq(("score", false), ("id", true)), 2)
+      .select("k", "rn", "id")
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("score").desc, col("id"))
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select("k", "rn", "id")
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(got === expected)
+  }
+
   test("multi-column keys") {
     import spark.implicits._
     val df = Seq(("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("b", 1, 40))
