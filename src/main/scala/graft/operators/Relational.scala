@@ -240,6 +240,81 @@ object Relational {
              |FROM w WHERE event_type = 'click'
              |ORDER BY user_id, click_ts, click_id""".stripMargin)),
 
+    // ── Q24: banded range join — (click, purchase) pairs of the same
+    // user within ±1 h. The scalable plan: coarse 1 h time buckets
+    // become EQUI-join keys (each click probes its own + both neighbor
+    // buckets via a 3-element explode; each purchase sits in exactly
+    // one bucket, so no pair duplicates), then the exact |Δt| filter.
+    // A naive theta join on the range predicate degenerates to
+    // per-user cross products; the band join's candidate set is only
+    // pairs within ±2 h.
+    QueryDef("q24_range_join",
+      (s, dir) => {
+        val BAND = 3600000L
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("ts_ms"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts_ms").as("click_ts"),
+            explode(array(
+              (col("ts_ms") / BAND).cast("long") - 1,
+              (col("ts_ms") / BAND).cast("long"),
+              (col("ts_ms") / BAND).cast("long") + 1)).as("probe_bucket"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"),
+            col("ts_ms").as("purchase_ts"),
+            (col("ts_ms") / BAND).cast("long").as("p_bucket"))
+        clicks.join(purch,
+            col("user_id") === col("p_user") &&
+              col("probe_bucket") === col("p_bucket"))
+          .filter(abs(col("click_ts") - col("purchase_ts")) <= BAND)
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            (col("click_ts") - col("purchase_ts")).as("delta_ms"))
+          .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id,
+             |  p.event_id AS purchase_id,
+             |  epoch_ms(c.ts) - epoch_ms(p.ts) AS delta_ms
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND abs(epoch_ms(c.ts) - epoch_ms(p.ts)) <= 3600000
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)),
+
+    // ── Q36: session windows — events of a user chain into one session
+    // while gaps stay under 30 min (built-in session_window; state at
+    // scale is one open session per key, merged on the single
+    // group-by exchange). Oracle: the lag-gap / cumulative-break
+    // formulation (a new session starts when the gap is ≥ the timeout,
+    // matching session_window's [start, last+gap) close semantics).
+    QueryDef("q36_sessions",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             |         WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+             |              >= 1800000 THEN 1
+             |         ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT user_id, min(epoch_ms(ts)) AS session_start,
+             |  count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ── Q26: explicit grouping sets — (type), (user), and () totals in
     // one pass over events (complements q09's rollup; exercises the
     // general grouping-sets expansion rather than the hierarchy).

@@ -157,10 +157,11 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 /** Column-API entry point. */
 object TopK {
 
-  /** Ensures the strategy is installed on the session (idempotent;
-    * complements the GraftExtensions injection route).
+  /** Ensures the strategy is installed on the session (idempotent and
+    * synchronized — concurrent query construction must not lose a
+    * check-then-append; complements the GraftExtensions route).
     */
-  def ensure(spark: SparkSession): Unit = {
+  def ensure(spark: SparkSession): Unit = synchronized {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .experimental
     if (!exp.extraStrategies.contains(TopKStrategy))
