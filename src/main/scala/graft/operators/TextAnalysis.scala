@@ -33,16 +33,31 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ── Q30: token statistics per document (token counting op).
+    // ── Q30: token statistics per document (token counting op):
+    // whitespace tokens plus a BPE-ish subword estimate (one extra
+    // token per 4 chars of overlong words — byte-pair inflation
+    // without a vocab; mirrors TextKernels.approxTokenCount).
     QueryDef("q30_token_stats",
-      (s, dir) => Tables.documents(s, dir)
-        .select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          length(col("text")).cast("long").as("len_chars"),
-          size(array_distinct(toks)).cast("long").as("n_distinct"))
-        .orderBy(col("doc_id")),
+      (s, dir) => {
+        val bpe = aggregate(
+          transform(toks, t => lit(1L) +
+            when(length(t) > 4, ((length(t) - 1) / lit(4)).cast("long"))
+              .otherwise(0L)),
+          lit(0L), (acc, x) => acc + x)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            bpe.as("n_bpe_tokens"),
+            length(col("text")).cast("long").as("len_chars"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"))
+          .orderBy(col("doc_id"))
+      },
       Some("""SELECT doc_id,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(list_sum(list_transform(string_split(text, ' '),
+             |    t -> 1 + CASE WHEN length(t) > 4
+             |             THEN (length(t) - 1) // 4 ELSE 0 END))
+             |    AS BIGINT) AS n_bpe_tokens,
              |  CAST(length(text) AS BIGINT) AS len_chars,
              |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
              |FROM documents ORDER BY doc_id""".stripMargin)),
