@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
   }
 }
 

@@ -37,7 +37,7 @@ import org.apache.spark.sql.types.IntegerType
   * satisfies with a single hash exchange.
   */
 case class TopKPerKeyNode(
-    keys: Seq[Attribute],
+    keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
@@ -53,7 +53,7 @@ case class TopKPerKeyNode(
 }
 
 case class TopKPerKeyExec(
-    keys: Seq[Attribute],
+    keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
@@ -166,6 +166,8 @@ object TopK {
       .experimental
     if (!exp.extraStrategies.contains(TopKStrategy))
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    if (!exp.extraOptimizations.contains(TopKRewriteRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ TopKRewriteRule
   }
 
   /** Top `k` rows per `keyCols` group under `orderSpec`

@@ -80,6 +80,45 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("optimizer rule rewrites row_number<=k window filters into TopKPerKey") {
+    TopK.ensure(spark)
+    val df = data
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("score").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("score") > 1.0) // conjunctive residue
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerKey"), optimized.take(1500))
+    assert(!optimized.contains("Window ["),
+      s"window must be rewritten away:\n${optimized.take(1500)}")
+    assert(!optimized.contains("WindowGroupLimit"),
+      s"redundant group limit must be stripped:\n${optimized.take(1500)}")
+    // reference semantics computed driver-side: rank over ALL rows per
+    // key under the total order, THEN the residual score filter
+    val ref = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        rows.sortBy { case (_, s, id) => (-s, id) }.zipWithIndex
+          .take(3).collect { case ((_, s, id), i) if s > 1.0 =>
+            Seq[Any](k, s, id, i + 1)
+          }
+      }.sortBy(_.toString()).toSeq
+    val got = q.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(got === ref)
+  }
+
+  test("rewrite leaves rn = 1 queries correct (argmax shape)") {
+    TopK.ensure(spark)
+    val df = data
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(q.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    val rows = q.collect()
+    assert(rows.map(_.getString(0)).distinct.length === rows.length,
+      "exactly one row per key")
+    assert(rows.forall(_.getInt(3) == 1))
+  }
+
   test("multi-column keys") {
     import spark.implicits._
     val df = Seq(("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("b", 1, 40))
