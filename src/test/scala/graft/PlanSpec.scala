@@ -76,6 +76,26 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 2, p.take(1500))
   }
 
+  test("q24 banded range join plans as an equi-join, never a nested loop") {
+    val p = plan("q24_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "range predicate must ride an equi-join on the time bucket")
+  }
+
+  test("q19 as-of join is a window pass — no join operator at all") {
+    val p = plan("q19_asof_join")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("Window"), "as-of composes as last() over a window")
+  }
+
+  test("q15 plans through the custom TopKPerKey operator") {
+    val p = plan("q15_topk_per_stream")
+    assert(p.contains("TopKPerKey"), p.take(1500))
+  }
+
   test("q13 projection prunes the detections derivation to used columns") {
     val p = plan("q13_doris_rows")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
