@@ -9,18 +9,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB): brute-force kNN is ONE pass over the corpus
   * per query batch — queries are broadcast, the corpus is never
-  * shuffled, and the per-row cosine is a codegen'd higher-order-function
-  * fold (no UDF). The ANN variant prunes candidates with random-
-  * hyperplane LSH sign buckets (scan-filter on bucket hamming distance,
-  * still shuffle-free) before the exact re-rank. Centroids are a single
+  * shuffled, and the per-row cosine is the native graft_dot/graft_norm
+  * codegen expression (plans/VectorExpressions.scala). Three ANN
+  * shapes: LSH hamming-radius pruning (q53), banded-SimHash candidate
+  * join (q54), and IVF cell probing (q55). Centroids are a single
   * posexplode + hash agg (64 rows per input row, partial-aggregated
   * map-side).
   *
   * FP parity with the DuckDB oracles: element values are cast to double
   * BEFORE multiplication and summed strictly left-to-right in both
-  * engines (Spark `aggregate` fold ≡ explicit left-assoc `+` chain in
-  * SQL), so cosines are bit-identical — ordering/limits are safe on the
-  * unrounded value.
+  * engines (the native expression's loop ≡ explicit left-assoc `+`
+  * chain in SQL), so cosines are bit-identical — ordering/limits are
+  * safe on the unrounded value.
   */
 object Similarity {
 

@@ -39,6 +39,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  test("query names are unique across modules (no silent map collisions)") {
+    import graft.operators._
+    val names = (Relational.defs ++ VideoAnalytics.defs ++ TextAnalysis.defs ++
+      Dedup.defs ++ Similarity.defs ++ Pipeline.defs ++ Multimodal.defs)
+      .map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(names.size === SparkEntry.queries.size)
+  }
+
   test("ANN (q53) finds most of brute-force top-10 (recall ≥ 0.5)") {
     val brute = SparkEntry.queries("q50_knn_query")(spark, sf)
       .collect().map(_.getLong(0)).toSet
