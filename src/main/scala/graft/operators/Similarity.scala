@@ -106,21 +106,42 @@ object Similarity {
               |ORDER BY query_id, rn""".stripMargin)),
 
     // ── Q52: per-label centroids — posexplode + hash agg (the IVF
-    // coarse-quantizer training step).
+    // coarse-quantizer training step). Values are quantized to 1e-4
+    // BEFORE aggregation so the sum is an exact integer: floating
+    // sums are order-dependent (Spark partial-aggregates per
+    // partition, DuckDB sums in scan order), and a last-ulp
+    // difference next to a round() boundary flips the 4th decimal —
+    // observed at sf0.001/sf0.1 with the naive round(avg(v), 4).
+    // The mean itself is rounded to 1e-4 with pure int64 arithmetic —
+    // ((2(sq + S·n) + n) div 2n − S, S shifting everything positive so
+    // truncating division equals floor in both engines — because a
+    // double round() hits exact .00005 ties (sum_q/n rationals) that
+    // Spark (half-up) and DuckDB (half-even) break differently.
     QueryDef("q52_label_centroids",
       (s, dir) => Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          round(col("v").cast("double") * 10000).cast("long").as("q"))
         .groupBy(col("label"), col("dim"))
-        .agg(round(avg(col("v").cast("double")), 4).as("centroid_v"),
-          count(lit(1)).as("n"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          expr("CAST(((sq + 1000000 * n) * 2 + n) div (2 * n) - 1000000 AS DOUBLE)" +
+            " / 10000.0").as("centroid_v"),
+          col("n"))
         .orderBy(col("label"), col("dim")),
-      Some("""SELECT label, dim, round(avg(v), 4) AS centroid_v, count(*) AS n
+      Some("""SELECT label, dim,
+             |  CAST(((sq + 1000000 * n) * 2 + n) // (2 * n) - 1000000 AS DOUBLE)
+             |    / 10000.0 AS centroid_v,
+             |  n
              |FROM (
-             |  SELECT label,
-             |    generate_subscripts(embedding, 1) - 1 AS dim,
-             |    CAST(unnest(embedding) AS DOUBLE) AS v
-             |  FROM embeddings)
-             |GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+             |  SELECT label, dim, sum(q) AS sq, count(*) AS n
+             |  FROM (
+             |    SELECT label,
+             |      generate_subscripts(embedding, 1) - 1 AS dim,
+             |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+             |    FROM embeddings)
+             |  GROUP BY label, dim)
+             |ORDER BY label, dim""".stripMargin)),
 
     // ── Q53: LSH-pruned ANN — random-hyperplane sign bucket, keep
     // candidates within hamming ≤ 28 of the query's 64-bit bucket,
