@@ -14,38 +14,62 @@ import org.apache.spark.sql.functions._
   * (no shuffle of the fact table beyond the final agg exchange), and
   * every scan projects only the needed columns so parquet column
   * pruning applies.
+  *
+  * FP determinism: monetary columns are exact 2-decimal values, so
+  * every money aggregate is computed on int64 cents (exact,
+  * order-independent — double sums are partition-order-dependent and
+  * a last-ulp wiggle next to a round() boundary flips digits between
+  * engines; see q52's history). Ratios round half-up in pure integer
+  * arithmetic: r = (2·num·scale + den) div (2·den).
   */
 object Relational {
 
-  /** Doubles summed across partitions can differ from the oracle in the
-    * last ulp; round aggregates so both sides land on the same digits.
-    */
-  private val R = 2
+  import org.apache.spark.sql.Column
+
+  /** x (exact 2-decimal double) → int64 cents. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ── Q01: pricing summary (TPC-H Q1 shape): scan → filter → hash agg.
+    // ── Q01: pricing summary (TPC-H Q1 shape): scan → filter → hash
+    // agg. disc_price = cents × (100 − disc_cents) in 1e-4 dollars —
+    // exact int64 partials, integer half-up back to 2 decimals.
     QueryDef("q01_pricing_summary",
       (s, dir) => Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("pc"),
+          (cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))).as("dp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), R).as("sum_qty"),
-          round(sum(col("l_extendedprice")), R).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), R)
+        .agg(sum(col("qty")).as("sq"), sum(col("pc")).as("spc"),
+          sum(col("dp")).as("sdp"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sq").cast("double").as("sum_qty"),
+          (col("spc").cast("double") / 100.0).as("sum_base_price"),
+          (expr("(2 * sdp + 100) div 200").cast("double") / 100.0)
             .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          count(lit(1)).as("count_order"))
+          (expr("(2 * sq * 10000 + n) div (2 * n)").cast("double") / 10000.0)
+            .as("avg_qty"),
+          col("n").as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  round(sum(l_quantity), 2) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base_price,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             |  round(avg(l_quantity), 4) AS avg_qty,
-             |  count(*) AS count_order
-             |FROM lineitem
-             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-             |GROUP BY l_returnflag, l_linestatus
+             |  CAST(sq AS DOUBLE) AS sum_qty,
+             |  CAST(spc AS DOUBLE) / 100.0 AS sum_base_price,
+             |  CAST((2 * sdp + 100) // 200 AS DOUBLE) / 100.0 AS sum_disc_price,
+             |  CAST((2 * sq * 10000 + n) // (2 * n) AS DOUBLE) / 10000.0 AS avg_qty,
+             |  n AS count_order
+             |FROM (
+             |  SELECT l_returnflag, l_linestatus,
+             |    sum(CAST(l_quantity AS BIGINT)) AS sq,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS spc,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sdp,
+             |    count(*) AS n
+             |  FROM lineitem
+             |  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |  GROUP BY l_returnflag, l_linestatus)
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     // ── Q02: revenue by nation — fact ⋈ broadcast dims (star join).
@@ -59,21 +83,30 @@ object Relational {
         li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"),
+            (cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount")))).as("dp"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), R)
+          .agg(sum(col("dp")).as("sdp"), count(lit(1)).as("n_items"))
+          .select(col("r_name"), col("n_name"),
+            (expr("(2 * sdp + 100) div 200").cast("double") / 100.0)
               .as("revenue"),
-            count(lit(1)).as("n_items"))
+            col("n_items"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""SELECT r_name, n_name,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-             |  count(*) AS n_items
-             |FROM lineitem
-             |JOIN supplier ON l_suppkey = s_suppkey
-             |JOIN nation ON s_nationkey = n_nationkey
-             |JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY r_name, n_name
+             |  CAST((2 * sdp + 100) // 200 AS DOUBLE) / 100.0 AS revenue,
+             |  n_items
+             |FROM (
+             |  SELECT r_name, n_name,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sdp,
+             |    count(*) AS n_items
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY r_name, n_name)
              |ORDER BY r_name, n_name""".stripMargin)),
 
     // ── Q03: top-10 customers by order value — join + agg + top-k.
@@ -83,13 +116,17 @@ object Relational {
         val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
         o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_custkey"), col("c_name"))
-          .agg(round(sum(col("o_totalprice")), R).as("total_spent"),
+          .agg(sum(cents(col("o_totalprice"))).as("sc"),
             count(lit(1)).as("n_orders"))
+          .select(col("c_custkey"), col("c_name"),
+            (col("sc").cast("double") / 100.0).as("total_spent"),
+            col("n_orders"))
           .orderBy(col("total_spent").desc, col("c_custkey"))
           .limit(10)
       },
       Some("""SELECT c_custkey, c_name,
-             |  round(sum(o_totalprice), 2) AS total_spent,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS total_spent,
              |  count(*) AS n_orders
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_custkey, c_name
@@ -171,16 +208,18 @@ object Relational {
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .rollup(col("r_name"), col("n_name"))
-          .agg(round(sum(col("l_extendedprice")), R).as("total_price"),
+          .agg(sum(cents(col("l_extendedprice"))).as("sc"),
             count(lit(1)).as("n_items"))
           .select(coalesce(col("r_name"), lit("ALL")).as("region"),
             coalesce(col("n_name"), lit("ALL")).as("nation"),
-            col("total_price"), col("n_items"))
+            (col("sc").cast("double") / 100.0).as("total_price"),
+            col("n_items"))
           .orderBy(col("region"), col("nation"))
       },
       Some("""SELECT coalesce(r_name, 'ALL') AS region,
              |  coalesce(n_name, 'ALL') AS nation,
-             |  round(sum(l_extendedprice), 2) AS total_price,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS total_price,
              |  count(*) AS n_items
              |FROM lineitem
              |JOIN supplier ON l_suppkey = s_suppkey
@@ -323,14 +362,18 @@ object Relational {
         Tables.events(s, dir).createOrReplaceTempView("events_gs")
         s.sql("""SELECT coalesce(event_type, 'ALL') AS etype,
                 |  coalesce(CAST(user_id AS STRING), 'ALL') AS uid,
-                |  count(*) AS n, round(sum(value), 2) AS total_value
+                |  count(*) AS n,
+                |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                |    / 100.0 AS total_value
                 |FROM events_gs
                 |GROUP BY GROUPING SETS ((event_type), (user_id), ())
                 |ORDER BY etype, uid""".stripMargin)
       },
       Some("""SELECT coalesce(event_type, 'ALL') AS etype,
              |  coalesce(CAST(user_id AS VARCHAR), 'ALL') AS uid,
-             |  count(*) AS n, round(sum(value), 2) AS total_value
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS total_value
              |FROM events
              |GROUP BY GROUPING SETS ((event_type), (user_id), ())
              |ORDER BY etype, uid""".stripMargin)),

@@ -134,19 +134,31 @@ object TextAnalysis {
               |FROM scored ORDER BY doc_id""".stripMargin)),
 
     // ── Q33: per-source corpus profile (the "corpus report" agg).
+    // avg_chars rounds half-up in integer arithmetic (char counts are
+    // ints; a double avg + round() breaks exact .00005 ties
+    // engine-dependently).
     QueryDef("q33_corpus_profile",
       (s, dir) => Tables.documents(s, dir)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(toks).cast("long")).as("total_tokens"),
-          round(avg(length(col("text"))), 4).as("avg_chars"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
           max(col("n_chars")).as("max_chars"))
+        .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+          (expr("(2 * sum_chars * 10000 + n_docs) div (2 * n_docs)")
+            .cast("double") / 10000.0).as("avg_chars"),
+          col("max_chars"))
         .orderBy(col("source"), col("lang")),
-      Some("""SELECT source, lang, count(*) AS n_docs,
-             |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
-             |  round(avg(length(text)), 4) AS avg_chars,
-             |  max(n_chars) AS max_chars
-             |FROM documents GROUP BY source, lang
+      Some("""SELECT source, lang, n_docs, total_tokens,
+             |  CAST((2 * sum_chars * 10000 + n_docs) // (2 * n_docs) AS DOUBLE)
+             |    / 10000.0 AS avg_chars,
+             |  max_chars
+             |FROM (
+             |  SELECT source, lang, count(*) AS n_docs,
+             |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+             |    sum(CAST(length(text) AS BIGINT)) AS sum_chars,
+             |    max(n_chars) AS max_chars
+             |  FROM documents GROUP BY source, lang)
              |ORDER BY source, lang""".stripMargin)),
 
     // ── Q35: corpus-wide top-20 bigrams — generate per-doc bigram

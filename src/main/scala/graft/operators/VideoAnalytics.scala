@@ -227,18 +227,30 @@ object VideoAnalytics {
               |ORDER BY stream_id, rn""".stripMargin)),
 
     // ── Q16: per-class histogram (ref metric: detections by class).
+    // confidence values are exact 2-decimal rationals (k/100), so the
+    // mean is summed as int64 centi-units and rounded half-up to 4
+    // decimals in integer arithmetic — order-independent in both
+    // engines (double avg + round() flips ties engine-dependently).
     QueryDef("q16_class_histogram",
       (s, dir) => detections(s, dir)
         .filter(col("confidence") >= 0.5)
+        .select(col("object_class"),
+          round(col("confidence") * 100).cast("long").as("cc"))
         .groupBy(col("object_class"))
-        .agg(count(lit(1)).as("n"),
-          round(avg(col("confidence")), 4).as("avg_conf"))
+        .agg(count(lit(1)).as("n"), sum(col("cc")).as("sc"))
+        .select(col("object_class"), col("n"),
+          (expr("(2 * sc * 100 + n) div (2 * n)").cast("double") / 10000.0)
+            .as("avg_conf"))
         .orderBy(col("object_class")),
       Some(s"""$detectionsCte
-              |SELECT object_class, count(*) AS n,
-              |  round(avg(confidence), 4) AS avg_conf
-              |FROM detections WHERE confidence >= 0.5
-              |GROUP BY object_class ORDER BY object_class""".stripMargin)),
+              |SELECT object_class, n,
+              |  CAST((2 * sc * 100 + n) // (2 * n) AS DOUBLE) / 10000.0 AS avg_conf
+              |FROM (
+              |  SELECT object_class, count(*) AS n,
+              |    sum(CAST(round(confidence * 100) AS BIGINT)) AS sc
+              |  FROM detections WHERE confidence >= 0.5
+              |  GROUP BY object_class)
+              |ORDER BY object_class""".stripMargin)),
 
     // ── Q17: IoU theta-join — same-frame same-class box pairs with
     // IoU above the NMS threshold (ref IoU math,
