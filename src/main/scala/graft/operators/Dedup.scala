@@ -84,11 +84,14 @@ object Dedup {
           .select(col("doc_id"),
             posexplode(minhashBandsUdf(col("text")))
               .as(Seq("band_idx", "band_hash")))
-        // cap degenerate buckets before the self-join
-        val bucketed = bands.withColumn("bucket_n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band_idx"), col("band_hash"))))
+        // cap degenerate buckets before the self-join: a partial-agg
+        // count + semi-join on the band key (hash ops only — the
+        // window formulation would sort every band partition)
+        val smallBuckets = bands.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("bucket_n"))
           .filter(col("bucket_n") <= MAX_BUCKET)
+          .select(col("band_idx"), col("band_hash"))
+        val bucketed = bands.join(smallBuckets, Seq("band_idx", "band_hash"))
         val a = bucketed.select(col("band_idx"), col("band_hash"),
           col("doc_id").as("doc_a"))
         val b = bucketed.select(col("band_idx").as("bi"),
