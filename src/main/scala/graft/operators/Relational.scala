@@ -401,6 +401,44 @@ object Relational {
              |  ON e.user_id = c.user_id
              |ORDER BY e.user_id, e.event_id""".stripMargin)),
 
+    // ── Q37: pivot — per-user event counts spread into one column per
+    // event type (Spark .pivot with EXPLICIT values: never let the
+    // engine scan for distinct pivot keys at 100 TB). Pivot leaves
+    // null for absent combinations; coalesced to 0 to match the
+    // conditional-aggregation desugaring the oracle runs.
+    QueryDef("q37_pivot",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── Q38: approximate percentiles — percentile_approx (a
+    // quantile sketch: bounded memory, mergeable partials — the only
+    // way to get quantiles in one pass over 100 TB; an exact
+    // percentile requires a full sort). Rows-only (sketch outputs are
+    // engine-specific); the error bound vs exact quantiles is
+    // unit-tested.
+    QueryDef("q38_approx_percentiles",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"),
+          percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      None),
+
     // ── Q08: semi/anti joins — customers with and without orders.
     QueryDef("q08_semi_anti",
       (s, dir) => {

@@ -106,6 +106,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles (q38) close to exact quantiles") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q38_approx_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.operators.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((k, (e50, e95)) <- exact) {
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - e50) <= math.max(1.0, 0.05 * math.abs(e50)),
+        s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) <= math.max(1.0, 0.05 * math.abs(e95)),
+        s"$k p95: $a95 vs $e95")
+    }
+  }
+
   test("minhash LSH pairs have high exact jaccard (precision of verify step)") {
     import graft.functions.TextKernels
     val docs = spark.read.parquet(s"$sf/documents.parquet")
