@@ -439,6 +439,44 @@ object Relational {
         .orderBy(col("event_type")),
       None),
 
+    // ── Q39: scalar + correlated subqueries — customers spending above
+    // the global mean, with their order count from a correlated
+    // subquery. Written as SQL subqueries on purpose: Catalyst
+    // decorrelates the inner query into a join + aggregate (the plan
+    // must not execute per-row) — exactly what a 100 TB engine needs
+    // from its optimizer. Monetary sums ride int64 cents as everywhere.
+    QueryDef("q39_subqueries",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_sq")
+        s.sql("""SELECT c_custkey,
+                |  (SELECT count(*) FROM orders_sq o
+                |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+                |  CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                |        FROM orders_sq o WHERE o.o_custkey = c.c_custkey)
+                |    AS DOUBLE) / 100.0 AS spent
+                |FROM customer_sq c
+                |WHERE (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                |       FROM orders_sq o WHERE o.o_custkey = c.c_custkey)
+                |  > (SELECT avg(total) FROM (
+                |       SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total
+                |       FROM orders_sq GROUP BY o_custkey))
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT count(*) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+             |  CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |        FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |    AS DOUBLE) / 100.0 AS spent
+             |FROM customer c
+             |WHERE (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |       FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |  > (SELECT avg(total) FROM (
+             |       SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total
+             |       FROM orders GROUP BY o_custkey))
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ── Q08: semi/anti joins — customers with and without orders.
     QueryDef("q08_semi_anti",
       (s, dir) => {
