@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one query steady-state (3 runs after a warm query)
+  * and optionally dump its formatted plan. Not part of the driver
+  * contract. Usage: `sbt 'runMain graft.Probe q51_knn_pairs
+  * /root/testdata/sf0.1 --explain'`.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val q = args(0); val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
