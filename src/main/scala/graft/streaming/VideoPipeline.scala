@@ -206,6 +206,24 @@ object VideoPipeline {
         col("segment.fileSize").as("file_size"),
         col("segment.duration").as("duration_ms"))
 
+  /** Streaming exact dedup on (streamId, frameId) — at-least-once
+    * sources (the reference's Kafka ingest, op A) can redeliver
+    * frames; this drops redeliveries whose event time falls within
+    * the watermark horizon, with bounded state (keys older than the
+    * watermark are evicted — unbounded-state dropDuplicates is not an
+    * option on an infinite stream).
+    */
+  def dedupFrames(frames: Dataset[VideoFrame],
+      lateness: String = "30 seconds"): Dataset[VideoFrame] = {
+    import frames.sparkSession.implicits._
+    frames
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("streamId", "frameId")
+      .drop("ts")
+      .as[VideoFrame]
+  }
+
   /** Spark 4 `transformWithState` form of [[process]] — the same pure
     * fold behind the new StatefulProcessor API (SURVEY.md §7.1's
     * stated target). Differences from flatMapGroupsWithState: typed

@@ -119,6 +119,12 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) == 1))
   }
 
+  test("empty input yields empty output") {
+    import spark.implicits._
+    val df = Seq.empty[(String, Double, Long)].toDF("k", "score", "id")
+    assert(TopK.perKey(df, Seq("k"), Seq(("score", false)), 3).count() === 0)
+  }
+
   test("multi-column keys") {
     import spark.implicits._
     val df = Seq(("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("b", 1, 40))

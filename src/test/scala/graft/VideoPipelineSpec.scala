@@ -233,6 +233,41 @@ class VideoPipelineSpec extends AnyFunSuite {
     assert(rows(w1) === 1L, s"second window closed with its single frame: $rows")
   }
 
+  test("streaming dedup drops redelivered frames within the watermark") {
+    import spark.implicits._
+    val t0 = FrameGenerator.BASE_TS
+    val mem = MemoryStream[VideoFrame](spark)
+    val q = VideoPipeline.dedupFrames(mem.toDS(), "30 seconds")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val f1 = frame("s1", 1, t0)
+    val f2 = frame("s1", 2, t0 + 1000)
+    mem.addData(Seq(f1, f2, f1)) // duplicate within one batch
+    q.processAllAvailable()
+    mem.addData(Seq(f2, frame("s1", 3, t0 + 2000))) // redelivery across batches
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("frameId")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("runStreaming writes both sinks from one stateful pass") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dual_").toString
+    val mem = MemoryStream[VideoFrame](spark)
+    val q = VideoPipeline.runStreaming(mem.toDS(), s"$base/out",
+      s"$base/ckpt", cfg)
+    mem.addData(FrameGenerator.frames(streams = 2, fps = 5, durationSec = 400))
+    q.processAllAvailable()
+    q.stop()
+    val dets = spark.read.parquet(s"$base/out/detections")
+    val segs = spark.read.parquet(s"$base/out/segments")
+    assert(dets.count() > 0 && segs.count() > 0)
+    assert(dets.columns.contains("object_class") &&
+      segs.columns.contains("start_time"))
+  }
+
   test("checkpoint recovery: state survives a query restart (file source)") {
     import spark.implicits._
     implicit val s: SparkSession = spark
