@@ -12,9 +12,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session warmup (JVM/codegen/scheduler/parquet-reader init), not
     // query work — keeps the first timed query from absorbing one-time
-    // costs. Warms with the SMALLEST sf dir, never the bench data.
+    // costs. Warms the parquet reader on the smallest SIBLING sf dir
+    // of the bench dir when one exists (so the warmup never touches
+    // the bench data); falls back to the bench dir's own smallest file.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try spark.read.parquet("/root/testdata/sf0.001/region.parquet").count()
+    val warmDir = {
+      val sf = new java.io.File(sfDir)
+      val siblings = Option(sf.getParentFile).map(_.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(d => d.isDirectory && d.getName != sf.getName &&
+          new java.io.File(d, "region.parquet").exists())
+      if (siblings.nonEmpty) siblings.minBy(d =>
+        new java.io.File(d, "region.parquet").length()).getPath
+      else sfDir
+    }
+    try spark.read.parquet(s"$warmDir/region.parquet").count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -17,9 +17,14 @@ final case class HistogramAgg(bins: Int, lo: Double, hi: Double)
   override def zero: Array[Long] = new Array[Long](bins)
 
   override def reduce(buf: Array[Long], v: Double): Array[Long] = {
-    val raw = ((v - lo) / (hi - lo) * bins).toInt
-    val bin = math.min(bins - 1, math.max(0, raw))
-    buf(bin) += 1
+    // NaN is skipped (not clamped to bin 0): keeps the aggregator a
+    // total function and matches the SQL-oracle semantics, where an
+    // equality bucket predicate on NaN selects no bin.
+    if (!v.isNaN) {
+      val raw = ((v - lo) / (hi - lo) * bins).toInt
+      val bin = math.min(bins - 1, math.max(0, raw))
+      buf(bin) += 1
+    }
     buf
   }
 

@@ -146,7 +146,12 @@ object Dedup {
       None),
 
     // ── Q44: winnowing fingerprint groups — docs sharing a minimal
-    // window hash (fingerprint collisions ⇒ shared long runs).
+    // window hash (fingerprint collisions ⇒ shared long runs). Members
+    // ship as a comma-joined string (array columns are opaque to the
+    // hash-compare harness). The oracle re-derives TextKernels.hash64 /
+    // .fingerprint in DuckDB: HUGEINT arithmetic mod 2^64 emulates
+    // Java's wrapping long multiply, and the ±2^63 shift converts each
+    // window hash to SIGNED before list_min (Java mins signed longs).
     QueryDef("q44_fingerprint_groups",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"), fingerprintUdf(col("text")).as("fp"))
@@ -155,7 +160,37 @@ object Dedup {
           collect_list(col("doc_id")).as("members"))
         .filter(col("n_docs") > 1)
         .select(col("keeper"), col("n_docs"),
-          array_sort(col("members")).as("members"))
+          array_join(array_sort(col("members")), ",").as("members"))
         .orderBy(col("keeper")),
-      None))
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                x -> x <> '') AS t
+             |  FROM documents),
+             |wins AS (
+             |  SELECT doc_id, len(t) AS nt,
+             |    CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+             |         ELSE list_transform(range(1, len(t) - 6),
+             |                i -> array_to_string(t[i:i+7], ' '))
+             |    END AS windows
+             |  FROM toks),
+             |fps AS (
+             |  SELECT doc_id,
+             |    CASE WHEN nt = 0 THEN 0 ELSE
+             |      list_min(list_transform(windows, w ->
+             |        CAST((list_reduce(
+             |          list_prepend(CAST(1125899906842597 AS HUGEINT),
+             |            list_transform(string_split(w, ''),
+             |              c -> CAST(unicode(c) AS HUGEINT))),
+             |          (h, c) -> (31 * h + c)
+             |            % CAST(18446744073709551616 AS HUGEINT))
+             |          + CAST(9223372036854775808 AS HUGEINT))
+             |          % CAST(18446744073709551616 AS HUGEINT)
+             |          - CAST(9223372036854775808 AS HUGEINT) AS BIGINT)))
+             |    END AS fp
+             |  FROM wins)
+             |SELECT min(doc_id) AS keeper, count(*) AS n_docs,
+             |  array_to_string(list_sort(list(doc_id)), ',') AS members
+             |FROM fps GROUP BY fp HAVING count(*) > 1
+             |ORDER BY keeper""".stripMargin)))
 }

@@ -170,7 +170,7 @@ object Relational {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
              |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),

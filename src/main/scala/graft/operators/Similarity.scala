@@ -30,7 +30,8 @@ object Similarity {
   val queryVec: Seq[Double] = (0 until DIM).map(i => ((i * 37 % 19) - 9) / 10.0)
   private val qNorm2: Double = queryVec.map(x => x * x).sum
 
-  private def f(d: Double): String = "%.17g".format(d)
+  private def f(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17g", Double.box(d))
 
   /** SQL: left-assoc dot product of `e`'s elements against queryVec. */
   private def dotConstSql(e: String): String =

@@ -149,7 +149,7 @@ object TextAnalysis {
             .cast("double") / 10000.0).as("avg_chars"),
           col("max_chars"))
         .orderBy(col("source"), col("lang")),
-      Some("""SELECT source, lang, n_docs, total_tokens,
+      Some("""SELECT source, lang, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
              |  CAST((2 * sum_chars * 10000 + n_docs) // (2 * n_docs) AS DOUBLE)
              |    / 10000.0 AS avg_chars,
              |  max_chars

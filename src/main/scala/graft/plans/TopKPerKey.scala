@@ -43,6 +43,8 @@ case class TopKPerKeyNode(
     rankAttr: AttributeReference,
     child: LogicalPlan) extends UnaryNode {
 
+  require(k >= 1, s"TopKPerKeyNode requires k >= 1, got $k")
+
   override def output: Seq[Attribute] = child.output :+ rankAttr
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -177,6 +179,7 @@ object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String],
       orderSpec: Seq[(String, Boolean)], k: Int,
       rankCol: String = "rn"): DataFrame = {
+    require(k >= 1, s"TopK.perKey requires k >= 1, got $k")
     val spark = df.sparkSession
     ensure(spark)
     val analyzed = df.queryExecution.analyzed

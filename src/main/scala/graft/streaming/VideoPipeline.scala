@@ -166,12 +166,18 @@ object VideoPipeline {
     * explode detections, flatten bbox, format time, drop empty —
     * sink/DorisSinkBuilder.java:100-124). Pure built-ins.
     */
-  def dorisRows(events: Dataset[PipelineEvent]): DataFrame =
+  def dorisRows(events: Dataset[PipelineEvent]): DataFrame = {
+    // date_format renders in spark.sql.session.timeZone; shift the
+    // instant by the session offset first so detection_time is always
+    // the UTC wall time — same pinning as segmentPath above.
+    val sessionTz =
+      events.sparkSession.conf.get("spark.sql.session.timeZone")
     events.toDF()
       .filter(col("kind") === "detection" && size(col("detections")) > 0)
       .select(col("streamId").as("stream_id"),
-        date_format(timestamp_millis(col("timestamp")), "yyyy-MM-dd HH:mm:ss")
-          .as("detection_time"),
+        date_format(
+          to_utc_timestamp(timestamp_millis(col("timestamp")), sessionTz),
+          "yyyy-MM-dd HH:mm:ss").as("detection_time"),
         col("frameId").as("frame_id"),
         explode(col("detections")).as("d"))
       .select(col("stream_id"), col("detection_time"), col("frame_id"),
@@ -180,6 +186,7 @@ object VideoPipeline {
         col("d.bbox.x1").as("bbox_x1"), col("d.bbox.y1").as("bbox_y1"),
         col("d.bbox.x2").as("bbox_x2"), col("d.bbox.y2").as("bbox_y2"),
         lit("").as("frame_url"))
+  }
 
   /** Detection rows → the exact JSON-lines wire the Doris Stream-Load
     * sink posts (field names/order: sink/DorisSinkBuilder.java:109-120;
