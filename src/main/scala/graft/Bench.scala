@@ -1,5 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point: runs every `SparkEntry.queries` query against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * Noise-robustness: this box is co-tenant (round-2 recorded a 1.5x "regression"
+  * that was pure measurement noise), so each query is timed TWICE — a cold pass
+  * (includes plan compilation + any codegen) and a warm pass (steady state).
+  * `value` is the warm-pass total (the number comparable across rounds);
+  * `cold_total` is reported alongside so one-time costs stay visible.
+  *
+  * Failure-transparency: a query that throws is recorded in `errors` with the
+  * exception string — never as a fake (fast) timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,7 +31,8 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     val warmDir = {
       val sf = new java.io.File(sfDir)
-      val siblings = Option(sf.getParentFile).map(_.listFiles())
+      val siblings = Option(sf.getParentFile)
+        .flatMap(p => Option(p.listFiles())) // listFiles() is null on unreadable dirs
         .getOrElse(Array.empty[java.io.File])
         .filter(d => d.isDirectory && d.getName != sf.getName &&
           new java.io.File(d, "region.parquet").exists())
@@ -28,15 +42,43 @@ object Bench {
     }
     try spark.read.parquet(s"$warmDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def jsonEscape(s: String): String =
+      s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case '\n'          => "\\n"
+        case '\r'          => "\\r"
+        case '\t'          => "\\t"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      }
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try {
+        val cold = timeOnce(fn)
+        val warm = timeOnce(fn)
+        timings += name -> (cold, warm)
+      } catch {
+        case e: Throwable =>
+          errors += name -> jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    }
+
+    val qs = timings.map { case (k, (c, w)) => s""""$k":{"cold":$c,"warm":$w}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
+    val warmTotal = timings.values.map(_._2).sum
+    val coldTotal = timings.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,8 +18,9 @@ final case class HistogramAgg(bins: Int, lo: Double, hi: Double)
 
   override def reduce(buf: Array[Long], v: Double): Array[Long] = {
     // NaN is skipped (not clamped to bin 0): keeps the aggregator a
-    // total function and matches the SQL-oracle semantics, where an
-    // equality bucket predicate on NaN selects no bin.
+    // total function. The q28 DuckDB oracle mirrors this with an
+    // explicit `NOT isnan(confidence)` filter — floor() on NaN would
+    // otherwise error or mis-bin rather than "select no bin".
     if (!v.isNaN) {
       val raw = ((v - lo) / (hi - lo) * bins).toInt
       val bin = math.min(bins - 1, math.max(0, raw))

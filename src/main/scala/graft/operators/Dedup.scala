@@ -77,29 +77,53 @@ object Dedup {
     // ── Q42: MinHash + LSH near-dup pairs (no SQL oracle — the
     // signature fold isn't ANSI-expressible; correctness is unit-tested
     // against exact shingle Jaccard in DedupSpec).
+    //
+    // Shuffle budget: one agg to find HOT buckets (rare by definition —
+    // a bucket only exceeds MAX_BUCKET when a band value is boilerplate
+    // across the corpus), one broadcast ANTI-join to drop their rows
+    // (no reshuffle of the bands table), one band-key self-join, and
+    // two joins back for texts. Each surviving pair is emitted exactly
+    // once, by its FIRST matching band: the full signature rides along
+    // (16 longs/row) and a predicate drops non-first matches — no
+    // distinct() shuffle on the (much larger) candidate-pair set.
+    // Edge semantics of the cap: a pair whose earliest shared band is
+    // hot is skipped entirely (its first-match row was anti-joined
+    // away, later-band rows fail the first-match predicate). That is
+    // the intended reading of the cap — agreement on a boilerplate band
+    // is non-evidence, and genuine near-dups agree on many bands, so
+    // they still surface via their first non-degenerate band unless
+    // band 0..j-1 are ALL hot, i.e. the pair is boilerplate-driven.
     QueryDef("q42_minhash_lsh_pairs",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val bands = docs
-          .select(col("doc_id"),
-            posexplode(minhashBandsUdf(col("text")))
-              .as(Seq("band_idx", "band_hash")))
-        // cap degenerate buckets before the self-join: a partial-agg
-        // count + semi-join on the band key (hash ops only — the
-        // window formulation would sort every band partition)
-        val smallBuckets = bands.groupBy(col("band_idx"), col("band_hash"))
+        val sigs = docs.select(col("doc_id"),
+          minhashBandsUdf(col("text")).as("bands"))
+        val bands = sigs.select(col("doc_id"), col("bands"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        val hotBuckets = bands.groupBy(col("band_idx"), col("band_hash"))
           .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") <= MAX_BUCKET)
+          .filter(col("bucket_n") > MAX_BUCKET)
           .select(col("band_idx"), col("band_hash"))
-        val bucketed = bands.join(smallBuckets, Seq("band_idx", "band_hash"))
+        val bucketed = bands.join(broadcast(hotBuckets),
+          Seq("band_idx", "band_hash"), "left_anti")
         val a = bucketed.select(col("band_idx"), col("band_hash"),
-          col("doc_id").as("doc_a"))
+          col("doc_id").as("doc_a"), col("bands").as("bands_a"))
         val b = bucketed.select(col("band_idx").as("bi"),
-          col("band_hash").as("bh"), col("doc_id").as("doc_b"))
+          col("band_hash").as("bh"), col("doc_id").as("doc_b"),
+          col("bands").as("bands_b"))
+        // first-matching-band dedup: drop the row if any EARLIER band
+        // already matched (slice is 1-based; length band_idx = bands
+        // strictly before the current one)
+        val earlierMatch = exists(
+          zip_with(slice(col("bands_a"), lit(1), col("band_idx")),
+            slice(col("bands_b"), lit(1), col("band_idx")),
+            (x, y) => x === y),
+          m => m)
         val cands = a.join(b,
           col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
             col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
+          .filter(!earlierMatch)
+          .select(col("doc_a"), col("doc_b"))
         val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
         val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
         cands.join(ta, "doc_a").join(tb, "doc_b")
@@ -152,6 +176,11 @@ object Dedup {
     // .fingerprint in DuckDB: HUGEINT arithmetic mod 2^64 emulates
     // Java's wrapping long multiply, and the ±2^63 shift converts each
     // window hash to SIGNED before list_min (Java mins signed longs).
+    // Parity caveats: the oracle iterates Unicode CODEPOINTS
+    // (string_split + unicode) while hash64 iterates UTF-16 code units
+    // (charAt) — equivalent only for BMP text, which the corpus is
+    // (ASCII-ish synthetic); and NULL text maps to fp=0 on the Spark
+    // side, mirrored in the oracle via coalesce(text, '').
     QueryDef("q44_fingerprint_groups",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"), fingerprintUdf(col("text")).as("fp"))
@@ -164,7 +193,7 @@ object Dedup {
         .orderBy(col("keeper")),
       Some("""WITH toks AS (
              |  SELECT doc_id,
-             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |    list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
              |                x -> x <> '') AS t
              |  FROM documents),
              |wins AS (

@@ -28,14 +28,21 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     val bigCols = big.columns.map(col).toIndexedSeq
+    // Alias both sides so the join condition is lineage-unambiguous even
+    // when `big` and `small` derive from the same source (self-join):
+    // dataframe-apply column references on shared lineage make Spark warn
+    // "trivially true equals predicate" and fall back to positional
+    // disambiguation, which a future Spark could resolve differently.
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(bigCols: _*), lit(salts)))
+      pmod(hash(bigCols: _*), lit(salts))).alias("__skew_big")
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-    saltedBig.join(saltedSmall,
-        saltedBig("__salt") === saltedSmall("__salt") &&
-          saltedBig(key) === saltedSmall(key))
-      .drop("__salt")
-      .drop(saltedSmall(key))
+      .alias("__skew_small")
+    val joined = saltedBig.join(saltedSmall,
+      col("__skew_big.__salt") === col("__skew_small.__salt") &&
+        col(s"__skew_big.`$key`") === col(s"__skew_small.`$key`"))
+    val outCols = big.columns.map(c => col(s"__skew_big.`$c`")) ++
+      small.columns.filterNot(_ == key).map(c => col(s"__skew_small.`$c`"))
+    joined.select(outCols.toIndexedSeq: _*)
   }
 }

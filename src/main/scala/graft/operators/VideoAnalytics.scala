@@ -332,6 +332,7 @@ object VideoAnalytics {
               |  least(9, greatest(0, CAST(floor(confidence * 10) AS INT))) AS bin,
               |  count(*) AS n
               |FROM detections
+              |WHERE NOT isnan(confidence)
               |GROUP BY object_class, bin
               |ORDER BY object_class, bin""".stripMargin)),
 

@@ -170,6 +170,14 @@ object VideoPipeline {
     // date_format renders in spark.sql.session.timeZone; shift the
     // instant by the session offset first so detection_time is always
     // the UTC wall time — same pinning as segmentPath above.
+    // Documented divergence: the reference formats in the JVM DEFAULT
+    // timezone (DorisSinkBuilder.convertToJson's SimpleDateFormat) —
+    // deployment-dependent output we deliberately pin to UTC for
+    // determinism. Caveat of the shift-then-format composition: for
+    // instants inside a DST transition window of a DST-observing
+    // session tz it is off by the DST delta; harness sessions run
+    // pinned UTC (Verify sets spark.sql.session.timeZone=UTC), where
+    // the composition is exact.
     val sessionTz =
       events.sparkSession.conf.get("spark.sql.session.timeZone")
     events.toDF()
@@ -301,6 +309,17 @@ object VideoPipeline {
     * VideoStreamProcessingJob.java:56-102): one stateful pass, both
     * branches written per micro-batch from the SAME foreachBatch (one
     * state store, no second query re-running the fold).
+    *
+    * Idempotence under micro-batch retry: foreachBatch is at-least-once
+    * (a crash between write and checkpoint-commit replays the batch —
+    * same batchId, same data), so plain `append` would duplicate rows.
+    * Each batch writes its rows under `batch_id=<id>` with DYNAMIC
+    * partition overwrite: a replay rewrites exactly its own partition
+    * and nothing else, making the sink effectively exactly-once. This
+    * is the Spark-native equivalent of the reference sink's retry
+    * story (DorisSinkBuilder.java:62-95 retries a Stream-Load under a
+    * batch-scoped label so Doris dedupes the re-post; batch_id is our
+    * label, the partition swap our dedupe).
     */
   def runStreaming(frames: Dataset[VideoFrame], outDir: String,
       checkpointDir: String, cfg: EngineConfig = EngineConfig()) = {
@@ -309,14 +328,27 @@ object VideoPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[PipelineEvent], batchId: Long) =>
-        val cached = batch.persist()
-        dorisRows(cached).write.mode("append")
-          .parquet(s"$outDir/detections")
-        segmentRows(cached).write.mode("append")
-          .parquet(s"$outDir/segments")
-        cached.unpersist()
-        ()
+        writeEventBatch(batch, batchId, outDir)
       }
       .start()
+  }
+
+  /** One micro-batch → both sinks; idempotent under same-batchId replay
+    * (see [[runStreaming]]'s contract note). Public so the replay
+    * semantics are testable without orchestrating a mid-batch crash.
+    */
+  def writeEventBatch(batch: Dataset[PipelineEvent], batchId: Long,
+      outDir: String): Unit = {
+    val cached = batch.persist()
+    def writeBranch(df: DataFrame, dir: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(dir)
+    writeBranch(dorisRows(cached), s"$outDir/detections")
+    writeBranch(segmentRows(cached), s"$outDir/segments")
+    cached.unpersist()
+    ()
   }
 }
