@@ -25,10 +25,16 @@ import org.apache.spark.sql.types.IntegerType
   * merges heaps — so shuffle volume is ≤ k·keys·partitions rows and
   * per-group cost is O(n log k), insensitive to key skew.
   *
-  * Memory: O(distinct keys per partition × k) rows, the same residency
-  * class as a hash aggregate's map (no spill path in this
-  * implementation — k is small by construction; a production version
-  * would fall back to sort when the map outgrows the task budget).
+  * Memory: the hash phase holds O(distinct keys per partition × k)
+  * rows, the same residency class as a hash aggregate's map. Like
+  * ObjectHashAggregate, the map is BOUNDED: past
+  * `spark.graft.topk.maxKeysInMemory` distinct keys (default 65536)
+  * the operator falls back to sort-based evaluation — kept heap rows
+  * plus the remaining input go through an `UnsafeExternalRowSorter`
+  * (key-first ordering, task-memory-managed, spills to disk), and
+  * top-k per key is read off each sorted group. Heap evictions that
+  * happened before the switch are safe to discard: an evicted row is
+  * dominated by k same-key rows that are all still present.
   *
   * The full custom-operator ladder is exercised: logical UnaryNode →
   * Strategy (injected via SparkSessionExtensions or
@@ -76,10 +82,13 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    val childSchema = child.schema
     val keyExprs = keys
     val orderExprs = order
     val kk = k
     val isPartial = partial
+    val maxKeys = conf
+      .getConfString("spark.graft.topk.maxKeysInMemory", "65536").toInt
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(orderExprs, childOutput)
@@ -87,21 +96,91 @@ case class TopKPerKeyExec(
       val reverse = ordering.reversed()
       val heaps = new java.util.LinkedHashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
-      while (it.hasNext) {
+      // pending row that would have created key maxKeys+1 (fallback only)
+      var overflowRow: InternalRow = null
+      while (it.hasNext && overflowRow == null) {
         val row = it.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk, reverse)
-          heaps.put(key.copy(), heap)
+          if (heaps.size() >= maxKeys) overflowRow = row.copy()
+          else {
+            heap = new java.util.PriorityQueue[InternalRow](kk, reverse)
+            heaps.put(key.copy(), heap)
+          }
         }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (heap != null) {
+          if (heap.size() < kk) heap.add(row.copy())
+          else if (ordering.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
         }
       }
-      if (isPartial) {
+      if (overflowRow != null) {
+        // Sort-based fallback: key-cardinality outgrew the map bound.
+        // Everything kept so far + the rest of the input goes through a
+        // task-memory-managed external sort on (keys, order); top-k per
+        // key is then the first k rows of each sorted group. Constant
+        // zero prefix → the sorter always compares with the full
+        // ordering (radix off); memory is bounded by the task budget,
+        // excess spills to disk.
+        val keyFirstOrdering = GenerateOrdering.generate(
+          keyExprs.map(SortOrder(_, Ascending)) ++ orderExprs, childOutput)
+        val prefixComputer =
+          new org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer {
+            private val zero =
+              new org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer.Prefix
+            override def computePrefix(row: InternalRow) = zero
+          }
+        val sorter = org.apache.spark.sql.execution.UnsafeExternalRowSorter.create(
+          childSchema, keyFirstOrdering,
+          org.apache.spark.util.collection.unsafe.sort.PrefixComparators.LONG,
+          prefixComputer, org.apache.spark.sql.GraftSqlBridge.pageSizeBytes,
+          false)
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        def insert(r: InternalRow): Unit = r match {
+          case u: UnsafeRow => sorter.insertRow(u)
+          case other        => sorter.insertRow(toUnsafe(other))
+        }
+        val heapIt = heaps.values().iterator()
+        while (heapIt.hasNext) heapIt.next().forEach(insert(_))
+        heaps.clear()
+        insert(overflowRow)
+        while (it.hasNext) insert(it.next())
+        val sorted = sorter.sort()
+        val outAttrs =
+          if (isPartial) childOutput else childOutput :+ rankAttr.get
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        new Iterator[InternalRow] {
+          private var prevKey: UnsafeRow = null
+          private var inGroup = 0
+          private var nextRow: InternalRow = null
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && sorted.hasNext) {
+              val r = sorted.next()
+              val key = keyProj(r)
+              if (prevKey == null || !key.equals(prevKey)) {
+                prevKey = key.copy(); inGroup = 0
+              }
+              if (inGroup < kk) { inGroup += 1; nextRow = r }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = nextRow != null
+          override def next(): InternalRow = {
+            val r = nextRow
+            val out =
+              if (isPartial) proj(r)
+              else { rankRow.setInt(0, inGroup); proj(joined(r, rankRow)) }
+            advance()
+            out
+          }
+        }
+      } else if (isPartial) {
         // emit kept rows unranked; the final pass re-ranks after merge
         val entries = heaps.values().iterator()
         new Iterator[InternalRow] {

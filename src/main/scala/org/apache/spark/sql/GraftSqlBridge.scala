@@ -10,4 +10,10 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Executor-side page size for external sorters
+    * (`MemoryManager.pageSizeBytes` is `private[spark]`).
+    */
+  def pageSizeBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
 }

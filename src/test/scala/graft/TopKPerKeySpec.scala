@@ -119,6 +119,54 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) == 1))
   }
 
+  test("sort fallback: key cardinality far above the map bound matches window form") {
+    import spark.implicits._
+    // 20,000 distinct keys against a bound of 50 → both the partial and
+    // the final exec overflow their hash phase and take the
+    // external-sort path; results must be identical to the window form.
+    val df = spark.range(0, 60000).map { i =>
+      (s"key_${i % 20000}", (i * 131 % 1009).toDouble, i)
+    }.toDF("k", "score", "id").repartition(7)
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "50")
+    try {
+      val got = TopK.perKey(df, Seq("k"), Seq(("score", false), ("id", true)), 2)
+        .select("k", "rn", "score", "id")
+        .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+      assert(got.length === 40000) // 20k keys × min(2, 3 rows per key)
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("score").desc, col("id"))
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("k", "rn", "score", "id")
+        .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+      assert(got === expected)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
+  }
+
+  test("sort fallback straddling the bound: hot keys land in heaps, tail overflows") {
+    import spark.implicits._
+    // key cardinality (600) sits just above the bound (512): part of
+    // each partition's input is already in heaps when the overflow row
+    // arrives, exercising the heap→sorter handoff (evictions before the
+    // switch must not lose top-k rows)
+    val df = spark.range(0, 30000).map { i =>
+      val key = if (i % 3 == 0) s"hot_${i % 7}" else s"cold_${i % 600}"
+      (key, (i * 17 % 101).toDouble, i)
+    }.toDF("k", "score", "id").repartition(5)
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "512")
+    try {
+      val got = TopK.perKey(df, Seq("k"), Seq(("score", false), ("id", true)), 3)
+        .select("k", "rn", "id")
+        .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("score").desc, col("id"))
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("k", "rn", "id")
+        .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+      assert(got === expected)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
+  }
+
   test("empty input yields empty output") {
     import spark.implicits._
     val df = Seq.empty[(String, Double, Long)].toDF("k", "score", "id")
