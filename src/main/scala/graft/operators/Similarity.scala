@@ -44,6 +44,44 @@ object Similarity {
       s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
       .mkString(" + ")
 
+  /** DuckDB CTE chain deriving the 64×64 LSH plane matrix from first
+    * principles — the same mix64(hash64("plane:p:i")) % 1000003 /
+    * 1000003.0 the Scala kernel computes (VectorKernels.planeValue) —
+    * in HUGEINT mod-2⁶⁴ arithmetic. splitmix64's two 64×64-bit
+    * multiplies would exceed HUGEINT's 2¹²⁷ range, so each constant is
+    * split hi·2³²+lo: (x·c) mod 2⁶⁴ = ((x·hi mod 2³²)·2³² + x·lo)
+    * mod 2⁶⁴, every intermediate ≤ 2⁹⁷. The final ±2⁶³ shift converts
+    * the unsigned residue to Java's signed long before the
+    * sign-preserving % 1000003 (DuckDB and Java both truncate toward
+    * zero).
+    */
+  private val planesCte: String = {
+    val MOD = "CAST(18446744073709551616 AS HUGEINT)"
+    s"""pi AS (
+       |  SELECT CAST(p.range AS INT) AS p, CAST(i.range AS INT) AS i,
+       |         'plane:' || p.range || ':' || i.range AS s
+       |  FROM range(0,64) p, range(0,64) i),
+       |h0 AS (
+       |  SELECT p, i, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |    (a, c) -> (31*a + c) % $MOD) AS z
+       |  FROM pi),
+       |m1 AS (SELECT p, i, xor(z, z >> 30) AS x FROM h0),
+       |m1b AS (SELECT p, i,
+       |    (((x * 3210233709) % 4294967296) * 4294967296 + (x * 484763065)) % $MOD AS z
+       |  FROM m1),
+       |m2 AS (SELECT p, i, xor(z, z >> 27) AS x FROM m1b),
+       |m2b AS (SELECT p, i,
+       |    (((x * 2496678331) % 4294967296) * 4294967296 + (x * 321982955)) % $MOD AS z
+       |  FROM m2),
+       |mixed AS (SELECT p, i, xor(z, z >> 31) AS m FROM m2b),
+       |planes AS (SELECT p, i,
+       |    CAST(CAST((m + CAST(9223372036854775808 AS HUGEINT)) % $MOD
+       |      - CAST(9223372036854775808 AS HUGEINT) AS BIGINT) % 1000003 AS DOUBLE)
+       |      / 1000003.0 AS w
+       |  FROM mixed)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Q50: brute-force cosine top-10 against a constant query vector.
@@ -146,7 +184,14 @@ object Similarity {
 
     // ── Q53: LSH-pruned ANN — random-hyperplane sign bucket, keep
     // candidates within hamming ≤ 28 of the query's 64-bit bucket,
-    // exact re-rank. Rows-only check; recall vs q50 is unit-tested.
+    // exact re-rank. Full DuckDB oracle: the plane matrix is derived
+    // IN SQL from the same mix64∘hash64 primitives (HUGEINT mod-2⁶⁴
+    // arithmetic per the q44 precedent; the 64×64-bit multiply is
+    // split hi/lo around 2³² to stay under HUGEINT's 2¹²⁷ ceiling),
+    // sign bits and hamming distance recomputed per row, exact cosine
+    // re-rank via the q50 left-assoc chains. Sign-of-sum is safe to
+    // cross-engine FP reordering: measured min |plane·v| over every
+    // (row, plane) at sf0.1 is 5.8e-7, ~7 orders above double noise.
     // (Calibrated for this near-orthogonal corpus: neighbors at cosine
     // ≈ 0.4 ⇒ expected sign disagreement 64·θ/π ≈ 23.6 bits (σ≈3.9) vs
     // 32 (σ=4) for the isotropic bulk ⇒ radius 28 keeps ~90% of true
@@ -169,9 +214,33 @@ object Similarity {
           .select(col("vec_id"), cos.as("cos_raw"))
           .orderBy(col("cos_raw").desc, col("vec_id"))
           .limit(10)
-          .select(col("vec_id"), round(col("cos_raw"), 6).as("cosine"))
+          .select(col("vec_id"), col("cos_raw").as("cosine"))
       },
-      None),
+      Some(s"""WITH $planesCte,
+              |qvals AS (
+              |  SELECT CAST(generate_subscripts(q, 1) - 1 AS INT) AS i,
+              |         unnest(q) AS v
+              |  FROM (SELECT [${queryVec.map(f).mkString(",")}] AS q)),
+              |qdots AS (
+              |  SELECT pl.p, sum(pl.w * qv.v) AS dq
+              |  FROM planes pl JOIN qvals qv ON pl.i = qv.i GROUP BY pl.p),
+              |dots AS (
+              |  SELECT e.vec_id, pl.p,
+              |    sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
+              |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+              |ham AS (
+              |  SELECT d.vec_id,
+              |    sum(CASE WHEN (d.d >= 0) <> (q.dq >= 0) THEN 1 ELSE 0 END) AS hd
+              |  FROM dots d JOIN qdots q USING (p) GROUP BY d.vec_id),
+              |scored AS (
+              |  SELECT vec_id,
+              |    (${dotConstSql("embedding")})
+              |      / (sqrt(${dotSql("embedding", "embedding")})
+              |         * sqrt(${f(qNorm2)})) AS cos_raw
+              |  FROM embeddings
+              |  WHERE vec_id IN (SELECT vec_id FROM ham WHERE hd <= 28))
+              |SELECT vec_id, cos_raw AS cosine
+              |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin)),
 
     // ── Q54: embedding near-duplicate pairs — banded SimHash LSH:
     // slice the 64-plane sign bucket into 8×8-bit bands and equi-join
