@@ -33,9 +33,15 @@ object Dedup {
       TextKernels.minhash(TextKernels.shingles(text, SHINGLE_K), NUM_HASHES),
       ROWS_PER_BAND)
   }
-  private val shingleJaccardUdf = udf { (a: String, b: String) =>
-    TextKernels.jaccard(TextKernels.shingles(a, SHINGLE_K),
-      TextKernels.shingles(b, SHINGLE_K))
+  // (inter, union) of the two shingle sets — kept integral so the
+  // 6-decimal jaccard can be rounded half-up in EXACT integer
+  // arithmetic on both engines (round(double, 6) straddles rounding
+  // boundaries differently across engines; see q52's determinism note).
+  private val shingleOverlapUdf = udf { (a: String, b: String) =>
+    val sa = TextKernels.shingles(a, SHINGLE_K)
+    val sb = TextKernels.shingles(b, SHINGLE_K)
+    val inter = sa.intersect(sb).size.toLong
+    (inter, sa.size.toLong + sb.size.toLong - inter)
   }
   private val simhashUdf = udf { text: String => TextKernels.simhash(text, 2) }
   private val fingerprintUdf = udf { text: String =>
@@ -74,9 +80,13 @@ object Dedup {
              |FROM documents GROUP BY sha256(text)
              |ORDER BY keeper_doc_id""".stripMargin)),
 
-    // ── Q42: MinHash + LSH near-dup pairs (no SQL oracle — the
-    // signature fold isn't ANSI-expressible; correctness is unit-tested
-    // against exact shingle Jaccard in DedupSpec).
+    // ── Q42: MinHash + LSH near-dup pairs. Full DuckDB oracle: the
+    // whole signature pipeline — hash64 per distinct shingle, the 128
+    // splitmix64 slot hashes, signed min per slot, the 16 band folds,
+    // the hot-bucket cap, and first-matching-band pair emission — is
+    // replayed in HUGEINT mod-2⁶⁴ SQL (OracleSql helpers; q44/q53
+    // precedent). The jaccard verify is rounded half-up in exact
+    // integer arithmetic on both sides.
     //
     // Shuffle budget: one agg to find HOT buckets (rare by definition —
     // a bucket only exceeds MAX_BUCKET when a band value is boilerplate
@@ -128,18 +138,89 @@ object Dedup {
         val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
         cands.join(ta, "doc_a").join(tb, "doc_b")
           .select(col("doc_a"), col("doc_b"),
-            round(shingleJaccardUdf(col("text_a"), col("text_b")), 6)
-              .as("jaccard"))
+            shingleOverlapUdf(col("text_a"), col("text_b")).as("ov"))
+          // exact half-up rounding to 1e-6: (2·inter·10⁶ + union) div
+          // (2·union); union ≥ 1 always (shingle sets are non-empty)
+          .select(col("doc_a"), col("doc_b"),
+            expr("CAST((2 * ov._1 * 1000000 + ov._2) div (2 * ov._2)" +
+              " AS DOUBLE) / 1000000.0").as("jaccard"))
           .filter(col("jaccard") >= 0.7)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None),
+      Some {
+        val golden = "11400714819323198485"
+        s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
+           |${OracleSql.shinglesCte(SHINGLE_K, "doc_id")},
+           |docsh AS (SELECT doc_id, unnest(sset) AS s FROM shing),
+           |shs AS (SELECT DISTINCT s FROM docsh),
+           |h0s AS (SELECT s, ${OracleSql.hash64("s")} AS h1 FROM shs),
+           |slots AS (
+           |  SELECT s, CAST(i.range AS INT) AS i,
+           |    (h1 + (CAST(i.range AS HUGEINT) * $golden) % ${OracleSql.MOD})
+           |      % ${OracleSql.MOD} AS z
+           |  FROM h0s, range(0, $NUM_HASHES) i),
+           |${OracleSql.mix64Ctes("s, i", "slots")},
+           |ssig AS (SELECT s, i, ${OracleSql.toSigned("m")} AS s64 FROM mixed),
+           |sig AS (
+           |  SELECT d.doc_id, g.i, min(g.s64) AS v
+           |  FROM docsh d JOIN ssig g ON d.s = g.s
+           |  GROUP BY d.doc_id, g.i),
+           |bandhash AS (
+           |  SELECT doc_id, CAST(i // $ROWS_PER_BAND AS INT) AS band_idx,
+           |    list_reduce(list_prepend(
+           |        CAST(1125899906842597 AS HUGEINT)
+           |          + CAST(i // $ROWS_PER_BAND AS INT),
+           |        list_transform(list(v ORDER BY i),
+           |          x -> ((CAST(x AS HUGEINT) % ${OracleSql.MOD})
+           |                + ${OracleSql.MOD}) % ${OracleSql.MOD})),
+           |      (h, c) -> (31*h + c) % ${OracleSql.MOD}) AS bh
+           |  FROM sig GROUP BY doc_id, i // $ROWS_PER_BAND),
+           |hot AS (
+           |  SELECT band_idx, bh FROM bandhash
+           |  GROUP BY band_idx, bh HAVING count(*) > $MAX_BUCKET),
+           |matches AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band_idx, a.bh
+           |  FROM bandhash a JOIN bandhash b
+           |    ON a.band_idx = b.band_idx AND a.bh = b.bh
+           |   AND a.doc_id < b.doc_id),
+           |firstm AS (
+           |  SELECT doc_a, doc_b, min(band_idx) AS k
+           |  FROM matches GROUP BY doc_a, doc_b),
+           |cands AS (
+           |  -- the engine emits a pair at its FIRST matching band and
+           |  -- only if that bucket survived the hot-bucket cap; a pair
+           |  -- whose earliest shared band is hot is skipped entirely
+           |  SELECT f.doc_a, f.doc_b
+           |  FROM firstm f JOIN matches m
+           |    ON m.doc_a = f.doc_a AND m.doc_b = f.doc_b AND m.band_idx = f.k
+           |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+           |                    WHERE h.band_idx = f.k AND h.bh = m.bh)),
+           |verified AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |    len(list_intersect(sa.sset, sb.sset)) AS inter,
+           |    len(sa.sset) + len(sb.sset)
+           |      - len(list_intersect(sa.sset, sb.sset)) AS un
+           |  FROM cands c
+           |  JOIN shing sa ON sa.doc_id = c.doc_a
+           |  JOIN shing sb ON sb.doc_id = c.doc_b)
+           |SELECT doc_a, doc_b,
+           |  CAST((2 * inter * 1000000 + un) // (2 * un) AS DOUBLE)
+           |    / 1000000.0 AS jaccard
+           |FROM verified
+           |WHERE (2 * inter * 1000000 + un) // (2 * un) >= 700000
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
 
     // ── Q43: SimHash near-dup pairs — 4×16-bit band join, hamming ≤ 3
     // verify (pigeonhole guarantees recall for hamming ≤ 3). A pair
     // sharing several bands is emitted once, by its FIRST matching band
     // (both simhashes ride along; a predicate drops non-first matches)
     // — cheaper than distinct() on the candidate set.
+    // Full DuckDB oracle: per-shingle mix64∘hash64 in HUGEINT mod-2⁶⁴
+    // SQL, per-bit majority votes, 16-bit band values, candidate pairs
+    // via the band equi-join (DISTINCT — same output set as the
+    // engine's first-band dedup), hamming as the sum of per-band
+    // bit_counts of the XORed band values.
     QueryDef("q43_simhash_pairs",
       (s, dir) => {
         def bandOf(sh: Column, j: Int): Column =
@@ -167,7 +248,40 @@ object Dedup {
           .filter(col("hamming") <= 3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None),
+      Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
+              |${OracleSql.shinglesCte(2, "doc_id")},
+              |sh AS (SELECT doc_id, unnest(sset) AS s FROM shing),
+              |h0 AS (SELECT doc_id, ${OracleSql.hash64("s")} AS z FROM sh),
+              |${OracleSql.mix64Ctes("doc_id", "h0")},
+              |bits AS (
+              |  SELECT doc_id, CAST(b.range AS INT) AS b,
+              |    CASE WHEN sum(CASE WHEN (h.m >> CAST(b.range AS INT)) % 2 = 1
+              |                       THEN 1 ELSE -1 END) > 0
+              |         THEN 1 ELSE 0 END AS bit
+              |  FROM mixed h, range(0, 64) b GROUP BY doc_id, b.range),
+              |bands AS (
+              |  SELECT doc_id, CAST(b // 16 AS INT) AS band_idx,
+              |    sum(CASE WHEN bit = 1 THEN 1 << (b % 16) ELSE 0 END) AS band_val
+              |  FROM bits GROUP BY doc_id, b // 16),
+              |docb AS (
+              |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bl
+              |  FROM bands GROUP BY doc_id),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b
+              |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              |   AND a.doc_id < b.doc_id),
+              |ham AS (
+              |  SELECT c.doc_a, c.doc_b,
+              |    bit_count(xor(da.bl[1], db.bl[1]))
+              |    + bit_count(xor(da.bl[2], db.bl[2]))
+              |    + bit_count(xor(da.bl[3], db.bl[3]))
+              |    + bit_count(xor(da.bl[4], db.bl[4])) AS hamming
+              |  FROM cand c
+              |  JOIN docb da ON da.doc_id = c.doc_a
+              |  JOIN docb db ON db.doc_id = c.doc_b)
+              |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham
+              |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ── Q44: winnowing fingerprint groups — docs sharing a minimal
     // window hash (fingerprint collisions ⇒ shared long runs). Members

@@ -55,32 +55,19 @@ object Similarity {
     * sign-preserving % 1000003 (DuckDB and Java both truncate toward
     * zero).
     */
-  private val planesCte: String = {
-    val MOD = "CAST(18446744073709551616 AS HUGEINT)"
+  private val planesCte: String =
     s"""pi AS (
        |  SELECT CAST(p.range AS INT) AS p, CAST(i.range AS INT) AS i,
        |         'plane:' || p.range || ':' || i.range AS s
        |  FROM range(0,64) p, range(0,64) i),
        |h0 AS (
-       |  SELECT p, i, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
-       |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))),
-       |    (a, c) -> (31*a + c) % $MOD) AS z
+       |  SELECT p, i, ${OracleSql.hash64("s")} AS z
        |  FROM pi),
-       |m1 AS (SELECT p, i, xor(z, z >> 30) AS x FROM h0),
-       |m1b AS (SELECT p, i,
-       |    (((x * 3210233709) % 4294967296) * 4294967296 + (x * 484763065)) % $MOD AS z
-       |  FROM m1),
-       |m2 AS (SELECT p, i, xor(z, z >> 27) AS x FROM m1b),
-       |m2b AS (SELECT p, i,
-       |    (((x * 2496678331) % 4294967296) * 4294967296 + (x * 321982955)) % $MOD AS z
-       |  FROM m2),
-       |mixed AS (SELECT p, i, xor(z, z >> 31) AS m FROM m2b),
+       |${OracleSql.mix64Ctes("p, i", "h0")},
        |planes AS (SELECT p, i,
-       |    CAST(CAST((m + CAST(9223372036854775808 AS HUGEINT)) % $MOD
-       |      - CAST(9223372036854775808 AS HUGEINT) AS BIGINT) % 1000003 AS DOUBLE)
+       |    CAST(${OracleSql.toSigned("m")} % 1000003 AS DOUBLE)
        |      / 1000003.0 AS w
        |  FROM mixed)""".stripMargin
-  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -257,6 +244,11 @@ object Similarity {
     // pair sharing k bands is emitted once, by its FIRST matching band
     // (both buckets ride along; a predicate drops non-first matches) —
     // no distinct, no re-join to refetch embeddings.
+    // Full DuckDB oracle: plane matrix from planesCte (q53), per-row
+    // sign bits → 8-bit band values, candidate pairs via the band
+    // equi-join (DISTINCT in the oracle — same output set as the
+    // engine's first-band dedup), exact cosine re-verify via the q51
+    // left-assoc chains. Sign-of-sum FP safety argued at q53.
     QueryDef("q54_embed_neardup",
       (s, dir) => {
         val nBands = 8
@@ -292,7 +284,30 @@ object Similarity {
           .filter(col("cosine") >= 0.45)
           .orderBy(col("vec_a"), col("vec_b"))
       },
-      None),
+      Some(s"""WITH $planesCte,
+              |dots AS (
+              |  SELECT e.vec_id, pl.p,
+              |    sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
+              |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+              |bands AS (
+              |  SELECT vec_id, CAST(p // 8 AS INT) AS band_idx,
+              |    sum(CASE WHEN d >= 0 THEN 1 << (p % 8) ELSE 0 END) AS band_val
+              |  FROM dots GROUP BY vec_id, p // 8),
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM bands a JOIN bands b
+              |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              |   AND a.vec_id < b.vec_id),
+              |pairs AS (
+              |  SELECT c.vec_a, c.vec_b,
+              |    (${dotSql("ea.embedding", "eb.embedding")})
+              |      / (sqrt(${dotSql("ea.embedding", "ea.embedding")})
+              |         * sqrt(${dotSql("eb.embedding", "eb.embedding")})) AS cosine
+              |  FROM cand c
+              |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+              |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+              |SELECT vec_a, vec_b, cosine FROM pairs
+              |WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""".stripMargin)),
 
     // ── Q55: IVF-style ANN — coarse quantizer = per-label centroids
     // (q52's computation), probe the nProbe cells whose centroid is
@@ -303,9 +318,49 @@ object Similarity {
     // isin on the partition column). Centroid training is one
     // posexplode + hash agg; the probe set is decided driver-side from
     // K×dim doubles (collect of K rows — constant, not data-scaled).
+    // Full DuckDB oracle: centroids are exact 1e-4 decimals (the q52
+    // integer formula), so probe scores are bit-identical chains in
+    // both engines; probe selection and the exact re-rank are replayed
+    // in SQL (same d/sqrt(na·qn2) shape, same VARCHAR tie-break).
     QueryDef("q55_ann_ivf",
       (s, dir) => ivfTopK(Tables.embeddings(s, dir), queryVec, 2, 10),
-      None))
+      Some {
+        val centDot = (0 until DIM).map(i =>
+          s"centroid[${i + 1}] * ${f(queryVec(i))}").mkString(" + ")
+        val centNorm2 = (0 until DIM).map(i =>
+          s"centroid[${i + 1}] * centroid[${i + 1}]").mkString(" + ")
+        s"""WITH cent AS (
+           |  SELECT label,
+           |    list(CAST(((sq + 1000000 * n) * 2 + n) // (2 * n) - 1000000
+           |           AS DOUBLE) / 10000.0 ORDER BY dim) AS centroid
+           |  FROM (
+           |    SELECT label, dim, sum(q) AS sq, count(*) AS n
+           |    FROM (
+           |      SELECT label,
+           |        generate_subscripts(embedding, 1) - 1 AS dim,
+           |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+           |          AS BIGINT) AS q
+           |      FROM embeddings)
+           |    GROUP BY label, dim)
+           |  GROUP BY label),
+           |probes AS (
+           |  SELECT label FROM (
+           |    SELECT label,
+           |      CASE WHEN ($centNorm2) = 0 THEN 0.0
+           |           ELSE ($centDot) / sqrt(($centNorm2) * ${f(qNorm2)})
+           |      END AS sc
+           |    FROM cent)
+           |  ORDER BY sc DESC, CAST(label AS VARCHAR) LIMIT 2),
+           |scored AS (
+           |  SELECT vec_id, label,
+           |    (${dotConstSql("embedding")})
+           |      / (sqrt(${dotSql("embedding", "embedding")})
+           |         * sqrt(${f(qNorm2)})) AS cos_raw
+           |  FROM embeddings
+           |  WHERE label IN (SELECT label FROM probes))
+           |SELECT vec_id, label, cos_raw AS cosine
+           |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
+      }))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the
@@ -317,11 +372,19 @@ object Similarity {
   def ivfTopK(e: org.apache.spark.sql.DataFrame, q: Seq[Double],
       nProbe: Int, k: Int): org.apache.spark.sql.DataFrame = {
     val qn2 = q.map(x => x * x).sum
-    // train: per-label mean vector (K rows, K = #labels)
+    // train: per-label mean vector (K rows, K = #labels). Same exact
+    // 1e-4 quantization as q52: a raw avg(double) is partition-order
+    // dependent, which would make the probe choice (and thus the whole
+    // result) flicker across runs/engines when two cells score close.
     val cent = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        round(col("v").cast("double") * 10000).cast("long").as("q"))
       .groupBy(col("label"), col("dim"))
-      .agg(avg(col("v").cast("double")).as("cv"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        expr("CAST(((sq + 1000000 * n) * 2 + n) div (2 * n) - 1000000" +
+          " AS DOUBLE) / 10000.0").as("cv"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("cv"))))
         .as("pairs"))
@@ -347,7 +410,6 @@ object Similarity {
       .select(col("vec_id"), col("label"), cos.as("cos_raw"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
       .limit(k)
-      .select(col("vec_id"), col("label"),
-        round(col("cos_raw"), 6).as("cosine"))
+      .select(col("vec_id"), col("label"), col("cos_raw").as("cosine"))
   }
 }
