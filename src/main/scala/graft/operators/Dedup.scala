@@ -106,8 +106,16 @@ object Dedup {
     QueryDef("q42_minhash_lsh_pairs",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // persist AFTER the signature UDF: the self-join + hot-bucket agg
+        // + anti-join reference this subtree 4 times, and each branch
+        // would re-run the (expensive, 128-slot) UDF over every document
+        // — exchange reuse can't dedupe them because column pruning gives
+        // each branch a different scan schema. The cache is (doc_id, 16
+        // longs) per doc; at scale this is the standard shape anyway —
+        // signatures are computed once at ingest and stored.
         val sigs = docs.select(col("doc_id"),
           minhashBandsUdf(col("text")).as("bands"))
+          .persist()
         val bands = sigs.select(col("doc_id"), col("bands"),
           posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
         val hotBuckets = bands.groupBy(col("band_idx"), col("band_hash"))
@@ -227,6 +235,7 @@ object Dedup {
           shiftrightunsigned(sh, 16 * j).bitwiseAND(lit(65535L))
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), simhashUdf(col("text")).as("sh"))
+          .persist() // both self-join sides; one UDF pass (see q42 note)
         // bit-slice per band: (sh >>> 16*i) & 0xFFFF
         val sliced = docs.select(col("doc_id"), col("sh"),
           posexplode(array((0 until 4).map(i => bandOf(col("sh"), i)): _*))

@@ -260,6 +260,8 @@ object Similarity {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"), bucket.as("bucket"),
             VectorKernels.norm(col("embedding")).as("nrm"))
+          .persist() // both self-join sides; one bucket-UDF pass
+
         val sliced = e.select(col("vec_id"), col("embedding"), col("bucket"),
           col("nrm"),
           posexplode(array((0 until nBands).map(i =>
