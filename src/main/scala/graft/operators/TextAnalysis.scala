@@ -222,5 +222,134 @@ object TextAnalysis {
              |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
              |    AS jaccard
              |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
-             |ORDER BY doc_a""".stripMargin)))
+             |ORDER BY doc_a""".stripMargin)),
+
+    // ── Q45: per-document repetition ratios — the Gopher-style
+    // repetition filters (Rae et al. 2021, §A1.1: drop documents whose
+    // most frequent n-gram accounts for too large a fraction): top
+    // bigram fraction, duplicate-bigram fraction, and a keep flag at
+    // the published 0.20 top-2-gram threshold. Two hash aggregations
+    // ((doc, bigram) then doc), partial-aggregated map-side; fractions
+    // are rounded half-up in exact integer arithmetic (q52 pattern)
+    // and the keep flag compares integers (top_c·5 ≤ n), so no FP
+    // crosses an engine boundary.
+    QueryDef("q45_repetition_ratios",
+      (s, dir) => {
+        val t = col("t")
+        val bigrams = when(size(t) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"), explode(bigrams).as("bg"))
+          .groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_c"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("CAST((2 * top_c * 1000000 + n_bigrams) div (2 * n_bigrams)" +
+              " AS DOUBLE) / 1000000.0").as("top_frac"),
+            expr("CAST((2 * dup_c * 1000000 + n_bigrams) div (2 * n_bigrams)" +
+              " AS DOUBLE) / 1000000.0").as("dup_frac"),
+            (col("top_c") * 5 <= col("n_bigrams")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |    i -> t[i] || ' ' || t[i + 1])) AS bg
+             |  FROM toks WHERE len(t) >= 2),
+             |counts AS (
+             |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+             |stats AS (
+             |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_c,
+             |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+             |  FROM counts GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams,
+             |  CAST((2 * top_c * 1000000 + n_bigrams) // (2 * n_bigrams)
+             |    AS DOUBLE) / 1000000.0 AS top_frac,
+             |  CAST((2 * dup_c * 1000000 + n_bigrams) // (2 * n_bigrams)
+             |    AS DOUBLE) / 1000000.0 AS dup_frac,
+             |  top_c * 5 <= n_bigrams AS keep
+             |FROM stats ORDER BY doc_id""".stripMargin)),
+
+    // ── Q47: quality filter funnel — staged corpus filters with
+    // per-stage retention, the report every training-data pipeline
+    // produces before committing a filter chain. Stages (cumulative):
+    // token count ≥ 30, distinct-token ratio ≥ 0.4, mean word length
+    // ≥ 4.4, stopword fraction ≥ 0.05 (Gopher keeps docs WITH
+    // stopwords — natural-text evidence). Every predicate compares
+    // integers (counts cross-multiplied against the threshold
+    // rationals), so survivorship is engine-exact; one scan, one
+    // single-row aggregate, unpivoted to stage rows.
+    QueryDef("q47_filter_funnel",
+      (s, dir) => {
+        val t = col("t")
+        val stopSet = array(enWords.map(lit): _*)
+        val base = Tables.documents(s, dir)
+          .select(toks.as("t"))
+          .select(size(t).as("n"),
+            size(array_distinct(t)).as("nd"),
+            aggregate(transform(t, x => length(x).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("sumlen"),
+            size(filter(t, x => array_contains(stopSet, x))).as("sw"))
+          .select(col("n"), col("nd"), col("sumlen"), col("sw"),
+            (col("n") >= 30).as("c1"))
+          .select(col("n"), col("sumlen"), col("sw"), col("c1"),
+            (col("c1") && col("nd") * 10 >= col("n") * 4).as("c2"))
+          .select(col("n"), col("sw"), col("c1"), col("c2"),
+            (col("c2") && col("sumlen") * 10 >= col("n") * 44).as("c3"))
+          .select(col("c1"), col("c2"), col("c3"),
+            (col("c3") && col("sw") * 20 >= col("n")).as("c4"))
+        val agg = base.agg(
+          count(lit(1)).as("s0"),
+          sum(when(col("c1"), 1L).otherwise(0L)).as("s1"),
+          sum(when(col("c2"), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("c3"), 1L).otherwise(0L)).as("s3"),
+          sum(when(col("c4"), 1L).otherwise(0L)).as("s4"))
+        agg.select(expr(
+          "stack(5, 0, 'all_docs', s0, 1, 'min_tokens_30', s1," +
+            " 2, 'distinct_ratio_0.4', s2, 3, 'mean_word_len_4.4', s3," +
+            " 4, 'stopword_frac_0.05', s4) AS (stage, rule, survivors)"))
+          .join(agg.select(col("s0").as("total")))
+          .select(col("stage"), col("rule"), col("survivors"),
+            expr("CAST((2 * survivors * 1000000 + total) div (2 * total)" +
+              " AS DOUBLE) / 1000000.0").as("retained"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH s AS (
+             |  SELECT len(t) AS n, len(list_distinct(t)) AS nd,
+             |    list_reduce(list_transform(t, x -> CAST(len(x) AS BIGINT)),
+             |      (a, b) -> a + b) AS sumlen,
+             |    len(list_filter(t, x -> x IN ('the', 'a', 'and', 'of', 'to',
+             |      'in', 'is', 'it', 'that', 'for'))) AS sw
+             |  FROM (SELECT string_split(text, ' ') AS t FROM documents)),
+             |c AS (
+             |  SELECT *, n >= 30 AS c1,
+             |    (n >= 30 AND nd * 10 >= n * 4) AS c2,
+             |    (n >= 30 AND nd * 10 >= n * 4 AND sumlen * 10 >= n * 44) AS c3,
+             |    (n >= 30 AND nd * 10 >= n * 4 AND sumlen * 10 >= n * 44
+             |      AND sw * 20 >= n) AS c4
+             |  FROM s),
+             |agg AS (
+             |  SELECT count(*) AS s0,
+             |    sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS s1,
+             |    sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS s2,
+             |    sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS s3,
+             |    sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS s4
+             |  FROM c),
+             |stages AS (
+             |  SELECT 0 AS stage, 'all_docs' AS rule, s0 AS survivors, s0 AS total FROM agg
+             |  UNION ALL SELECT 1, 'min_tokens_30', s1, s0 FROM agg
+             |  UNION ALL SELECT 2, 'distinct_ratio_0.4', s2, s0 FROM agg
+             |  UNION ALL SELECT 3, 'mean_word_len_4.4', s3, s0 FROM agg
+             |  UNION ALL SELECT 4, 'stopword_frac_0.05', s4, s0 FROM agg)
+             |SELECT stage, rule, survivors,
+             |  CAST((2 * survivors * 1000000 + total) // (2 * total)
+             |    AS DOUBLE) / 1000000.0 AS retained
+             |FROM stages ORDER BY stage""".stripMargin)))
 }
