@@ -57,7 +57,13 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // a few queries persist() intermediate signature tables; release
+      // them so (a) each timed pass is an honest full recompute and
+      // (b) 54 queries x 2 passes in one session don't accumulate
+      // cached blocks into LRU-eviction thrash
+      spark.catalog.clearCache()
+      dt
     }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]

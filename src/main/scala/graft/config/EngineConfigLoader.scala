@@ -64,7 +64,10 @@ object EngineConfigLoader {
       val raw = props.getProperty(k, d)
       try parse(raw.trim)
       catch {
-        case e: NumberFormatException =>
+        // toBoolean throws a bare IllegalArgumentException (not a
+        // NumberFormatException); catch both so every malformed value
+        // fails with the key-naming contract documented above
+        case e: IllegalArgumentException =>
           throw new IllegalArgumentException(
             s"Failed to load configuration: bad value '$raw' for key '$k'", e)
       }
@@ -89,7 +92,7 @@ object EngineConfigLoader {
       ossBucket = str("oss.bucket", "video-storage"),
       minioEndpoint = str("minio.endpoint", "http://localhost:9000"),
       minioBucket = str("minio.bucket", "video-storage"),
-      minioSecure = str("minio.secure", "false").trim.toBoolean,
+      minioSecure = num("minio.secure", "false", _.toBoolean),
       videoStreamProtocol = str("video.stream.protocol", "rtsp"),
       rtspTransport = str("rtsp.transport", "tcp"),
       rtspTimeoutSec = num("rtsp.timeout", "30", _.toInt),

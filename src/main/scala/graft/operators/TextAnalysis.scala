@@ -266,8 +266,8 @@ object TextAnalysis {
              |counts AS (
              |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
              |stats AS (
-             |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_c,
-             |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_c,
+             |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
              |  FROM counts GROUP BY doc_id)
              |SELECT doc_id, n_bigrams,
              |  CAST((2 * top_c * 1000000 + n_bigrams) // (2 * n_bigrams)
@@ -337,10 +337,10 @@ object TextAnalysis {
              |  FROM s),
              |agg AS (
              |  SELECT count(*) AS s0,
-             |    sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS s1,
-             |    sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS s2,
-             |    sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS s3,
-             |    sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS s4
+             |    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             |    CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             |    CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+             |    CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
              |  FROM c),
              |stages AS (
              |  SELECT 0 AS stage, 'all_docs' AS rule, s0 AS survivors, s0 AS total FROM agg

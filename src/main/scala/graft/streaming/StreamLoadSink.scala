@@ -43,6 +43,18 @@ object StreamLoadSink {
   /** Transport boundary: post one labeled payload. Must be idempotent
     * by label (a real Doris FE is; the test/file transports here are).
     * Returns true on accept; false/throw on a retryable failure.
+    *
+    * Label-dedupe contract: the server keeps only the FIRST payload
+    * posted under a label; a replay with a different payload is NOT
+    * merged. Correctness therefore requires replays to be bytewise
+    * deterministic — our labels are scoped (epoch, partition, seq),
+    * and the rows feeding a (epoch, partition) come from a Spark
+    * shuffle/scan replay of the same partition, whose iteration order
+    * Spark reproduces for a deterministic lineage. Non-deterministic
+    * lineages (e.g. a repartition() on a random key upstream) would
+    * break this — the same caveat Spark itself documents for task
+    * retry of side-effecting foreachPartition code. [[FileTransport]]
+    * enforces the contract by digest-checking replayed labels.
     */
   trait Transport extends Serializable {
     def put(label: String, payload: Array[Byte],
@@ -52,7 +64,11 @@ object StreamLoadSink {
   /** Filesystem transport: one file per label under `dir` — the
     * harness stand-in for the Stream-Load HTTP PUT (no Doris in the
     * sandbox). Idempotent: an existing label is acknowledged without
-    * rewrite, exactly the server-side label dedupe.
+    * rewrite, exactly the server-side label dedupe — but unlike a
+    * remote FE we can afford to verify the replay: a replayed label
+    * whose payload differs from what was loaded means the caller's
+    * partition replay was non-deterministic and data would be lost
+    * silently, so fail loudly instead.
     */
   final class FileTransport(dir: String) extends Transport {
     override def put(label: String, payload: Array[Byte],
@@ -60,7 +76,15 @@ object StreamLoadSink {
       val d = new java.io.File(dir)
       if (!d.isDirectory) d.mkdirs()
       val f = new java.io.File(d, s"$label.jsonl")
-      if (f.exists()) return true // replayed label: already loaded
+      if (f.exists()) { // replayed label: already loaded
+        val loaded = java.nio.file.Files.readAllBytes(f.toPath)
+        if (!java.util.Arrays.equals(loaded, payload))
+          throw new IllegalStateException(
+            s"replay of label $label diverged from the loaded payload " +
+              s"(${loaded.length} vs ${payload.length} bytes): the " +
+              "upstream partition replay is non-deterministic")
+        return true
+      }
       val tmp = new java.io.File(d, s".$label.tmp")
       val out = new java.io.FileOutputStream(tmp)
       try out.write(payload)
