@@ -27,6 +27,7 @@ object Dedup {
   private val NUM_HASHES = 128
   private val ROWS_PER_BAND = 8 // 16 bands; P(collide) ≈ j^8 per band
   private val MAX_BUCKET = 100 // cap candidate bucket fan-out
+  private val MAX_DF = 100 // q46: shingles in more docs are boilerplate
 
   private val minhashBandsUdf = udf { text: String =>
     TextKernels.lshBands(
@@ -44,6 +45,11 @@ object Dedup {
     (inter, sa.size.toLong + sb.size.toLong - inter)
   }
   private val simhashUdf = udf { text: String => TextKernels.simhash(text, 2) }
+  // distinct shingle hashes (q46 inverted-index keys): the shingle TEXT
+  // never leaves the executor — only 8-byte hashes shuffle
+  private val shingleHashesUdf = udf { text: String =>
+    TextKernels.shingles(text, SHINGLE_K).toArray.map(TextKernels.hash64)
+  }
   private val fingerprintUdf = udf { text: String =>
     TextKernels.fingerprint(text, 8)
   }
@@ -344,5 +350,79 @@ object Dedup {
              |SELECT min(doc_id) AS keeper, count(*) AS n_docs,
              |  array_to_string(list_sort(list(doc_id)), ',') AS members
              |FROM fps GROUP BY fp HAVING count(*) > 1
-             |ORDER BY keeper""".stripMargin)))
+             |ORDER BY keeper""".stripMargin)),
+
+    // ── Q46: n-gram Jaccard near-dup pairs via an inverted shingle
+    // index — the exact-recall complement to q42's MinHash banding:
+    // ANY pair sharing at least one non-boilerplate shingle becomes a
+    // candidate (MinHash can miss a true pair when no band collides),
+    // then exact Jaccard verifies. The index carries hash64(shingle),
+    // not the shingle text, so only 8-byte keys shuffle.
+    //
+    // Scale design: df-hot shingles (> MAX_DF docs — boilerplate by
+    // definition, and the only quadratic risk since a bucket yields
+    // df² pairs) are counted first and removed with a broadcast
+    // anti-join (the hot set is small by definition — q42's
+    // hot-bucket pattern); unique shingles (df = 1, the vast majority)
+    // die in the same size filter. Candidate pairs come from a
+    // per-bucket double explode — no self-join — and the pair groupBy
+    // both dedups and yields the shared-rare-shingle count for free.
+    // The one collect_set is bounded by MAX_DF post-prune.
+    QueryDef("q46_ngram_jaccard_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val index = docs.select(col("doc_id"),
+          explode(shingleHashesUdf(col("text"))).as("h"))
+        val hot = index.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > MAX_DF).select(col("h"))
+        val buckets = index.join(broadcast(hot), Seq("h"), "left_anti")
+          .groupBy(col("h"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+        val cands = buckets
+          .select(explode(col("ds")).as("doc_a"), col("ds"))
+          .select(col("doc_a"),
+            explode(filter(col("ds"), d => d > col("doc_a"))).as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared_rare"))
+        val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+        val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+        cands.join(ta, "doc_a").join(tb, "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_shared_rare"),
+            shingleOverlapUdf(col("text_a"), col("text_b")).as("ov"))
+          // exact half-up rounding to 1e-6 (q42's integer form)
+          .select(col("doc_a"), col("doc_b"), col("n_shared_rare"),
+            expr("CAST((2 * ov._1 * 1000000 + ov._2) div (2 * ov._2)" +
+              " AS DOUBLE) / 1000000.0").as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
+              |${OracleSql.shinglesCte(SHINGLE_K, "doc_id")},
+              |docsh AS (SELECT doc_id, unnest(sset) AS s FROM shing),
+              |hs AS (SELECT doc_id, ${OracleSql.hash64("s")} AS h FROM docsh),
+              |hot AS (SELECT h FROM hs GROUP BY h HAVING count(*) > $MAX_DF),
+              |pruned AS (
+              |  SELECT doc_id, h FROM hs
+              |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = hs.h)),
+              |cand AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    count(*) AS n_shared_rare
+              |  FROM pruned a JOIN pruned b
+              |    ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id),
+              |verified AS (
+              |  SELECT c.doc_a, c.doc_b, c.n_shared_rare,
+              |    len(list_intersect(sa.sset, sb.sset)) AS inter,
+              |    len(sa.sset) + len(sb.sset)
+              |      - len(list_intersect(sa.sset, sb.sset)) AS un
+              |  FROM cand c
+              |  JOIN shing sa ON sa.doc_id = c.doc_a
+              |  JOIN shing sb ON sb.doc_id = c.doc_b)
+              |SELECT doc_a, doc_b, n_shared_rare,
+              |  CAST((2 * inter * 1000000 + un) // (2 * un) AS DOUBLE)
+              |    / 1000000.0 AS jaccard
+              |FROM verified
+              |WHERE (2 * inter * 1000000 + un) // (2 * un) >= 500000
+              |ORDER BY doc_a, doc_b""".stripMargin)))
 }

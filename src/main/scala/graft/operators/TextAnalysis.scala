@@ -351,5 +351,127 @@ object TextAnalysis {
              |SELECT stage, rule, survivors,
              |  CAST((2 * survivors * 1000000 + total) // (2 * total)
              |    AS DOUBLE) / 1000000.0 AS retained
-             |FROM stages ORDER BY stage""".stripMargin)))
+             |FROM stages ORDER BY stage""".stripMargin)),
+
+    // ── Q48: benchmark-contamination check — for every document of a
+    // held-out source ("the test set", src0), the fraction of its
+    // distinct 5-gram shingles that appear ANYWHERE in the other
+    // sources ("the training corpus"): the n-gram-overlap decontamination
+    // report (the GPT-3 appendix-C shape) every training pipeline runs
+    // before trusting an eval. Pure built-ins: shingles via
+    // transform+slice over the token array, one distinct on train
+    // shingles, one left join, one per-doc aggregate.
+    //
+    // 100 TB shape: the train-shingle distinct and the probe join both
+    // hash-shuffle on the shingle; production would join on
+    // hash64(shingle) instead (q46's trick — 8-byte keys, collisions
+    // only ever ADD a matched n-gram at ~2⁻⁶⁴). Kept as strings here so
+    // the operator stays UDF-free and the oracle trivially exact.
+    QueryDef("q48_contamination_check",
+      (s, dir) => {
+        val sh5 = when(size(toks) < 5, array(array_join(toks, " ")))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(toks) - 4),
+            i => array_join(slice(toks, i, lit(5)), " "))))
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), sh5.as("sh"))
+        val test = docs.filter(col("source") === "src0")
+          .select(col("doc_id"), explode(col("sh")).as("s"))
+        val train = docs.filter(col("source") =!= "src0")
+          .select(explode(col("sh")).as("s")).distinct()
+          .withColumn("hit", lit(1))
+        test.join(train, Seq("s"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ngrams"),
+            count(col("hit")).as("n_matched"))
+          .select(col("doc_id"), col("n_ngrams"), col("n_matched"),
+            expr("CAST((2 * n_matched * 1000000 + n_ngrams)" +
+              " div (2 * n_ngrams) AS DOUBLE) / 1000000.0")
+              .as("containment"),
+            (col("n_matched") * 5 >= col("n_ngrams")).as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, source,
+             |    unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE list_distinct(list_transform(range(1, len(t) - 3),
+             |             i -> array_to_string(t[i:i+4], ' ')))
+             |      END) AS s
+             |  FROM tk),
+             |train AS (SELECT DISTINCT s FROM sh WHERE source <> 'src0'),
+             |test AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+             |agg AS (
+             |  SELECT t.doc_id, count(*) AS n_ngrams, count(tr.s) AS n_matched
+             |  FROM test t LEFT JOIN train tr ON t.s = tr.s
+             |  GROUP BY t.doc_id)
+             |SELECT doc_id, n_ngrams, n_matched,
+             |  CAST((2 * n_matched * 1000000 + n_ngrams) // (2 * n_ngrams)
+             |    AS DOUBLE) / 1000000.0 AS containment,
+             |  n_matched * 5 >= n_ngrams AS contaminated
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // ── Q49: per-source distinct-BIGRAM cardinality via the KMV sketch
+    // (functions/KmvSketchAgg) next to the exact count — the
+    // deterministic approx-distinct whose estimate the oracle
+    // reproduces bit-for-bit (q27's HLL admits only a rows-only
+    // check; KMV's k-th-order-statistic estimate is pure integer
+    // arithmetic in both engines). Bigrams, not tokens: the corpus
+    // vocabulary is ~30 tokens/source (below any useful k), while
+    // bigram cardinality is in the hundreds, so the k = 256 estimator
+    // path actually runs at sf ≥ 0.01 (sf0.001 covers the below-k
+    // exact path). The bigram→hash map is a TextKernels UDF
+    // (mix64∘hash64) — the documented exception to this file's
+    // no-UDF rule, shared with Dedup's signature UDFs.
+    QueryDef("q49_kmv_distinct",
+      (s, dir) => {
+        val kmv = udaf(graft.functions.KmvSketchAgg(256))
+        val hashUdf = udf { t: String =>
+          graft.functions.TextKernels.mix64(
+            graft.functions.TextKernels.hash64(t))
+        }
+        val t = col("t")
+        val bigrams = when(size(t) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+        Tables.documents(s, dir)
+          .select(col("source"), toks.as("t"))
+          .select(col("source"), explode(bigrams).as("bg"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("bg")).as("n_exact"),
+            kmv(hashUdf(col("bg"))).as("est_kmv"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val K = 256
+        s"""WITH tk AS (
+           |  SELECT source, string_split(text, ' ') AS t FROM documents),
+           |bg0 AS (
+           |  SELECT source, unnest(list_transform(range(1, len(t)),
+           |    i -> t[i] || ' ' || t[i + 1])) AS bg
+           |  FROM tk WHERE len(t) >= 2),
+           |dt AS (SELECT DISTINCT source, bg FROM bg0),
+           |h0 AS (SELECT source, bg, ${OracleSql.hash64("bg")} AS z FROM dt),
+           |${OracleSql.mix64Ctes("source, bg", "h0")},
+           |vals AS (SELECT DISTINCT source, m FROM mixed),
+           |ranked AS (
+           |  SELECT source, m,
+           |    row_number() OVER (PARTITION BY source ORDER BY m) AS rn
+           |  FROM vals),
+           |sk AS (
+           |  SELECT source, count(*) AS nm,
+           |    max(CASE WHEN rn = $K THEN m END) AS kth
+           |  FROM ranked GROUP BY source),
+           |ex AS (SELECT source, count(*) AS n_exact FROM dt GROUP BY source)
+           |SELECT e.source, e.n_exact,
+           |  CAST(CASE WHEN s.nm < $K THEN s.nm
+           |       ELSE (${K - 1} * ${OracleSql.MOD}) // s.kth
+           |       END AS BIGINT) AS est_kmv
+           |FROM ex e JOIN sk s ON e.source = s.source
+           |ORDER BY e.source""".stripMargin
+      }))
 }

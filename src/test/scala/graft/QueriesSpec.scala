@@ -124,6 +124,53 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q46 equals brute-force exact-Jaccard pairs (exact recall at sf0.001)") {
+    import graft.functions.TextKernels
+    // at sf0.001 (50 docs) no shingle exceeds MAX_DF, and any pair at
+    // jaccard ≥ 0.5 shares a shingle, so the inverted-index candidate
+    // generation must have PERFECT recall: q46 == all-pairs scan.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shing = docs.map { case (id, t) => id -> TextKernels.shingles(t, 3) }
+    val ids = docs.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      sa = shing(i); sb = shing(j)
+      inter = sa.intersect(sb).size.toLong
+      un = sa.size + sb.size - inter
+      // the engine thresholds on the 6-decimal HALF-UP ROUNDED jaccard
+      if (2 * inter * 1000000L + un) / (2 * un) >= 500000L
+    } yield (i, j)).toSet
+    val got = SparkEntry.queries("q46_ngram_jaccard_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
+  test("q48 containment matches a driver-side recompute at sf0.001") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sh5(t: String): Set[String] = {
+      val toks = t.split(" ") // single-space split, the engine's tokenizer
+      if (toks.length < 5) Set(toks.mkString(" "))
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val train = rows.filter(_._3 != "src0").flatMap(r => sh5(r._2)).toSet
+    val expected = rows.filter(_._3 == "src0").map { case (id, t, _) =>
+      val s = sh5(t)
+      val matched = s.count(train.contains).toLong
+      id -> ((s.size.toLong, matched, matched * 5 >= s.size))
+    }.toMap
+    val got = SparkEntry.queries("q48_contamination_check")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("minhash LSH pairs have high exact jaccard (precision of verify step)") {
     import graft.functions.TextKernels
     val docs = spark.read.parquet(s"$sf/documents.parquet")
