@@ -473,5 +473,49 @@ object TextAnalysis {
            |       END AS BIGINT) AS est_kmv
            |FROM ex e JOIN sk s ON e.source = s.source
            |ORDER BY e.source""".stripMargin
-      }))
+      }),
+
+    // ── Q56: deterministic hash-based corpus split — train/val/test
+    // by thresholding mix64(doc_id) at exact rational cuts of the
+    // unsigned 2⁶⁴ range (90/5/5). THE reproducible-sampling primitive
+    // of a training pipeline: membership is a pure function of the
+    // stable id (not the text, so near-dup edits can't migrate a doc
+    // across the leak boundary; not rand(), so re-runs, retries and
+    // engine swaps agree row-for-row). Embarrassingly parallel — no
+    // shuffle until the reporting aggregate. The threshold compare is
+    // u·10 < 9·2⁶⁴ / u·20 < 19·2⁶⁴ in exact integer arithmetic on
+    // both engines (no floating-point cut, no constant rounding).
+    QueryDef("q56_hash_split",
+      (s, dir) => {
+        val t1 = BigInt(9) << 64
+        val t2 = BigInt(19) << 64
+        val splitUdf = udf { id: Long =>
+          val u = BigInt(java.lang.Long.toUnsignedString(
+            graft.functions.TextKernels.mix64(id)))
+          if (u * 10 < t1) "train" else if (u * 20 < t2) "val" else "test"
+        }
+        Tables.documents(s, dir)
+          .select(col("source"), splitUdf(col("doc_id")).as("split"),
+            size(toks).cast("long").as("nt"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source, len(string_split(text, ' ')) AS nt
+              |  FROM documents),
+              |h0 AS (
+              |  SELECT doc_id, source, nt, CAST(doc_id AS HUGEINT) AS z
+              |  FROM base),
+              |${OracleSql.mix64Ctes("doc_id, source, nt", "h0")},
+              |lab AS (
+              |  SELECT source, nt,
+              |    CASE WHEN m * 10 < 9 * ${OracleSql.MOD} THEN 'train'
+              |         WHEN m * 20 < 19 * ${OracleSql.MOD} THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM mixed)
+              |SELECT source, split, count(*) AS n_docs,
+              |  CAST(sum(nt) AS BIGINT) AS n_tokens
+              |FROM lab GROUP BY source, split
+              |ORDER BY source, split""".stripMargin)))
 }

@@ -96,6 +96,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TopKPerKey"), p.take(1500))
   }
 
+  test("q46: hot-shingle prune is a broadcast anti-join; no cartesian anywhere") {
+    val p = plan("q46_ngram_jaccard_pairs")
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the (small) hot-shingle set must broadcast, not reshuffle the index")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must come from per-bucket explodes, never a cross join")
+  }
+
+  test("q48: train-shingle distinct partial-aggregates before its exchange") {
+    val p = plan("q48_contamination_check")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q13 projection prunes the detections derivation to used columns") {
     val p = plan("q13_doris_rows")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
