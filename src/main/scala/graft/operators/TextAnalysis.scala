@@ -362,23 +362,29 @@ object TextAnalysis {
     // transform+slice over the token array, one distinct on train
     // shingles, one left join, one per-doc aggregate.
     //
-    // 100 TB shape: the train-shingle distinct and the probe join both
-    // hash-shuffle on the shingle; production would join on
-    // hash64(shingle) instead (q46's trick — 8-byte keys, collisions
-    // only ever ADD a matched n-gram at ~2⁻⁶⁴). Kept as strings here so
-    // the operator stays UDF-free and the oracle trivially exact.
+    // 100 TB shape: the train-shingle distinct and the probe join run
+    // on hash64(shingle) — 8-byte shuffle keys instead of ~40-byte
+    // strings (q46's principle: shingle text never leaves the
+    // executor). The oracle applies the same hash64 in HUGEINT SQL, so
+    // parity stays bit-exact rather than modulo-collision (and a
+    // collision could only ever ADD a matched n-gram, at ~2⁻⁶⁴). The
+    // shingle construction itself stays pure built-ins; only the final
+    // string→hash map is a TextKernels UDF (the documented exception).
     QueryDef("q48_contamination_check",
       (s, dir) => {
         val sh5 = when(size(toks) < 5, array(array_join(toks, " ")))
           .otherwise(array_distinct(transform(
             sequence(lit(1), size(toks) - 4),
             i => array_join(slice(toks, i, lit(5)), " "))))
+        val hashUdf = udf { t: String => graft.functions.TextKernels.hash64(t) }
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), sh5.as("sh"))
         val test = docs.filter(col("source") === "src0")
-          .select(col("doc_id"), explode(col("sh")).as("s"))
+          .select(col("doc_id"), explode(col("sh")).as("sg"))
+          .select(col("doc_id"), hashUdf(col("sg")).as("s"))
         val train = docs.filter(col("source") =!= "src0")
-          .select(explode(col("sh")).as("s")).distinct()
+          .select(explode(col("sh")).as("sg"))
+          .select(hashUdf(col("sg")).as("s")).distinct()
           .withColumn("hit", lit(1))
         test.join(train, Seq("s"), "left")
           .groupBy(col("doc_id"))
@@ -391,27 +397,30 @@ object TextAnalysis {
             (col("n_matched") * 5 >= col("n_ngrams")).as("contaminated"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tk AS (
-             |  SELECT doc_id, source, string_split(text, ' ') AS t
-             |  FROM documents),
-             |sh AS (
-             |  SELECT doc_id, source,
-             |    unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
-             |      ELSE list_distinct(list_transform(range(1, len(t) - 3),
-             |             i -> array_to_string(t[i:i+4], ' ')))
-             |      END) AS s
-             |  FROM tk),
-             |train AS (SELECT DISTINCT s FROM sh WHERE source <> 'src0'),
-             |test AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
-             |agg AS (
-             |  SELECT t.doc_id, count(*) AS n_ngrams, count(tr.s) AS n_matched
-             |  FROM test t LEFT JOIN train tr ON t.s = tr.s
-             |  GROUP BY t.doc_id)
-             |SELECT doc_id, n_ngrams, n_matched,
-             |  CAST((2 * n_matched * 1000000 + n_ngrams) // (2 * n_ngrams)
-             |    AS DOUBLE) / 1000000.0 AS containment,
-             |  n_matched * 5 >= n_ngrams AS contaminated
-             |FROM agg ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, source, string_split(text, ' ') AS t
+              |  FROM documents),
+              |sh AS (
+              |  SELECT doc_id, source,
+              |    unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+              |      ELSE list_distinct(list_transform(range(1, len(t) - 3),
+              |             i -> array_to_string(t[i:i+4], ' ')))
+              |      END) AS sg
+              |  FROM tk),
+              |hs AS (
+              |  SELECT doc_id, source, ${OracleSql.hash64("sg")} AS s
+              |  FROM sh),
+              |train AS (SELECT DISTINCT s FROM hs WHERE source <> 'src0'),
+              |test AS (SELECT doc_id, s FROM hs WHERE source = 'src0'),
+              |agg AS (
+              |  SELECT t.doc_id, count(*) AS n_ngrams, count(tr.s) AS n_matched
+              |  FROM test t LEFT JOIN train tr ON t.s = tr.s
+              |  GROUP BY t.doc_id)
+              |SELECT doc_id, n_ngrams, n_matched,
+              |  CAST((2 * n_matched * 1000000 + n_ngrams) // (2 * n_ngrams)
+              |    AS DOUBLE) / 1000000.0 AS containment,
+              |  n_matched * 5 >= n_ngrams AS contaminated
+              |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // ── Q49: per-source distinct-BIGRAM cardinality via the KMV sketch
     // (functions/KmvSketchAgg) next to the exact count — the
