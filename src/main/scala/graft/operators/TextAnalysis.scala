@@ -526,5 +526,43 @@ object TextAnalysis {
               |SELECT source, split, count(*) AS n_docs,
               |  CAST(sum(nt) AS BIGINT) AS n_tokens
               |FROM lab GROUP BY source, split
-              |ORDER BY source, split""".stripMargin)))
+              |ORDER BY source, split""".stripMargin)),
+
+    // ── Q57: sequence packing — assign documents to fixed
+    // token-budget bins (2048, a context window) by cumulative token
+    // offset within each source, ordered by the stable doc_id: the
+    // contiguous-chunking shape of pretraining sample packing, where a
+    // doc's bin is a pure function of the tokens before it. One window
+    // pass: partition by source (hash shuffle), in-partition sort by
+    // doc_id, running sum — integer arithmetic only, so bin and offset
+    // are engine-exact. At 100 TB this is the standard shape: packing
+    // is per-shard (source/file), never a global sort.
+    QueryDef("q57_sequence_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("nt"))
+          .withColumn("cum_before", coalesce(sum(col("nt")).over(w), lit(0L)))
+          .select(col("doc_id"), col("source"), col("nt"),
+            expr("cum_before div 2048").as("bin"),
+            expr("cum_before % 2048").as("offset"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents),
+             |cum AS (
+             |  SELECT doc_id, source, nt,
+             |    coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum_before
+             |  FROM base)
+             |SELECT doc_id, source, nt,
+             |  CAST(cum_before // 2048 AS BIGINT) AS bin,
+             |  CAST(cum_before % 2048 AS BIGINT) AS offset
+             |FROM cum ORDER BY doc_id""".stripMargin)))
 }
