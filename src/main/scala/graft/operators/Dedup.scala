@@ -366,9 +366,15 @@ object Dedup {
     //      MUST share a prefix hash (pigeonhole on the canonical
     //      order), so recall stays exact while the index — and the
     //      candidate volume, which scales with Σ df² — halves;
-    //   3. a size-ratio filter in the join condition (J ≥ t forces
-    //      2·min(n_a,n_b) ≥ max(n_a,n_b)) kills cross-size pairs
-    //      before the pair dedup;
+    //   3. a size-ratio filter (J ≥ t forces 2·min(n_a,n_b) ≥
+    //      max(n_a,n_b)) and PPJoin's positional filter (at a shared
+    //      prefix hash in positions (p_a, p_b), the overlap can't
+    //      exceed 1 + min(n_a−p_a, n_b−p_b), and J ≥ ½ needs overlap
+    //      ≥ (n_a+n_b)/3 — a true pair always passes at its FIRST
+    //      shared element, so keep-if-any-posting-passes preserves
+    //      exact recall) both live in the join condition and together
+    //      halve the surviving pairs (measured 432 k → 213 k at
+    //      sf0.1);
     //   4. verify on the persisted hash ARRAYS with array_intersect —
     //      exact Jaccard with no re-tokenization per pair (measured
     //      27× faster than a text-UDF verify at sf0.1, where this
@@ -389,17 +395,21 @@ object Dedup {
           sort_array(shingleHashesUdf(col("text"))).as("hl"))
           .persist()
         val pre = harr.select(col("doc_id"), size(col("hl")).as("n"),
-          explode(expr("slice(hl, 1, size(hl) div 2 + 1)")).as("h"))
+          posexplode(expr("slice(hl, 1, size(hl) div 2 + 1)"))
+            .as(Seq("p0", "h")))
+          .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("h"))
         val hot = pre.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > MAX_DF).select(col("h"))
         val pruned = pre.join(broadcast(hot), Seq("h"), "left_anti")
         val a = pruned.select(col("h"), col("doc_id").as("doc_a"),
-          col("n").as("na"))
+          col("n").as("na"), col("pos").as("pa"))
         val b = pruned.select(col("h").as("h2"), col("doc_id").as("doc_b"),
-          col("n").as("nb"))
+          col("n").as("nb"), col("pos").as("pb"))
         val cands = a.join(b,
           col("h") === col("h2") && col("doc_a") < col("doc_b") &&
-            least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+            least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")) &&
+            (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))) * 3
+              >= col("na") + col("nb"))
           .select(col("doc_a"), col("doc_b")).distinct()
         val ha = harr.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
         val hb = harr.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"))
@@ -421,19 +431,23 @@ object Dedup {
               |  SELECT doc_id, list_sort(list_transform(sset, s ->
               |    ${OracleSql.toSigned(OracleSql.hash64("s"))})) AS hl
               |  FROM shing),
-              |pre AS (
+              |pe AS (
               |  SELECT doc_id, len(hl) AS n,
-              |    unnest(hl[1:len(hl) // 2 + 1]) AS h
+              |    unnest(list_transform(range(1, len(hl) // 2 + 2),
+              |      i -> {pos: i, h: hl[i]})) AS u
               |  FROM harr),
+              |pre AS (
+              |  SELECT doc_id, n, CAST(u.pos AS INT) AS pos, u.h AS h FROM pe),
               |hot AS (SELECT h FROM pre GROUP BY h HAVING count(*) > $MAX_DF),
               |pruned AS (
-              |  SELECT doc_id, n, h FROM pre
+              |  SELECT doc_id, n, pos, h FROM pre
               |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = pre.h)),
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |  FROM pruned a JOIN pruned b
               |    ON a.h = b.h AND a.doc_id < b.doc_id
-              |   AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)),
+              |   AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)
+              |   AND 3 * (1 + least(a.n - a.pos, b.n - b.pos)) >= a.n + b.n),
               |verified AS (
               |  SELECT c.doc_a, c.doc_b,
               |    len(list_intersect(ha.hl, hb.hl)) AS inter,
