@@ -564,5 +564,79 @@ object TextAnalysis {
              |SELECT doc_id, source, nt,
              |  CAST(cum_before // 2048 AS BIGINT) AS bin,
              |  CAST(cum_before % 2048 AS BIGINT) AS offset
-             |FROM cum ORDER BY doc_id""".stripMargin)))
+             |FROM cum ORDER BY doc_id""".stripMargin)),
+
+    // ── Q58: count-min-sketch heavy hitters — the top-20 exact
+    // bigrams (q35's list) annotated with their CMS frequency
+    // ESTIMATE: the bounded-memory profile a 100 TB corpus scan
+    // actually ships (one 4×2048 counter array per partition, vector-
+    // add merged) next to the exact counts the small-SF harness can
+    // still afford. est ≥ exact always (CMS never undercounts); the
+    // oracle replays the whole sketch — every occurrence's 4 slot
+    // hashes, the per-cell sums, the min-over-rows estimate — in
+    // HUGEINT SQL, so the estimates are verified bit-for-bit, not
+    // merely bounded. Same UDF exception as q49 for the bigram→hash64
+    // base map; slot mixing lives in the Aggregator.
+    QueryDef("q58_cms_heavy_hitters",
+      (s, dir) => {
+        val depth = 4; val width = 2048
+        val cms = udaf(graft.functions.CmsSketchAgg(depth, width))
+        val hashUdf = udf { t: String =>
+          graft.functions.TextKernels.hash64(t)
+        }
+        val estUdf = udf { (sk: Seq[Long], base: Long) =>
+          graft.functions.CmsSketchAgg.estimate(sk.toIndexedSeq, base,
+            depth, width)
+        }
+        val t = col("t")
+        val bigrams = when(size(t) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+        val occ = Tables.documents(s, dir)
+          .select(toks.as("t"))
+          .select(explode(bigrams).as("bg"))
+          .select(col("bg"), hashUdf(col("bg")).as("hb"))
+        val sketch = occ.agg(cms(col("hb")).as("sk"))
+        val top = occ.groupBy(col("bg"))
+          .agg(count(lit(1)).as("exact_count"), first(col("hb")).as("hb"))
+          .orderBy(col("exact_count").desc, col("bg"))
+          .limit(20)
+        top.join(broadcast(sketch))
+          .select(col("bg"), col("exact_count"),
+            estUdf(col("sk"), col("hb")).as("est_count"))
+          .orderBy(col("exact_count").desc, col("bg"))
+      },
+      Some {
+        val golden = "11400714819323198485" // GOLDEN as unsigned residue
+        s"""WITH tk AS (
+           |  SELECT string_split(text, ' ') AS t FROM documents),
+           |occ AS (
+           |  SELECT unnest(list_transform(range(1, len(t)),
+           |    i -> t[i] || ' ' || t[i + 1])) AS bg
+           |  FROM tk WHERE len(t) >= 2),
+           |exact AS (SELECT bg, count(*) AS c FROM occ GROUP BY bg),
+           |hb AS (SELECT bg, c, ${OracleSql.hash64("bg")} AS z0 FROM exact),
+           |slots AS (
+           |  SELECT bg, c, CAST(i.range AS INT) AS i,
+           |    (z0 + (CAST(i.range AS HUGEINT) * $golden) % ${OracleSql.MOD})
+           |      % ${OracleSql.MOD} AS z
+           |  FROM hb, range(0, 4) i),
+           |${OracleSql.mix64Ctes("bg, c, i", "slots")},
+           |addr AS (SELECT bg, c, i, m % 2048 AS idx FROM mixed),
+           |cells AS (
+           |  SELECT i, idx, CAST(sum(c) AS BIGINT) AS cell
+           |  FROM addr GROUP BY i, idx),
+           |est AS (
+           |  SELECT a.bg, min(cl.cell) AS est_count
+           |  FROM addr a JOIN cells cl ON cl.i = a.i AND cl.idx = a.idx
+           |  GROUP BY a.bg),
+           |top AS (
+           |  SELECT bg, c AS exact_count FROM exact
+           |  ORDER BY c DESC, bg LIMIT 20)
+           |SELECT t.bg, t.exact_count, e.est_count
+           |FROM top t JOIN est e ON e.bg = t.bg
+           |ORDER BY t.exact_count DESC, t.bg""".stripMargin
+      }))
 }
