@@ -638,5 +638,71 @@ object TextAnalysis {
            |SELECT t.bg, t.exact_count, e.est_count
            |FROM top t JOIN est e ON e.bg = t.bg
            |ORDER BY t.exact_count DESC, t.bg""".stripMargin
-      }))
+      }),
+
+    // ── Q59: collocation extraction — bigrams whose parts co-occur
+    // far more than independence predicts, the phrase-mining pass of a
+    // corpus pipeline. Classically ranked by PMI = ln(p(xy)/(p(x)p(y)));
+    // ln is monotone, so ranking by the LIFT ratio c_xy·N/(c_x·c_y)
+    // gives the identical order in exact integer arithmetic — no
+    // cross-engine libm drift (the q52 determinism rule: never rank on
+    // engine-computed floats). lift_ppm = the ratio in parts-per-
+    // million, rounded half-up integerly; numerators stay < 2⁶³ for
+    // any harness SF (c_bg·N·10⁶ ≤ ~10¹⁸ at sf1), while the oracle
+    // computes in HUGEINT regardless. min-count ≥ 5 drops noise pairs
+    // (standard collocation practice).
+    QueryDef("q59_collocations",
+      (s, dir) => {
+        val t = col("t")
+        val bigrams = when(size(t) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+        val toksExpl = Tables.documents(s, dir)
+          .select(toks.as("t")).select(explode(t).as("tok"))
+        val unig = toksExpl.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+        val nTok = toksExpl.agg(count(lit(1)).as("n_tok"))
+        val bg = Tables.documents(s, dir)
+          .select(toks.as("t")).select(explode(bigrams).as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+          .filter(col("c_bg") >= 5)
+          .select(col("bg"), col("c_bg"),
+            split(col("bg"), " ").getItem(0).as("w1"),
+            split(col("bg"), " ").getItem(1).as("w2"))
+        bg.join(unig.select(col("tok").as("w1"), col("c1").as("ca")), "w1")
+          .join(unig.select(col("tok").as("w2"), col("c1").as("cb")), "w2")
+          .join(broadcast(nTok))
+          // lift_ppm = round_half_up(c_bg·n_tok·10⁶ / (ca·cb))
+          .select(col("bg"), col("c_bg"), col("ca"), col("cb"),
+            expr("(2 * c_bg * n_tok * 1000000 + ca * cb)" +
+              " div (2 * ca * cb)").as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("bg"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (
+             |  SELECT string_split(text, ' ') AS t FROM documents),
+             |uni AS (SELECT unnest(t) AS tok FROM tk),
+             |unig AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+             |ntok AS (SELECT CAST(count(*) AS HUGEINT) AS n_tok FROM uni),
+             |occ AS (
+             |  SELECT unnest(list_transform(range(1, len(t)),
+             |    i -> t[i] || ' ' || t[i + 1])) AS bg
+             |  FROM tk WHERE len(t) >= 2),
+             |bgc AS (
+             |  SELECT bg, count(*) AS c_bg,
+             |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+             |  FROM occ GROUP BY bg HAVING count(*) >= 5),
+             |j AS (
+             |  SELECT b.bg, b.c_bg, a.c1 AS ca, c.c1 AS cb, n.n_tok
+             |  FROM bgc b
+             |  JOIN unig a ON a.tok = b.w1
+             |  JOIN unig c ON c.tok = b.w2
+             |  CROSS JOIN ntok n)
+             |SELECT bg, CAST(c_bg AS BIGINT) AS c_bg,
+             |  CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+             |  CAST((2 * c_bg * n_tok * 1000000 + ca * cb) // (2 * ca * cb)
+             |    AS BIGINT) AS lift_ppm
+             |FROM j
+             |ORDER BY lift_ppm DESC, bg LIMIT 20""".stripMargin)))
 }
