@@ -56,14 +56,13 @@ object Bench {
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      // a few queries persist() intermediate signature tables; release
-      // them so (a) each timed pass is an honest full recompute and
-      // (b) 54 queries x 2 passes in one session don't accumulate
-      // cached blocks into LRU-eviction thrash
-      spark.catalog.clearCache()
-      dt
+      // clearCache in finally: queries persist() intermediate signature
+      // tables, and a query that THROWS mid-action must not leak its
+      // cached blocks into the next query's timed passes. Clearing per
+      // pass also keeps every timed pass an honest full recompute.
+      try fn(spark, sfDir).count()
+      finally spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
     }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]

@@ -354,9 +354,11 @@ object Dedup {
 
     // ── Q46: n-gram Jaccard near-dup pairs via PREFIX FILTERING — the
     // exact-recall complement to q42's MinHash banding (MinHash can
-    // miss a true pair when no band collides; this can't). The
-    // published exact set-similarity join shape (AllPairs — Bayardo,
-    // Ma, Srikant, WWW'07; PPJoin — Xiao et al., WWW'08):
+    // miss a true pair when no band collides; the only pairs this can
+    // miss are those whose EVERY shared prefix hash is df-hot — see
+    // the cap note below). The published exact set-similarity join
+    // shape (AllPairs — Bayardo, Ma, Srikant, WWW'07; PPJoin — Xiao
+    // et al., WWW'08):
     //
     //   1. per doc, the distinct shingle hashes SORTED in a global
     //      (signed 64-bit) canonical order — computed once, persisted,
@@ -383,7 +385,14 @@ object Dedup {
     // Only 8-byte hashes shuffle — shingle text never leaves the
     // executor. df-hot prefix hashes (> MAX_DF docs: boilerplate, the
     // remaining quadratic risk) are dropped via q42's count-then-
-    // broadcast-anti-join pattern. The pair dedup is a groupBy on the
+    // broadcast-anti-join pattern — the SAME deliberate recall carve-
+    // out as q42's cap: a pair surfaces unless every one of its shared
+    // prefix hashes is boilerplate-hot, i.e. the pair's entire
+    // evidence is boilerplate (a >MAX_DF-strong near-dup clique is a
+    // mass-dedup case for q40/q41, not pairwise mining). The oracle
+    // applies the identical cap, and the sf0.001 exact-recall spec
+    // runs below the cap so the uncapped guarantee is what it tests.
+    // The pair dedup is a groupBy on the
     // (capped) candidate pairs: unlike q42's fixed 16-band signature,
     // prefix postings have no constant-width structure to ride along,
     // and an 8-byte-pair shuffle is cheaper than carrying both prefix
@@ -418,11 +427,16 @@ object Dedup {
             size(array_intersect(col("hl_a"), col("hl_b"))).cast("long")
               .as("inter"),
             (size(col("hl_a")) + size(col("hl_b"))).cast("long").as("sz"))
-          // un = sz − inter; exact half-up rounding to 1e-6 (q42's form)
+          // threshold on the EXACT inequality 2·inter ≥ un (the same
+          // J ≥ ½ the candidate filters guarantee recall for — a
+          // rounded-ppm threshold would also admit J ∈ [0.4999995, ½)
+          // pairs the prefix/size/positional filters never generated);
+          // the 6-decimal jaccard is display-only, rounded half-up
+          // integerly (q42's form)
+          .filter(col("inter") * 2 >= col("sz") - col("inter"))
           .select(col("doc_a"), col("doc_b"), col("inter").as("n_shared"),
             expr("CAST((2 * inter * 1000000 + (sz - inter))" +
               " div (2 * (sz - inter)) AS DOUBLE) / 1000000.0").as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
@@ -460,6 +474,6 @@ object Dedup {
               |  CAST((2 * inter * 1000000 + un) // (2 * un) AS DOUBLE)
               |    / 1000000.0 AS jaccard
               |FROM verified
-              |WHERE (2 * inter * 1000000 + un) // (2 * un) >= 500000
+              |WHERE 2 * inter >= un
               |ORDER BY doc_a, doc_b""".stripMargin)))
 }

@@ -31,6 +31,34 @@ object TextAnalysis {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Adjacent-token bigrams of a PRE-MATERIALIZED token-array column
+    * `t` (select `toks.as("t")` first: referencing the raw split()
+    * inside a higher-order lambda re-evaluates the full split per
+    * element — O(n²) chars per doc, measured 2.7 s → 0.6 s at sf0.1).
+    * Linear zip of the array with its tail. Shared by
+    * q35/q45/q49/q58/q59.
+    */
+  private val bigramsOfT = {
+    val t = col("t")
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** TextKernels.hash64 / mix64∘hash64 as UDFs — the documented
+    * exception to this file's no-UDF rule (opaque per-row maps shared
+    * with Dedup's signature UDFs). hash64Udf: join/sketch base keys
+    * (q48/q58); mixedHashUdf: uniform hashes for order-statistic
+    * sketches (q49).
+    */
+  private val hash64Udf =
+    udf { t: String => graft.functions.TextKernels.hash64(t) }
+  private val mixedHashUdf = udf { t: String =>
+    graft.functions.TextKernels.mix64(graft.functions.TextKernels.hash64(t))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Q30: token statistics per document (token counting op):
@@ -167,20 +195,9 @@ object TextAnalysis {
     // top-k (TakeOrderedAndProject — never a full sort).
     QueryDef("q35_top_bigrams",
       (s, dir) => {
-        // Materialize the token array in its own projection FIRST:
-        // referencing the raw split() expression inside a higher-order
-        // lambda re-evaluates the full split per element (O(n²) chars
-        // per doc — measured 2.7 s → 0.6 s at sf0.1 for this fix).
-        // Bigrams are then a linear zip of the array with its tail.
-        val t = col("t")
-        val bigrams = when(size(t) < 2, array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(t, lit(1), size(t) - 1),
-            slice(t, lit(2), size(t) - 1),
-            (a, b) => concat(a, lit(" "), b)))
         Tables.documents(s, dir)
           .select(toks.as("t"))
-          .select(explode(bigrams).as("bigram"))
+          .select(explode(bigramsOfT).as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram"))
@@ -235,15 +252,9 @@ object TextAnalysis {
     // crosses an engine boundary.
     QueryDef("q45_repetition_ratios",
       (s, dir) => {
-        val t = col("t")
-        val bigrams = when(size(t) < 2, array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(t, lit(1), size(t) - 1),
-            slice(t, lit(2), size(t) - 1),
-            (a, b) => concat(a, lit(" "), b)))
         Tables.documents(s, dir)
           .select(col("doc_id"), toks.as("t"))
-          .select(col("doc_id"), explode(bigrams).as("bg"))
+          .select(col("doc_id"), explode(bigramsOfT).as("bg"))
           .groupBy(col("doc_id"), col("bg"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
@@ -376,15 +387,18 @@ object TextAnalysis {
           .otherwise(array_distinct(transform(
             sequence(lit(1), size(toks) - 4),
             i => array_join(slice(toks, i, lit(5)), " "))))
-        val hashUdf = udf { t: String => graft.functions.TextKernels.hash64(t) }
+        // persist the shingled docs: the test and train branches would
+        // otherwise each recompute the 5-gram construction over the
+        // full scan (the q42 persist rationale)
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), sh5.as("sh"))
+          .persist()
         val test = docs.filter(col("source") === "src0")
           .select(col("doc_id"), explode(col("sh")).as("sg"))
-          .select(col("doc_id"), hashUdf(col("sg")).as("s"))
+          .select(col("doc_id"), hash64Udf(col("sg")).as("s"))
         val train = docs.filter(col("source") =!= "src0")
           .select(explode(col("sh")).as("sg"))
-          .select(hashUdf(col("sg")).as("s")).distinct()
+          .select(hash64Udf(col("sg")).as("s")).distinct()
           .withColumn("hit", lit(1))
         test.join(train, Seq("s"), "left")
           .groupBy(col("doc_id"))
@@ -437,22 +451,12 @@ object TextAnalysis {
     QueryDef("q49_kmv_distinct",
       (s, dir) => {
         val kmv = udaf(graft.functions.KmvSketchAgg(256))
-        val hashUdf = udf { t: String =>
-          graft.functions.TextKernels.mix64(
-            graft.functions.TextKernels.hash64(t))
-        }
-        val t = col("t")
-        val bigrams = when(size(t) < 2, array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(t, lit(1), size(t) - 1),
-            slice(t, lit(2), size(t) - 1),
-            (a, b) => concat(a, lit(" "), b)))
         Tables.documents(s, dir)
           .select(col("source"), toks.as("t"))
-          .select(col("source"), explode(bigrams).as("bg"))
+          .select(col("source"), explode(bigramsOfT).as("bg"))
           .groupBy(col("source"))
           .agg(countDistinct(col("bg")).as("n_exact"),
-            kmv(hashUdf(col("bg"))).as("est_kmv"))
+            kmv(mixedHashUdf(col("bg"))).as("est_kmv"))
           .orderBy(col("source"))
       },
       Some {
@@ -581,23 +585,18 @@ object TextAnalysis {
       (s, dir) => {
         val depth = 4; val width = 2048
         val cms = udaf(graft.functions.CmsSketchAgg(depth, width))
-        val hashUdf = udf { t: String =>
-          graft.functions.TextKernels.hash64(t)
-        }
         val estUdf = udf { (sk: Seq[Long], base: Long) =>
           graft.functions.CmsSketchAgg.estimate(sk.toIndexedSeq, base,
             depth, width)
         }
-        val t = col("t")
-        val bigrams = when(size(t) < 2, array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(t, lit(1), size(t) - 1),
-            slice(t, lit(2), size(t) - 1),
-            (a, b) => concat(a, lit(" "), b)))
+        // persist: the sketch aggregate AND the exact top-20 both
+        // consume the scan→explode→hash pass (the q42 persist
+        // rationale)
         val occ = Tables.documents(s, dir)
           .select(toks.as("t"))
-          .select(explode(bigrams).as("bg"))
-          .select(col("bg"), hashUdf(col("bg")).as("hb"))
+          .select(explode(bigramsOfT).as("bg"))
+          .select(col("bg"), hash64Udf(col("bg")).as("hb"))
+          .persist()
         val sketch = occ.agg(cms(col("hb")).as("sk"))
         val top = occ.groupBy(col("bg"))
           .agg(count(lit(1)).as("exact_count"), first(col("hb")).as("hb"))
@@ -653,18 +652,12 @@ object TextAnalysis {
     // (standard collocation practice).
     QueryDef("q59_collocations",
       (s, dir) => {
-        val t = col("t")
-        val bigrams = when(size(t) < 2, array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(t, lit(1), size(t) - 1),
-            slice(t, lit(2), size(t) - 1),
-            (a, b) => concat(a, lit(" "), b)))
         val toksExpl = Tables.documents(s, dir)
-          .select(toks.as("t")).select(explode(t).as("tok"))
+          .select(toks.as("t")).select(explode(col("t")).as("tok"))
         val unig = toksExpl.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
         val nTok = toksExpl.agg(count(lit(1)).as("n_tok"))
         val bg = Tables.documents(s, dir)
-          .select(toks.as("t")).select(explode(bigrams).as("bg"))
+          .select(toks.as("t")).select(explode(bigramsOfT).as("bg"))
           .groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
           .filter(col("c_bg") >= 5)
           .select(col("bg"), col("c_bg"),
@@ -673,10 +666,15 @@ object TextAnalysis {
         bg.join(unig.select(col("tok").as("w1"), col("c1").as("ca")), "w1")
           .join(unig.select(col("tok").as("w2"), col("c1").as("cb")), "w2")
           .join(broadcast(nTok))
-          // lift_ppm = round_half_up(c_bg·n_tok·10⁶ / (ca·cb))
+          // lift_ppm = round_half_up(c_bg·n_tok·10⁶ / (ca·cb)) —
+          // computed in DECIMAL(38,0): the numerator is ~c_bg·N·10⁶,
+          // which wraps silently in non-ANSI long arithmetic beyond
+          // c_bg·N ≈ 4.6·10¹⁵ (a 100 TB corpus crosses that); the
+          // oracle's HUGEINT is exact either way. div returns LONG.
           .select(col("bg"), col("c_bg"), col("ca"), col("cb"),
-            expr("(2 * c_bg * n_tok * 1000000 + ca * cb)" +
-              " div (2 * ca * cb)").as("lift_ppm"))
+            expr("(2 * CAST(c_bg AS DECIMAL(38,0)) * n_tok * 1000000" +
+              " + CAST(ca AS DECIMAL(38,0)) * cb)" +
+              " div (2 * CAST(ca AS DECIMAL(38,0)) * cb)").as("lift_ppm"))
           .orderBy(col("lift_ppm").desc, col("bg"))
           .limit(20)
       },

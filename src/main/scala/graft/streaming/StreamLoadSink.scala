@@ -42,7 +42,10 @@ object StreamLoadSink {
 
   /** Transport boundary: post one labeled payload. Must be idempotent
     * by label (a real Doris FE is; the test/file transports here are).
-    * Returns true on accept; false/throw on a retryable failure.
+    * Returns true on accept; false or any exception other than
+    * [[IllegalStateException]] signals a RETRYABLE failure;
+    * IllegalStateException is the non-retryable label-divergence
+    * signal and propagates immediately.
     *
     * Label-dedupe contract: the server keeps only the FIRST payload
     * posted under a label; a replay with a different payload is NOT
@@ -76,20 +79,42 @@ object StreamLoadSink {
       val d = new java.io.File(dir)
       if (!d.isDirectory) d.mkdirs()
       val f = new java.io.File(d, s"$label.jsonl")
-      if (f.exists()) { // replayed label: already loaded
-        val loaded = java.nio.file.Files.readAllBytes(f.toPath)
-        if (!java.util.Arrays.equals(loaded, payload))
-          throw new IllegalStateException(
-            s"replay of label $label diverged from the loaded payload " +
-              s"(${loaded.length} vs ${payload.length} bytes): the " +
-              "upstream partition replay is non-deterministic")
-        return true
-      }
-      val tmp = new java.io.File(d, s".$label.tmp")
+      if (checkExisting(f, label, payload)) return true
+      // per-attempt unique temp + atomic NO-replace move: concurrent
+      // attempts for the same label (speculative execution) can't
+      // interleave writes into one temp file or overwrite the winner —
+      // the loser's move fails and falls back to the digest check,
+      // preserving "the server keeps only the FIRST payload"
+      val tmp = java.io.File.createTempFile(s".$label.", ".tmp", d)
       val out = new java.io.FileOutputStream(tmp)
       try out.write(payload)
       finally out.close()
-      tmp.renameTo(f) // atomic visibility: never a half-written label
+      try {
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tmp.delete()
+          checkExisting(f, label, payload)
+      }
+    }
+
+    /** True iff `f` holds exactly `payload`; throws (non-retryable) on
+      * divergence — a replay with different bytes means the caller's
+      * partition replay was non-deterministic and data would be lost
+      * silently.
+      */
+    private def checkExisting(f: java.io.File, label: String,
+        payload: Array[Byte]): Boolean = {
+      if (!f.exists()) return false
+      val loaded = java.nio.file.Files.readAllBytes(f.toPath)
+      if (!java.util.Arrays.equals(loaded, payload))
+        throw new IllegalStateException(
+          s"replay of label $label diverged from the loaded payload " +
+            s"(${loaded.length} vs ${payload.length} bytes): the " +
+            "upstream partition replay is non-deterministic")
+      true
     }
   }
 
@@ -151,7 +176,14 @@ object StreamLoadSink {
         attempt += 1
         attemptsTotal += 1
         try ok = transport.put(label, payload, cfg.props)
-        catch { case e: Exception => lastErr = e }
+        catch {
+          // IllegalStateException is the transport's NON-retryable
+          // signal (label-payload divergence): retrying a permanent
+          // corruption wastes attempts and buries the diagnosis in a
+          // retry-exhaustion message
+          case e: IllegalStateException => throw e
+          case e: Exception             => lastErr = e
+        }
       }
       if (!ok)
         throw new java.io.IOException(

@@ -139,8 +139,8 @@ class QueriesSpec extends AnyFunSuite {
       sa = shing(i); sb = shing(j)
       inter = sa.intersect(sb).size.toLong
       un = sa.size + sb.size - inter
-      // the engine thresholds on the 6-decimal HALF-UP ROUNDED jaccard
-      if (2 * inter * 1000000L + un) / (2 * un) >= 500000L
+      // the engine thresholds on the exact inequality J >= 1/2
+      if 2 * inter >= un
     } yield (i, j)).toSet
     val got = SparkEntry.queries("q46_ngram_jaccard_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
