@@ -112,6 +112,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q49/q58 sketch Aggregators partial-aggregate before the exchange") {
+    // the sketches' whole 100 TB story is map-side combine: one O(k)
+    // sketch per partition crosses the wire, never the token stream
+    for (q <- Seq("q49_kmv_distinct", "q58_cms_heavy_hitters")) {
+      val p = plan(q)
+      val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+      assert(objAggs >= 2, s"$q: expected partial+final ObjectHashAggregate:\n" +
+        p.take(1500))
+      assert(!p.contains("SortAggregate"),
+        s"$q: sketch agg must not fall back to sort-based aggregation")
+    }
+  }
+
   test("q13 projection prunes the detections derivation to used columns") {
     val p = plan("q13_doris_rows")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
