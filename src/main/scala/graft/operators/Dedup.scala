@@ -54,6 +54,111 @@ object Dedup {
     TextKernels.fingerprint(text, 8)
   }
 
+  /** q43's pair derivation, shared with q63's component grouping. */
+  private def simhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    def bandOf(sh: Column, j: Int): Column =
+      shiftrightunsigned(sh, 16 * j).bitwiseAND(lit(65535L))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), simhashUdf(col("text")).as("sh"))
+      .persist() // both self-join sides; one UDF pass (see q42 note)
+    // bit-slice per band: (sh >>> 16*i) & 0xFFFF
+    val sliced = docs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(i => bandOf(col("sh"), i)): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = sliced.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sliced.select(col("band_idx").as("bi"),
+      col("band_val").as("bv"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    val earlierMatch = (0 until 3).map(j =>
+      lit(j) < col("band_idx") &&
+        bandOf(col("sh_a"), j) === bandOf(col("sh_b"), j))
+      .reduce(_ || _)
+    a.join(b, col("band_idx") === col("bi") &&
+        col("band_val") === col("bv") && col("doc_a") < col("doc_b"))
+      .filter(!earlierMatch)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  /** q43's oracle CTE chain through `ham` (pairs = ham WHERE hamming
+    * <= 3), shared with q63's recursive-CTE component oracle.
+    */
+  private val simhashPairsCtes: String =
+    s"""${OracleSql.toksCte("documents", "doc_id")},
+       |${OracleSql.shinglesCte(2, "doc_id")},
+       |sh AS (SELECT doc_id, unnest(sset) AS s FROM shing),
+       |h0 AS (SELECT doc_id, ${OracleSql.hash64("s")} AS z FROM sh),
+       |${OracleSql.mix64Ctes("doc_id", "h0")},
+       |bits AS (
+       |  SELECT doc_id, CAST(b.range AS INT) AS b,
+       |    CASE WHEN sum(CASE WHEN (h.m >> CAST(b.range AS INT)) % 2 = 1
+       |                       THEN 1 ELSE -1 END) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM mixed h, range(0, 64) b GROUP BY doc_id, b.range),
+       |bands AS (
+       |  SELECT doc_id, CAST(b // 16 AS INT) AS band_idx,
+       |    sum(CASE WHEN bit = 1 THEN 1 << (b % 16) ELSE 0 END) AS band_val
+       |  FROM bits GROUP BY doc_id, b // 16),
+       |docb AS (
+       |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bl
+       |  FROM bands GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    bit_count(xor(da.bl[1], db.bl[1]))
+       |    + bit_count(xor(da.bl[2], db.bl[2]))
+       |    + bit_count(xor(da.bl[3], db.bl[3]))
+       |    + bit_count(xor(da.bl[4], db.bl[4])) AS hamming
+       |  FROM cand c
+       |  JOIN docb da ON da.doc_id = c.doc_a
+       |  JOIN docb db ON db.doc_id = c.doc_b)""".stripMargin
+
+  /** Connected components over an undirected pair list by min-label
+    * propagation — the step that turns near-dup PAIRS (q42/q43/q46)
+    * into dedup GROUPS with a canonical keeper. The GraphX-free CC:
+    * every node starts labeled with its own id; each round every node
+    * takes the min of its label and its neighbors' labels; fixpoint =
+    * components labeled by their min member. Deterministic (the
+    * fixpoint is unique regardless of execution order), and the
+    * per-round driver action is the standard Pregel shape — rounds ≤
+    * component diameter, which for near-dup cliques is 1-2, never
+    * data-scaled. Each round is one shuffle join + aggregate; labels
+    * persist round-over-round with the stale generation released.
+    */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl")), "b")
+        .groupBy(col("a")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("id"), col("nbr_lbl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("old_lbl")), "id")
+        .filter(col("lbl") < col("old_lbl")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Q40: exact dedup — group identical texts, keep min doc_id.
@@ -236,65 +341,8 @@ object Dedup {
     // engine's first-band dedup), hamming as the sum of per-band
     // bit_counts of the XORed band values.
     QueryDef("q43_simhash_pairs",
-      (s, dir) => {
-        def bandOf(sh: Column, j: Int): Column =
-          shiftrightunsigned(sh, 16 * j).bitwiseAND(lit(65535L))
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), simhashUdf(col("text")).as("sh"))
-          .persist() // both self-join sides; one UDF pass (see q42 note)
-        // bit-slice per band: (sh >>> 16*i) & 0xFFFF
-        val sliced = docs.select(col("doc_id"), col("sh"),
-          posexplode(array((0 until 4).map(i => bandOf(col("sh"), i)): _*))
-            .as(Seq("band_idx", "band_val")))
-        val a = sliced.select(col("band_idx"), col("band_val"),
-          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val b = sliced.select(col("band_idx").as("bi"),
-          col("band_val").as("bv"), col("doc_id").as("doc_b"),
-          col("sh").as("sh_b"))
-        val earlierMatch = (0 until 3).map(j =>
-          lit(j) < col("band_idx") &&
-            bandOf(col("sh_a"), j) === bandOf(col("sh_b"), j))
-          .reduce(_ || _)
-        a.join(b, col("band_idx") === col("bi") &&
-            col("band_val") === col("bv") && col("doc_a") < col("doc_b"))
-          .filter(!earlierMatch)
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-          .filter(col("hamming") <= 3)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
-              |${OracleSql.shinglesCte(2, "doc_id")},
-              |sh AS (SELECT doc_id, unnest(sset) AS s FROM shing),
-              |h0 AS (SELECT doc_id, ${OracleSql.hash64("s")} AS z FROM sh),
-              |${OracleSql.mix64Ctes("doc_id", "h0")},
-              |bits AS (
-              |  SELECT doc_id, CAST(b.range AS INT) AS b,
-              |    CASE WHEN sum(CASE WHEN (h.m >> CAST(b.range AS INT)) % 2 = 1
-              |                       THEN 1 ELSE -1 END) > 0
-              |         THEN 1 ELSE 0 END AS bit
-              |  FROM mixed h, range(0, 64) b GROUP BY doc_id, b.range),
-              |bands AS (
-              |  SELECT doc_id, CAST(b // 16 AS INT) AS band_idx,
-              |    sum(CASE WHEN bit = 1 THEN 1 << (b % 16) ELSE 0 END) AS band_val
-              |  FROM bits GROUP BY doc_id, b // 16),
-              |docb AS (
-              |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bl
-              |  FROM bands GROUP BY doc_id),
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM bands a JOIN bands b
-              |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-              |   AND a.doc_id < b.doc_id),
-              |ham AS (
-              |  SELECT c.doc_a, c.doc_b,
-              |    bit_count(xor(da.bl[1], db.bl[1]))
-              |    + bit_count(xor(da.bl[2], db.bl[2]))
-              |    + bit_count(xor(da.bl[3], db.bl[3]))
-              |    + bit_count(xor(da.bl[4], db.bl[4])) AS hamming
-              |  FROM cand c
-              |  JOIN docb da ON da.doc_id = c.doc_a
-              |  JOIN docb db ON db.doc_id = c.doc_b)
+      (s, dir) => simhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $simhashPairsCtes
               |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham
               |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)),
 
@@ -475,5 +523,43 @@ object Dedup {
               |    / 1000000.0 AS jaccard
               |FROM verified
               |WHERE 2 * inter >= un
-              |ORDER BY doc_a, doc_b""".stripMargin)))
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ── Q63: near-dup GROUPS from pairs — the step every dedup
+    // pipeline runs after pair mining: union q43's simhash pairs into
+    // connected components (min-label propagation, see
+    // [[connectedComponents]]) and report each group with its
+    // canonical keeper (the min doc_id, which IS the component
+    // label at fixpoint). Members ship as a comma-joined string (q44's
+    // convention — arrays are opaque to the hash-compare harness).
+    // The oracle computes the same fixpoint with a recursive
+    // reachability CTE: component(v) = min(id reachable from v), which
+    // is exactly what min-label propagation converges to.
+    QueryDef("q63_dedup_components",
+      (s, dir) => {
+        val comps = connectedComponents(
+          simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        comps.groupBy(col("lbl"))
+          .agg(count(lit(1)).as("n_docs"),
+            array_join(array_sort(collect_list(col("id"))), ",")
+              .as("members"))
+          .select(col("lbl").as("keeper"), col("n_docs"), col("members"))
+          .orderBy(col("keeper"))
+      },
+      Some(s"""WITH RECURSIVE $simhashPairsCtes,
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+              |edges AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+              |comp AS (
+              |  SELECT src AS id, min(dst) AS keeper FROM reach GROUP BY src)
+              |SELECT keeper, count(*) AS n_docs,
+              |  array_to_string(list_sort(list(id)), ',') AS members
+              |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin)))
 }

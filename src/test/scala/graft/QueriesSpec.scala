@@ -171,6 +171,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("connectedComponents resolves chains and cliques to min labels") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 → multiple propagation rounds),
+    // triangle 10-11-12 with extra edge, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got === expected)
+  }
+
+  test("q63 groups are consistent with q43 pairs (every pair co-grouped)") {
+    val pairs = SparkEntry.queries("q43_simhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = SparkEntry.queries("q63_dedup_components")(spark, sf)
+      .collect().flatMap { r =>
+        val keeper = r.getLong(0)
+        r.getString(2).split(",").map(_.toLong -> keeper)
+      }.toMap
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs)
+      assert(comp(a) === comp(b), s"pair ($a,$b) split across components")
+  }
+
   test("minhash LSH pairs have high exact jaccard (precision of verify step)") {
     import graft.functions.TextKernels
     val docs = spark.read.parquet(s"$sf/documents.parquet")
