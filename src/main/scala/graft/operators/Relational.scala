@@ -439,6 +439,32 @@ object Relational {
         .orderBy(col("event_type")),
       None),
 
+    // ── Q38b (q64): EXACT percentiles via percentile_disc — the
+    // oracle-checkable twin of q38. PERCENTILE_DISC returns an actual
+    // element of the data (smallest value whose cumulative
+    // distribution ≥ p), so unlike interpolating percentiles there is
+    // NO floating-point arithmetic to drift across engines — the
+    // result is a value both engines read verbatim from parquet.
+    // DuckDB's quantile_disc implements the same definition.
+    QueryDef("q64_exact_percentiles",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_pd")
+        s.sql("""SELECT event_type,
+                |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+                |  percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+                |  percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+                |  count(*) AS n
+                |FROM events_pd GROUP BY event_type
+                |ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |  quantile_disc(value, 0.5) AS p50,
+             |  quantile_disc(value, 0.95) AS p95,
+             |  quantile_disc(value, 0.99) AS p99,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // ── Q39: scalar + correlated subqueries — customers spending above
     // the global mean, with their order count from a correlated
     // subquery. Written as SQL subqueries on purpose: Catalyst
