@@ -134,26 +134,35 @@ object Dedup {
     */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // Symmetrize in ONE pass over `pairs` (explode of a 2-struct
+    // array) — a union of two selects would re-execute the upstream
+    // pair-mining join once per branch when this cache materializes.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("a"), col("doc_b").as("b")),
+        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+      .select(col("e.a"), col("e.b"))
       .persist()
-    var labels = edges.select(col("a").as("id")).distinct()
+    var pinned = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).persist()
+    var labels: org.apache.spark.sql.DataFrame = pinned
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl")), "b")
         .groupBy(col("a")).agg(min(col("lbl")).as("nbr_lbl"))
+      // Carry the previous label through the same join so the
+      // convergence count is a filter on `next`, not a second shuffle
+      // join against the previous generation.
       val next = labels
         .join(nbrMin.select(col("a").as("id"), col("nbr_lbl")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist()
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("old_lbl")), "id")
-        .filter(col("lbl") < col("old_lbl")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("lbl") < col("old_lbl")).count()
+      pinned.unpersist()
+      pinned = next
+      labels = next.select(col("id"), col("lbl"))
     }
     edges.unpersist()
     labels

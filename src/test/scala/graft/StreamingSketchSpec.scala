@@ -33,7 +33,7 @@ class StreamingSketchSpec extends AnyFunSuite {
       val winIdx = i % 2 // alternate windows so every batch hits both
       val ts = base + winIdx * 60000L + (i / 2 % 50) * 1000L
       val user = TextKernels.mix64(
-        if (winIdx == 0) (i % 120).toLong else (i % 7).toLong)
+        if (winIdx == 0) (i / 2 % 120).toLong else (i % 7).toLong)
       (new java.sql.Timestamp(ts), user)
     }
 
