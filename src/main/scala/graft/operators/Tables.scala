@@ -32,8 +32,13 @@ object Tables {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(s: SparkSession, dir: String): DataFrame =
+  /** Installs graft_* (the text-hash expressions ride the documents
+    * pipelines) — see [[embeddings]].
+    */
+  def documents(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.ensure(s)
     s.read.parquet(s"$dir/documents.parquet")
+  }
   /** Also installs the graft_* native expressions into the session —
     * the driver hands us its own SparkSession (no
     * spark.sql.extensions), so vector operators self-register here.

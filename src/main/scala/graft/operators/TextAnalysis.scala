@@ -47,17 +47,33 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)))
   }
 
-  /** TextKernels.hash64 / mix64∘hash64 as UDFs — the documented
-    * exception to this file's no-UDF rule (opaque per-row maps shared
-    * with Dedup's signature UDFs). hash64Udf: join/sketch base keys
-    * (q48/q58); mixedHashUdf: uniform hashes for order-statistic
-    * sketches (q49).
+  /** TextKernels.hash64 / mix64∘hash64 as NATIVE expressions
+    * (graft.plans.HashExpressions, registered by Tables.documents) —
+    * join/sketch base keys (q48/q58) and uniform hashes for
+    * order-statistic sketches and deterministic sampling
+    * (q49/q56/q65). Formerly Scala UDFs; the native forms keep the
+    * scan→hash stages inside whole-stage codegen.
     */
-  private val hash64Udf =
-    udf { t: String => graft.functions.TextKernels.hash64(t) }
-  private val mixedHashUdf = udf { t: String =>
-    graft.functions.TextKernels.mix64(graft.functions.TextKernels.hash64(t))
-  }
+  private def hash64C(c: org.apache.spark.sql.Column) =
+    call_function("graft_hash64", c)
+  private def mixedHashC(c: org.apache.spark.sql.Column) =
+    call_function("graft_mix64", hash64C(c))
+
+  /** 2⁶⁴ as an exact DECIMAL(38,0) — with [[unsignedDec]] this turns
+    * the u64 threshold tests of deterministic sampling (keep iff
+    * u·a < b·2⁶⁴) into pure integer-decimal column arithmetic: exact
+    * (decimals are integers throughout, no FP), codegen'd, no UDF.
+    * Headroom note: products stay under DECIMAL(38,0)'s 10³⁸ ceiling
+    * for per-stratum counts up to ~10¹⁸ rows.
+    */
+  private val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+
+  /** Signed long column → its unsigned-u64 value as DECIMAL(38,0). */
+  private def unsignedDec(c: org.apache.spark.sql.Column) =
+    (c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 0))
+      + when(c < 0, two64).otherwise(lit(0)))
+      .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -395,10 +411,10 @@ object TextAnalysis {
           .persist()
         val test = docs.filter(col("source") === "src0")
           .select(col("doc_id"), explode(col("sh")).as("sg"))
-          .select(col("doc_id"), hash64Udf(col("sg")).as("s"))
+          .select(col("doc_id"), hash64C(col("sg")).as("s"))
         val train = docs.filter(col("source") =!= "src0")
           .select(explode(col("sh")).as("sg"))
-          .select(hash64Udf(col("sg")).as("s")).distinct()
+          .select(hash64C(col("sg")).as("s")).distinct()
           .withColumn("hit", lit(1))
         test.join(train, Seq("s"), "left")
           .groupBy(col("doc_id"))
@@ -456,7 +472,7 @@ object TextAnalysis {
           .select(col("source"), explode(bigramsOfT).as("bg"))
           .groupBy(col("source"))
           .agg(countDistinct(col("bg")).as("n_exact"),
-            kmv(mixedHashUdf(col("bg"))).as("est_kmv"))
+            kmv(mixedHashC(col("bg"))).as("est_kmv"))
           .orderBy(col("source"))
       },
       Some {
@@ -500,15 +516,11 @@ object TextAnalysis {
     // both engines (no floating-point cut, no constant rounding).
     QueryDef("q56_hash_split",
       (s, dir) => {
-        val t1 = BigInt(9) << 64
-        val t2 = BigInt(19) << 64
-        val splitUdf = udf { id: Long =>
-          val u = BigInt(java.lang.Long.toUnsignedString(
-            graft.functions.TextKernels.mix64(id)))
-          if (u * 10 < t1) "train" else if (u * 20 < t2) "val" else "test"
-        }
+        val u = unsignedDec(call_function("graft_mix64", col("doc_id")))
+        val split = when(u * 10 < two64 * 9, "train")
+          .when(u * 20 < two64 * 19, "val").otherwise("test")
         Tables.documents(s, dir)
-          .select(col("source"), splitUdf(col("doc_id")).as("split"),
+          .select(col("source"), split.as("split"),
             size(toks).cast("long").as("nt"))
           .groupBy(col("source"), col("split"))
           .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
@@ -595,7 +607,7 @@ object TextAnalysis {
         val occ = Tables.documents(s, dir)
           .select(toks.as("t"))
           .select(explode(bigramsOfT).as("bg"))
-          .select(col("bg"), hash64Udf(col("bg")).as("hb"))
+          .select(col("bg"), hash64C(col("bg")).as("hb"))
           .persist()
         val sketch = occ.agg(cms(col("hb")).as("sk"))
         val top = occ.groupBy(col("bg"))
@@ -702,5 +714,80 @@ object TextAnalysis {
              |  CAST((2 * c_bg * n_tok * 1000000 + ca * cb) // (2 * ca * cb)
              |    AS BIGINT) AS lift_ppm
              |FROM j
-             |ORDER BY lift_ppm DESC, bg LIMIT 20""".stripMargin)))
+             |ORDER BY lift_ppm DESC, bg LIMIT 20""".stripMargin)),
+
+    // ── Q65: weighted source mixing — deterministic per-source
+    // sampling to target mixture weights, the pretraining data-mix op
+    // (each source s gets weight w_s; keep-probability p_s = w_s ·
+    // cnt_m / (w_m · cnt_s), scaled so the LIMITING source m — the one
+    // minimizing cnt/w — keeps 100% and every kept-count lands ∝ w).
+    // Membership is a pure function of doc_id (u = mix64(doc_id) as a
+    // uniform u64; keep iff u · w_m · cnt_s < w_s · cnt_m · 2⁶⁴), so
+    // the sample is reproducible shard-by-shard at 100 TB with no
+    // global state. All arithmetic is integer-exact: the limiting
+    // source is chosen by the integer key cnt·(60 div w) (w ∈ 1..5 all
+    // divide 60, so the rational cnt/w order is preserved exactly),
+    // and the threshold compare is DECIMAL(38,0)/HUGEINT — no float
+    // anywhere, and no UDF (graft_mix64 + decimal columns codegen).
+    // Plan shape: one partial-agg shuffle for the 20-row stats table,
+    // then broadcast joins back onto the scan; the 1-row limiting
+    // source rides a broadcast cross join. Conditional sums (not a
+    // filter) keep all sources in the output even if one keeps 0 docs.
+    QueryDef("q65_source_mix_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("nt"))
+        val stats = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", pmod(hash64C(col("source")), lit(5L)) + lit(1L))
+        val limiting = stats
+          .select(col("n_docs").as("cnt_m"), col("w").as("w_m"),
+            expr("n_docs * (60 div w)").as("key"), col("source").as("ms"))
+          .orderBy(col("key"), col("ms")).limit(1)
+          .select(col("cnt_m"), col("w_m"))
+        val u = unsignedDec(call_function("graft_mix64", col("doc_id")))
+        docs.join(broadcast(stats), "source")
+          .crossJoin(broadcast(limiting))
+          .withColumn("keep",
+            u * (col("w_m") * col("n_docs")) < two64 * (col("w") * col("cnt_m")))
+          .groupBy(col("source"))
+          .agg(first(col("w")).as("w"), first(col("n_docs")).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("nt")).otherwise(0L)).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source, len(string_split(text, ' ')) AS nt
+              |  FROM documents),
+              |srcs AS (SELECT DISTINCT source FROM base),
+              |srcw AS (
+              |  SELECT source,
+              |    ((${OracleSql.toSigned(OracleSql.hash64("source"))} % 5)
+              |      + 5) % 5 + 1 AS w
+              |  FROM srcs),
+              |stats AS (
+              |  SELECT b.source, count(*) AS cnt, any_value(sw.w) AS w
+              |  FROM base b JOIN srcw sw ON sw.source = b.source
+              |  GROUP BY b.source),
+              |lim AS (
+              |  SELECT cnt AS cnt_m, w AS w_m FROM stats
+              |  ORDER BY cnt * (60 // w), source LIMIT 1),
+              |h0 AS (
+              |  SELECT doc_id, source, nt, CAST(doc_id AS HUGEINT) AS z
+              |  FROM base),
+              |${OracleSql.mix64Ctes("doc_id, source, nt", "h0")},
+              |flagged AS (
+              |  SELECT d.source, d.nt, s.w, s.cnt,
+              |    CASE WHEN d.m * (CAST(l.w_m AS HUGEINT) * s.cnt)
+              |           < CAST(s.w AS HUGEINT) * l.cnt_m * ${OracleSql.MOD}
+              |         THEN 1 ELSE 0 END AS keep
+              |  FROM mixed d
+              |  JOIN stats s ON s.source = d.source
+              |  CROSS JOIN lim l)
+              |SELECT source, CAST(any_value(w) AS BIGINT) AS w,
+              |  any_value(cnt) AS n_docs,
+              |  CAST(sum(keep) AS BIGINT) AS n_kept,
+              |  CAST(sum(keep * nt) AS BIGINT) AS kept_tokens
+              |FROM flagged GROUP BY source ORDER BY source""".stripMargin)))
 }

@@ -38,7 +38,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
-      (args: Seq[Expression]) => L2Norm(args.head)))
+      (args: Seq[Expression]) => L2Norm(args.head)),
+    (FunctionIdentifier("graft_hash64"),
+      new ExpressionInfo(classOf[TextHash64].getName, "graft_hash64"),
+      (args: Seq[Expression]) => TextHash64(args.head)),
+    (FunctionIdentifier("graft_mix64"),
+      new ExpressionInfo(classOf[Mix64].getName, "graft_mix64"),
+      (args: Seq[Expression]) => Mix64(args.head)))
 
   /** Idempotent session-local registration (overwrites are no-ops —
     * the builders are stateless).

@@ -131,4 +131,22 @@ class PlanSpec extends AnyFunSuite {
     // l_comment / l_shipinstruct etc. must not be read
     assert(!read.contains("l_comment") && !read.contains("l_shipinstruct"), read)
   }
+
+  test("q56/q65 deterministic sampling is UDF-free (native hash + decimal)") {
+    // the whole-stage-codegen story of the sampling ops: graft_mix64 is
+    // a native expression and the u64 threshold is decimal arithmetic,
+    // so no ScalaUDF (codegen boundary) appears anywhere in the plan
+    for (q <- Seq("q56_hash_split", "q65_source_mix_sample")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q: ScalaUDF in plan:\n${p.take(1500)}")
+      assert(p.contains("graft_mix64"), s"$q: native mix64 missing")
+    }
+  }
+
+  test("q65: stats and limiting-row joins broadcast (scan never shuffles)") {
+    val p = plan("q65_source_mix_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "per-source stats must broadcast")
+  }
 }

@@ -198,6 +198,22 @@ class QueriesSpec extends AnyFunSuite {
       assert(comp(a) === comp(b), s"pair ($a,$b) split across components")
   }
 
+  test("q65 mix sample: limiting source keeps 100%, others ≤ 100%, w ∈ 1..5") {
+    val rows = SparkEntry.queries("q65_source_mix_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((src, w, nDocs, nKept) <- rows) {
+      assert(w >= 1 && w <= 5, s"$src weight $w out of range")
+      assert(nKept <= nDocs, s"$src kept $nKept of $nDocs")
+    }
+    // the limiting source (min cnt/w, the exact integer key) has
+    // keep-probability exactly 1 — every doc's u64 is below 2^64
+    val limiting = rows.minBy { case (src, w, n, _) => (n * (60 / w), src) }
+    assert(limiting._4 === limiting._3,
+      s"limiting source ${limiting._1} must keep all docs: $limiting")
+  }
+
   test("minhash LSH pairs have high exact jaccard (precision of verify step)") {
     import graft.functions.TextKernels
     val docs = spark.read.parquet(s"$sf/documents.parquet")
