@@ -789,5 +789,73 @@ object TextAnalysis {
               |  any_value(cnt) AS n_docs,
               |  CAST(sum(keep) AS BIGINT) AS n_kept,
               |  CAST(sum(keep * nt) AS BIGINT) AS kept_tokens
-              |FROM flagged GROUP BY source ORDER BY source""".stripMargin)))
+              |FROM flagged GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q66: distinctive terms per source — TF-IDF-style
+    // over-representation: for each source, the tokens whose in-source
+    // frequency most exceeds their corpus frequency, lift_ppm =
+    // round_half_up((tf/tok_s) / (ctf/N) · 10⁶) in exact DECIMAL/
+    // HUGEINT integer arithmetic (the q59 pattern — NEVER rank on
+    // engine floats). Scale shape: ONE explode→groupBy(source, tok)
+    // shuffle builds the counts table; source totals, corpus
+    // frequencies and the grand total all derive from that small table
+    // (no second pass over the token stream). Per-source totals (20
+    // rows) and the 1-row total broadcast; the vocab join stays a
+    // shuffle join (vocab is data-scaled). Top-3 per source is written
+    // as the standard row_number()≤k idiom, which TopKRewriteRule
+    // replaces with the bounded-heap TopKPerKey operator — shuffle
+    // carries ≤ k rows per (source, partition), no per-group sort.
+    QueryDef("q66_distinctive_terms",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        import org.apache.spark.sql.expressions.Window
+        val st = Tables.documents(s, dir)
+          .select(col("source"), toks.as("t"))
+          .select(col("source"), explode(col("t")).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .persist() // three downstream aggregation branches
+        val srcTot = st.groupBy(col("source")).agg(sum(col("tf")).as("tok_s"))
+        val corpusTf = st.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
+        val total = st.agg(sum(col("tf")).as("n_tok"))
+        st.filter(col("tf") >= 5)
+          .join(corpusTf, "tok")
+          .join(broadcast(srcTot), "source")
+          .crossJoin(broadcast(total))
+          .select(col("source"), col("tok"), col("tf"), col("ctf"),
+            expr("(2 * CAST(tf AS DECIMAL(38,0)) * n_tok * 1000000" +
+              " + CAST(tok_s AS DECIMAL(38,0)) * ctf)" +
+              " div (2 * CAST(tok_s AS DECIMAL(38,0)) * ctf)").as("lift_ppm"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("lift_ppm").desc, col("tok"))))
+          .filter(col("rn") <= 3)
+          .orderBy(col("source"), col("rn"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |st AS (
+             |  SELECT source, tok, count(*) AS tf FROM tk GROUP BY source, tok),
+             |srct AS (SELECT source, sum(tf) AS tok_s FROM st GROUP BY source),
+             |ctfs AS (SELECT tok, sum(tf) AS ctf FROM st GROUP BY tok),
+             |tot AS (SELECT CAST(sum(tf) AS HUGEINT) AS n_tok FROM st),
+             |j AS (
+             |  SELECT s.source, s.tok, s.tf, c.ctf, r.tok_s, t.n_tok
+             |  FROM st s
+             |  JOIN ctfs c USING (tok)
+             |  JOIN srct r USING (source)
+             |  CROSS JOIN tot t
+             |  WHERE s.tf >= 5),
+             |l AS (
+             |  SELECT source, tok, tf, CAST(ctf AS BIGINT) AS ctf,
+             |    CAST((2 * tf * n_tok * 1000000 + tok_s * ctf)
+             |      // (2 * tok_s * ctf) AS BIGINT) AS lift_ppm
+             |  FROM j),
+             |r AS (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY source ORDER BY lift_ppm DESC, tok) AS INT) AS rn
+             |  FROM l)
+             |SELECT source, tok, tf, ctf, lift_ppm, rn FROM r
+             |WHERE rn <= 3 ORDER BY source, rn""".stripMargin)))
 }
