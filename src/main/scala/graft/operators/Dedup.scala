@@ -570,5 +570,80 @@ object Dedup {
               |  SELECT src AS id, min(dst) AS keeper FROM reach GROUP BY src)
               |SELECT keeper, count(*) AS n_docs,
               |  array_to_string(list_sort(list(id)), ',') AS members
-              |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin)))
+              |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin)),
+
+    // ── Q68: incremental ingest dedup — classify an INCOMING batch
+    // (source src0, the held-out source) against the EXISTING corpus:
+    // 'exact' (identical text somewhere in the corpus), 'near'
+    // (simhash hamming ≤ 3 to a corpus doc), else 'novel', with the
+    // smallest matching corpus doc as evidence. The production shape
+    // for continuous corpus growth: the new shard joins the store, the
+    // store never self-joins. Exact pass shuffles sha256 hex (64
+    // chars), never bodies (q41's convention — both engines compute
+    // sha256, so the join keys agree; collision-freedom assumed as
+    // everywhere). Near pass reuses q43's banded simhash pair mining
+    // — at deployment the corpus side's band table is precomputed at
+    // ingest, so each increment only hashes its own docs. 'exact'
+    // takes precedence over 'near'; matches aggregate to min per
+    // incoming doc before the (left) evidence joins.
+    QueryDef("q68_incremental_ingest",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val inc = docs.filter(col("source") === "src0")
+          .select(col("doc_id"), col("text"))
+        val corp = docs.filter(col("source") =!= "src0")
+          .select(col("doc_id").as("c_id"), col("text").as("c_text"))
+        val ex = inc.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+          .join(corp.select(col("c_id"), sha2(col("c_text"), 256).as("h")),
+            "h")
+          .groupBy(col("doc_id")).agg(min(col("c_id")).as("ex_match"))
+        val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        val sym = pairs.select(explode(array(
+            struct(col("doc_a").as("x"), col("doc_b").as("y")),
+            struct(col("doc_b").as("x"), col("doc_a").as("y")))).as("e"))
+          .select(col("e.x"), col("e.y"))
+        val nearm = sym
+          .join(inc.select(col("doc_id").as("x")), "x")
+          .join(corp.select(col("c_id").as("y")), "y")
+          .groupBy(col("x")).agg(min(col("y")).as("near_match"))
+          .select(col("x").as("doc_id"), col("near_match"))
+        inc.select(col("doc_id"))
+          .join(ex, Seq("doc_id"), "left")
+          .join(nearm, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("ex_match").isNotNull, "exact")
+              .when(col("near_match").isNotNull, "near")
+              .otherwise("novel").as("status"),
+            coalesce(col("ex_match"), col("near_match")).as("match_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $simhashPairsCtes,
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+              |inc AS (
+              |  SELECT doc_id, text FROM documents WHERE source = 'src0'),
+              |corp AS (
+              |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+              |ex AS (
+              |  SELECT i.doc_id, min(c.doc_id) AS ex_match
+              |  FROM inc i JOIN corp c ON sha256(c.text) = sha256(i.text)
+              |  GROUP BY i.doc_id),
+              |sym AS (
+              |  SELECT doc_a AS x, doc_b AS y FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |nearm AS (
+              |  SELECT s.x AS doc_id, min(s.y) AS near_match
+              |  FROM sym s
+              |  JOIN inc i ON i.doc_id = s.x
+              |  JOIN corp c ON c.doc_id = s.y
+              |  GROUP BY s.x)
+              |SELECT i.doc_id,
+              |  CASE WHEN e.ex_match IS NOT NULL THEN 'exact'
+              |       WHEN n.near_match IS NOT NULL THEN 'near'
+              |       ELSE 'novel' END AS status,
+              |  coalesce(e.ex_match, n.near_match) AS match_id
+              |FROM inc i
+              |LEFT JOIN ex e USING (doc_id)
+              |LEFT JOIN nearm n USING (doc_id)
+              |ORDER BY i.doc_id""".stripMargin)))
 }

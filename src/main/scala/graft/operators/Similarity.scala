@@ -362,7 +362,71 @@ object Similarity {
            |  WHERE label IN (SELECT label FROM probes))
            |SELECT vec_id, label, cos_raw AS cosine
            |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
-      }))
+      }),
+
+    // ── Q67: scalar quantization (int8) of the embedding corpus — the
+    // compression step of a 100 TB ANN pipeline (4× smaller vectors,
+    // SIMD-friendly integer distance kernels downstream). Per-dimension
+    // min/max train pass: posexplode → hash agg; min/max partial-
+    // aggregate map-side, so the exchange carries 64 rows per
+    // partition, never the vector stream. The 64-row codebook rides a
+    // broadcast cross join back onto the scan, and each vector
+    // quantizes in one higher-order transform: code_i = floor((x_i −
+    // mn_i)·255 / (mx_i − mn_i)) clamped to [0, 255]. Every float is
+    // widened to double before arithmetic and the expression trees are
+    // identical on both engines, so the IEEE results — and the integer
+    // codes — match exactly; outputs are pure integers (code sum,
+    // min/max code, saturated-endpoint count). Degenerate dimension
+    // (mx = mn) → code 0 by definition on both sides.
+    QueryDef("q67_scalar_quantize",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val dims = e
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg(min(col("x").cast("double")).as("mn"),
+            max(col("x").cast("double")).as("mx"))
+        val codebook = dims
+          .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
+            col("mx")))).as("d"))
+          .select(transform(col("d"), p => p.getField("mn")).as("mns"),
+            transform(col("d"), p => p.getField("mx")).as("mxs"))
+        val codes = transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          when(mx === mn, 0L).otherwise(
+            least(lit(255L), greatest(lit(0L),
+              floor(((x.cast("double") - mn) * 255) / (mx - mn)))))
+        })
+        e.crossJoin(broadcast(codebook))
+          .select(col("vec_id"), codes.as("q"))
+          .select(col("vec_id"),
+            aggregate(col("q"), lit(0L), (a, c) => a + c).as("code_sum"),
+            array_min(col("q")).as("code_lo"),
+            array_max(col("q")).as("code_hi"),
+            size(filter(col("q"), c => c === 0L || c === 255L))
+              .cast("long").as("n_saturated"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH dims AS (
+             |  SELECT i.range AS pos,
+             |    min(CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE)) AS mn,
+             |    max(CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE)) AS mx
+             |  FROM embeddings, range(0, 64) i GROUP BY i.range),
+             |codes AS (
+             |  SELECT e.vec_id,
+             |    CASE WHEN d.mx = d.mn THEN 0
+             |         ELSE least(255, greatest(0, CAST(floor(
+             |           ((CAST(e.embedding[CAST(d.pos AS INT) + 1] AS DOUBLE)
+             |             - d.mn) * 255) / (d.mx - d.mn)) AS BIGINT)))
+             |    END AS c
+             |  FROM embeddings e CROSS JOIN dims d)
+             |SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+             |  CAST(min(c) AS BIGINT) AS code_lo,
+             |  CAST(max(c) AS BIGINT) AS code_hi,
+             |  CAST(sum(CASE WHEN c = 0 OR c = 255 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_saturated
+             |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin)))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the
