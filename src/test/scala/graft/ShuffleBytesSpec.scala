@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured shuffle volume — the 100 TB claims as numbers, not prose.
+  * A SparkListener sums shuffle WRITE bytes across the stages of one
+  * action, so the "shuffle hashes, not bodies" and "bounded-heap top-k
+  * caps the exchange" designs are asserted against what actually
+  * crossed the wire.
+  */
+class ShuffleBytesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Total shuffle write bytes of `df`'s count() action. AQE caches
+    * nothing between calls here (fresh plans per call), and stages of
+    * concurrent tests can't interleave because ScalaTest runs suites'
+    * tests serially within a suite.
+    */
+  private def shuffleBytes(df: DataFrame): Long = {
+    var bytes = 0L
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        bytes += e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      df.count()
+      // the listener bus is async (and private); wait for the byte
+      // count to stop moving instead
+      var prev = -1L
+      var spins = 0
+      while (bytes != prev && spins < 50) {
+        prev = bytes; spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    bytes
+  }
+
+  test("q41 (sha256 keys) shuffles less than q40 (raw text keys)") {
+    val byText = shuffleBytes(SparkEntry.queries("q40_dedup_exact")(spark, sf))
+    val byHash = shuffleBytes(SparkEntry.queries("q41_dedup_hash")(spark, sf))
+    assert(byHash > 0, "expected a real exchange in q41")
+    assert(byHash < byText,
+      s"hash-keyed dedup must shuffle less: hash=$byHash text=$byText")
+  }
+
+  test("TopKPerKey shuffles less than an uncapped window top-k") {
+    graft.plans.TopK.ensure(spark)
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+    val topk = shuffleBytes(
+      graft.plans.TopK.perKey(rows, Seq("l_returnflag"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true)), k = 3))
+    // The uncapped alternative: every row of a key crosses the
+    // exchange, then a per-group sort. Two guards keep it uncapped:
+    // rank() (TopKRewriteRule matches only row_number), and Spark's
+    // own InferWindowGroupLimit excluded — otherwise 3.5+ inserts a
+    // partial group limit below the exchange, which is precisely the
+    // optimization whose absence this baseline represents.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+    val windowed =
+      try shuffleBytes(
+        rows.withColumn("rn", rank().over(
+            Window.partitionBy(col("l_returnflag"))
+              .orderBy(col("l_extendedprice").desc, col("l_orderkey"))))
+          .filter(col("rn") <= 3))
+      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    assert(topk > 0)
+    assert(topk < windowed,
+      s"bounded-heap top-k must cap the exchange: topk=$topk window=$windowed")
+  }
+}
