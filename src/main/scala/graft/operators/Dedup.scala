@@ -460,10 +460,14 @@ object Dedup {
         val harr = docs.select(col("doc_id"),
           sort_array(shingleHashesUdf(col("text"))).as("hl"))
           .persist()
+        // persisted: consumed three times (hot-key agg + both sides of
+        // the candidate self-join) — without the cache the explode
+        // re-runs per branch (the q63-edges lesson)
         val pre = harr.select(col("doc_id"), size(col("hl")).as("n"),
           posexplode(expr("slice(hl, 1, size(hl) div 2 + 1)"))
             .as(Seq("p0", "h")))
           .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("h"))
+          .persist()
         val hot = pre.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > MAX_DF).select(col("h"))
         val pruned = pre.join(broadcast(hot), Seq("h"), "left_anti")

@@ -69,6 +69,49 @@ object Similarity {
        |      / 1000003.0 AS w
        |  FROM mixed)""".stripMargin
 
+  /** Scalar-quantization code for value `x` against [mn, mx]:
+    * floor((x − mn)·255 / (mx − mn)) clamped to [0, 255]; degenerate
+    * dimension (mx = mn) → 0. Shared by q67 (train/encode) and q69
+    * (compressed-domain search); the SQL twins spell the identical
+    * expression tree so the IEEE doubles — and the integer codes —
+    * agree bit-for-bit.
+    */
+  private def sqCode(x: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, 0L).otherwise(
+      least(lit(255L), greatest(lit(0L),
+        floor(((x - mn) * 255) / (mx - mn)))))
+
+  /** One-row codebook (mns, mxs as pos-ordered arrays) from the
+    * per-dimension min/max of the corpus — the posexplode partial-
+    * aggregates map-side, so the exchange carries 64 rows per
+    * partition, never the vector stream.
+    */
+  private def sqCodebook(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
+        col("mx")))).as("d"))
+      .select(transform(col("d"), p => p.getField("mn")).as("mns"),
+        transform(col("d"), p => p.getField("mx")).as("mxs"))
+
+  /** SQL twin of [[sqCodebook]]: CTE `dims(pos, mn, mx)`, pos 0-based. */
+  private val dimsCteSql: String =
+    s"""dims AS (
+       |  SELECT i.range AS pos,
+       |    min(CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE)) AS mn,
+       |    max(CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE)) AS mx
+       |  FROM embeddings, range(0, $DIM) i GROUP BY i.range)""".stripMargin
+
+  /** SQL twin of [[sqCode]] over expression `x` and dims alias `d`. */
+  private def sqCodeSql(x: String): String =
+    s"""CASE WHEN d.mx = d.mn THEN 0
+       |         ELSE least(255, greatest(0, CAST(floor(
+       |           (($x - d.mn) * 255) / (d.mx - d.mn)) AS BIGINT)))
+       |    END""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Q50: brute-force cosine top-10 against a constant query vector.
@@ -381,24 +424,10 @@ object Similarity {
     QueryDef("q67_scalar_quantize",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val dims = e
-          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("pos"))
-          .agg(min(col("x").cast("double")).as("mn"),
-            max(col("x").cast("double")).as("mx"))
-        val codebook = dims
-          .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
-            col("mx")))).as("d"))
-          .select(transform(col("d"), p => p.getField("mn")).as("mns"),
-            transform(col("d"), p => p.getField("mx")).as("mxs"))
-        val codes = transform(col("embedding"), (x, i) => {
-          val mn = element_at(col("mns"), i + 1)
-          val mx = element_at(col("mxs"), i + 1)
-          when(mx === mn, 0L).otherwise(
-            least(lit(255L), greatest(lit(0L),
-              floor(((x.cast("double") - mn) * 255) / (mx - mn)))))
-        })
-        e.crossJoin(broadcast(codebook))
+        val codes = transform(col("embedding"), (x, i) =>
+          sqCode(x.cast("double"), element_at(col("mns"), i + 1),
+            element_at(col("mxs"), i + 1)))
+        e.crossJoin(broadcast(sqCodebook(e)))
           .select(col("vec_id"), codes.as("q"))
           .select(col("vec_id"),
             aggregate(col("q"), lit(0L), (a, c) => a + c).as("code_sum"),
@@ -408,25 +437,82 @@ object Similarity {
               .cast("long").as("n_saturated"))
           .orderBy(col("vec_id"))
       },
-      Some("""WITH dims AS (
-             |  SELECT i.range AS pos,
-             |    min(CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE)) AS mn,
-             |    max(CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE)) AS mx
-             |  FROM embeddings, range(0, 64) i GROUP BY i.range),
-             |codes AS (
-             |  SELECT e.vec_id,
-             |    CASE WHEN d.mx = d.mn THEN 0
-             |         ELSE least(255, greatest(0, CAST(floor(
-             |           ((CAST(e.embedding[CAST(d.pos AS INT) + 1] AS DOUBLE)
-             |             - d.mn) * 255) / (d.mx - d.mn)) AS BIGINT)))
-             |    END AS c
-             |  FROM embeddings e CROSS JOIN dims d)
-             |SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
-             |  CAST(min(c) AS BIGINT) AS code_lo,
-             |  CAST(max(c) AS BIGINT) AS code_hi,
-             |  CAST(sum(CASE WHEN c = 0 OR c = 255 THEN 1 ELSE 0 END)
-             |    AS BIGINT) AS n_saturated
-             |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin)))
+      Some(s"""WITH $dimsCteSql,
+              |codes AS (
+              |  SELECT e.vec_id,
+              |    ${sqCodeSql("CAST(e.embedding[CAST(d.pos AS INT) + 1] AS DOUBLE)")} AS c
+              |  FROM embeddings e CROSS JOIN dims d)
+              |SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+              |  CAST(min(c) AS BIGINT) AS code_lo,
+              |  CAST(max(c) AS BIGINT) AS code_hi,
+              |  CAST(sum(CASE WHEN c = 0 OR c = 255 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_saturated
+              |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // ── Q69: compressed-domain ANN — top-10 by EXACT integer dot
+    // product over the int8 codes of q67's codebook, the search step
+    // that makes scalar quantization pay off at 100 TB (4× less I/O,
+    // integer SIMD kernels, no float loads). The query vector
+    // quantizes against the same codebook inside the plan (64 scalar
+    // ops per row — no driver-side collect of the codebook), corpus
+    // codes come from the same shared quantizer, and the score is a
+    // zip_with·aggregate integer fold, so ranking is integer-exact on
+    // both engines (vec_id breaks ties). The float cosine rides along
+    // per hit — the exact re-rank a production pipeline would apply
+    // to the compressed candidates. Honest recall note: on this
+    // corpus's near-orthogonal embeddings the dot margins between
+    // neighbors are smaller than the accumulated quantization error,
+    // so compressed ranking is a coarse pre-filter here (as with the
+    // other ANN shapes — low recall is a property of the synthetic
+    // data; QueriesSpec asserts the per-element reconstruction-error
+    // bound, which is what the operator actually guarantees).
+    QueryDef("q69_quantized_ann",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        def codeOf(x: Column, i: Column): Column =
+          sqCode(x, element_at(col("mns"), i + 1),
+            element_at(col("mxs"), i + 1))
+        val qlit = array(queryVec.map(lit): _*)
+        val qcodes = transform(qlit, (x, i) => codeOf(x, i))
+        val ccodes = transform(col("embedding"),
+          (x, i) => codeOf(x.cast("double"), i))
+        val qscore = aggregate(
+          zip_with(ccodes, qcodes, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v)
+        val cos = VectorKernels.dotConst(col("embedding"), queryVec) /
+          (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qNorm2)))
+        e.crossJoin(broadcast(sqCodebook(e)))
+          .select(col("vec_id"), qscore.as("qscore"), cos.as("cosine"))
+          .orderBy(col("qscore").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        val qlist = (0 until DIM).map(i => f(queryVec(i))).mkString(", ")
+        s"""WITH $dimsCteSql,
+           |qv AS (
+           |  SELECT CAST(i.range AS INT) AS pos, ql[CAST(i.range AS INT) + 1] AS qx
+           |  FROM (SELECT [$qlist] AS ql), range(0, $DIM) i),
+           |qcodes AS (
+           |  SELECT d.pos, ${sqCodeSql("q.qx")} AS qc
+           |  FROM dims d JOIN qv q ON q.pos = d.pos),
+           |ccodes AS (
+           |  SELECT e.vec_id, d.pos,
+           |    ${sqCodeSql("CAST(e.embedding[CAST(d.pos AS INT) + 1] AS DOUBLE)")} AS cc
+           |  FROM embeddings e CROSS JOIN dims d),
+           |scored AS (
+           |  SELECT c.vec_id, CAST(sum(c.cc * q.qc) AS BIGINT) AS qscore
+           |  FROM ccodes c JOIN qcodes q ON q.pos = c.pos
+           |  GROUP BY c.vec_id),
+           |cosd AS (
+           |  SELECT vec_id,
+           |    (${dotConstSql("embedding")})
+           |      / (sqrt(${dotSql("embedding", "embedding")})
+           |         * sqrt(${f(qNorm2)})) AS cosine
+           |  FROM embeddings)
+           |SELECT s.vec_id, s.qscore, c.cosine
+           |FROM scored s JOIN cosd c USING (vec_id)
+           |ORDER BY s.qscore DESC, s.vec_id LIMIT 10""".stripMargin
+      }))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the

@@ -214,6 +214,28 @@ class QueriesSpec extends AnyFunSuite {
       s"limiting source ${limiting._1} must keep all docs: $limiting")
   }
 
+  test("q67 code sums equal an independent driver-side quantizer") {
+    // recompute every code in plain Scala doubles (same IEEE ops in a
+    // different implementation) and compare code_sum — guards the
+    // column-expression quantizer against operator-order drift
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val dim = embs.head._2.length
+    val mns = (0 until dim).map(i => embs.map(_._2(i)).min)
+    val mxs = (0 until dim).map(i => embs.map(_._2(i)).max)
+    val codeSums = SparkEntry.queries("q67_scalar_quantize")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, vec) <- embs) {
+      val expected = (0 until dim).map { i =>
+        if (mxs(i) == mns(i)) 0L
+        else math.floor(((vec(i) - mns(i)) * 255) / (mxs(i) - mns(i)))
+          .max(0.0).min(255.0).toLong
+      }.sum
+      assert(codeSums(id) === expected,
+        s"vec $id code_sum ${codeSums(id)} != recomputed $expected")
+    }
+  }
+
   test("minhash LSH pairs have high exact jaccard (precision of verify step)") {
     import graft.functions.TextKernels
     val docs = spark.read.parquet(s"$sf/documents.parquet")
