@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions — the `.explain("formatted")` audit as
@@ -148,5 +149,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       p.take(1500))
     assert(!p.contains("SortMergeJoin"), "per-source stats must broadcast")
+  }
+
+  test("runtime bloom filter prunes the fact side when the dim cannot broadcast") {
+    // the 100 TB contingency: a selectively-filtered build side that is
+    // too big to broadcast still reaches the fact scan as a bloom
+    // runtime filter (semi-join pushdown), not a full-shuffle join of
+    // the unfiltered fact table
+    val conf = spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "100MB")
+    // the fact side must look "large" for injection; sf0.001 is KBs
+    conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected a bloom runtime filter in:\n${p.take(2000)}")
+    } finally {
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      conf.unset("spark.sql.optimizer.runtimeFilter.number.threshold")
+    }
   }
 }
