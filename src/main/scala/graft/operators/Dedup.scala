@@ -132,17 +132,23 @@ object Dedup {
     * data-scaled. Each round is one shuffle join + aggregate; labels
     * persist round-over-round with the stale generation released.
     */
+  /** Symmetrize a (doc_a, doc_b) pair list into both-direction edges
+    * named (`aOut`, `bOut`) in ONE pass (explode of a 2-struct array)
+    * — a union of two selects would re-execute the upstream
+    * pair-mining join once per branch when the result materializes.
+    * Shared by [[connectedComponents]] and q68.
+    */
+  private def symmetrize(pairs: org.apache.spark.sql.DataFrame,
+      aOut: String, bOut: String): org.apache.spark.sql.DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col("doc_a").as(aOut), col("doc_b").as(bOut)),
+        struct(col("doc_b").as(aOut), col("doc_a").as(bOut)))).as("e"))
+      .select(col(s"e.$aOut"), col(s"e.$bOut"))
+
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // Symmetrize in ONE pass over `pairs` (explode of a 2-struct
-    // array) — a union of two selects would re-execute the upstream
-    // pair-mining join once per branch when this cache materializes.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("doc_a").as("a"), col("doc_b").as("b")),
-        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
-      .select(col("e.a"), col("e.b"))
-      .persist()
+    val edges = symmetrize(pairs, "a", "b").persist()
     var pinned = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).persist()
     var labels: org.apache.spark.sql.DataFrame = pinned
@@ -601,11 +607,8 @@ object Dedup {
           .join(corp.select(col("c_id"), sha2(col("c_text"), 256).as("h")),
             "h")
           .groupBy(col("doc_id")).agg(min(col("c_id")).as("ex_match"))
-        val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        val sym = pairs.select(explode(array(
-            struct(col("doc_a").as("x"), col("doc_b").as("y")),
-            struct(col("doc_b").as("x"), col("doc_a").as("y")))).as("e"))
-          .select(col("e.x"), col("e.y"))
+        val sym = symmetrize(
+          simhashPairs(s, dir).select(col("doc_a"), col("doc_b")), "x", "y")
         val nearm = sym
           .join(inc.select(col("doc_id").as("x")), "x")
           .join(corp.select(col("c_id").as("y")), "y")

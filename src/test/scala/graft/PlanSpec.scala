@@ -136,11 +136,17 @@ class PlanSpec extends AnyFunSuite {
   test("q56/q65 deterministic sampling is UDF-free (native hash + decimal)") {
     // the whole-stage-codegen story of the sampling ops: graft_mix64 is
     // a native expression and the u64 threshold is decimal arithmetic,
-    // so no ScalaUDF (codegen boundary) appears anywhere in the plan
+    // so no ScalaUDF (codegen boundary) appears anywhere in the plan.
+    // Walk the actual expression trees — ScalaUDF renders as "UDF(...)"
+    // in plan strings, so a string match on the class name is vacuous.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     for (q <- Seq("q56_hash_split", "q65_source_mix_sample")) {
-      val p = plan(q)
-      assert(!p.contains("ScalaUDF"), s"$q: ScalaUDF in plan:\n${p.take(1500)}")
-      assert(p.contains("graft_mix64"), s"$q: native mix64 missing")
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val hasUdf = exec.exists(node =>
+        node.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
+      assert(!hasUdf, s"$q: ScalaUDF in plan:\n${exec.toString.take(1500)}")
+      assert(exec.toString.contains("graft_mix64"),
+        s"$q: native mix64 missing")
     }
   }
 

@@ -29,23 +29,25 @@ class ShuffleBytesSpec extends AnyFunSuite {
     * tests serially within a suite.
     */
   private def shuffleBytes(df: DataFrame): Long = {
-    var bytes = 0L
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-        bytes += e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        bytes.addAndGet(
+          e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       df.count()
       // the listener bus is async (and private); wait for the byte
-      // count to stop moving instead
+      // count to stop moving instead (AtomicLong for cross-thread
+      // visibility between the bus thread and this spin loop)
       var prev = -1L
       var spins = 0
-      while (bytes != prev && spins < 50) {
-        prev = bytes; spins += 1; Thread.sleep(100)
+      while (bytes.get != prev && spins < 50) {
+        prev = bytes.get; spins += 1; Thread.sleep(100)
       }
     } finally spark.sparkContext.removeSparkListener(listener)
-    bytes
+    bytes.get
   }
 
   test("q41 (sha256 keys) shuffles less than q40 (raw text keys)") {
