@@ -519,5 +519,69 @@ object Relational {
              |UNION ALL
              |SELECT c_custkey, CAST(0 AS BIGINT) AS has_orders FROM customer
              |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-             |ORDER BY c_custkey""".stripMargin)))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── Q70: funnel conversion — per-user ORDERED event progression
+    // view → click → purchase: each step's time is the earliest
+    // occurrence STRICTLY AFTER the previous step completed (the
+    // behavioral-analytics sequence op; q36's sessions slice time,
+    // this slices causality). Shape: K sequential user-keyed
+    // conditional-min aggregations for a K-step funnel — every
+    // groupBy/join shuffles on the same user_id key, so the chain
+    // co-partitions after the first exchange and no per-user event
+    // sort ever happens. Steps compare at epoch-ms precision in both
+    // engines (positive nanos truncate identically — the q36
+    // convention), so the min chain and NULL depths are engine-exact.
+    QueryDef("q70_funnel_conversion",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val tv = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ms")).as("tv"))
+        val tc = ev.filter(col("event_type") === "click")
+          .join(tv, "user_id").filter(col("ms") > col("tv"))
+          .groupBy(col("user_id")).agg(min(col("ms")).as("tc"))
+        val tp = ev.filter(col("event_type") === "purchase")
+          .join(tc, "user_id").filter(col("ms") > col("tc"))
+          .groupBy(col("user_id")).agg(min(col("ms")).as("tp"))
+        ev.select(col("user_id")).distinct()
+          .join(tv, Seq("user_id"), "left")
+          .join(tc, Seq("user_id"), "left")
+          .join(tp, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("tp").isNotNull, 3L)
+              .when(col("tc").isNotNull, 2L)
+              .when(col("tv").isNotNull, 1L)
+              .otherwise(0L).as("depth"),
+            col("tv"), col("tc"), col("tp"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+             |tv AS (
+             |  SELECT user_id, min(ms) AS tv FROM ev
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |tc AS (
+             |  SELECT e.user_id, min(e.ms) AS tc
+             |  FROM ev e JOIN tv ON tv.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND e.ms > tv.tv
+             |  GROUP BY e.user_id),
+             |tp AS (
+             |  SELECT e.user_id, min(e.ms) AS tp
+             |  FROM ev e JOIN tc ON tc.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ms > tc.tc
+             |  GROUP BY e.user_id),
+             |u AS (SELECT DISTINCT user_id FROM ev)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN tp.tp IS NOT NULL THEN 3
+             |            WHEN tc.tc IS NOT NULL THEN 2
+             |            WHEN tv.tv IS NOT NULL THEN 1
+             |            ELSE 0 END AS BIGINT) AS depth,
+             |  tv.tv, tc.tc, tp.tp
+             |FROM u
+             |LEFT JOIN tv USING (user_id)
+             |LEFT JOIN tc USING (user_id)
+             |LEFT JOIN tp USING (user_id)
+             |ORDER BY u.user_id""".stripMargin)))
 }
