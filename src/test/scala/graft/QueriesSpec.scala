@@ -236,6 +236,41 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q70 partial funnels: depths 0-3, NULL steps, out-of-order guard") {
+    // the shipped corpus fully converts every user at every SF, so the
+    // distinguishing half of q70 (left joins, NULL steps, the ORDERED
+    // requirement) needs its own fixture: write an events.parquet with
+    // nanos-as-long ts (Tables.events' wire format) to a temp dir
+    import spark.implicits._
+    val minNs = 60000L * 1000000L
+    val base = 1700000000000L * 1000000L
+    def ev(u: Long, t: String, atMin: Long) =
+      (u * 10, base + atMin * minNs, u, t, 0.0, "{}")
+    val rows = Seq(
+      // u1: full funnel in order → depth 3
+      ev(1, "view", 0), ev(1, "click", 1), ev(1, "purchase", 2),
+      // u2: view only → depth 1
+      ev(2, "view", 0), ev(2, "error", 1),
+      // u3: view, click; purchase BEFORE the click → depth 2 (ordered!)
+      ev(3, "purchase", 0), ev(3, "view", 1), ev(3, "click", 2),
+      // u4: never views (click+purchase exist) → depth 0
+      ev(4, "click", 0), ev(4, "purchase", 1))
+    val dir = java.nio.file.Files.createTempDirectory("q70fix").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("q70_funnel_conversion")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    val ms = 1700000000000L
+    assert(got(1L) === ((3L, ms, ms + 60000, ms + 120000)))
+    assert(got(2L) === ((1L, ms, -1L, -1L)))
+    assert(got(3L) === ((2L, ms + 60000, ms + 120000, -1L)))
+    assert(got(4L) === ((0L, -1L, -1L, -1L)))
+  }
+
   test("minhash LSH pairs have high exact jaccard (precision of verify step)") {
     import graft.functions.TextKernels
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -29,12 +29,20 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     // segments: (stream, segStart) — 3-minute windows per stream
     val segs = Seq(
       ("s1", base), ("s1", base + 3 * min), ("s2", base))
-    // detections: (stream, ts) — some inside each segment, one late
-    // beyond every watermark (dropped), delivered across two batches
+    // detections: (stream, ts) — some inside each segment, delivered
+    // across two batches; then a sentinel advances the watermark and a
+    // genuinely LATE detection (event time far below the watermark)
+    // must be dropped by the streaming join though the batch join
+    // would match it
     val dets1 = Seq(
       ("s1", base + 1 * min), ("s1", base + 2 * min), ("s2", base + 1 * min))
     val dets2 = Seq(
       ("s1", base + 4 * min), ("s2", base + 2 * min))
+    // sentinels on BOTH inputs: the join's watermark is the MIN across
+    // its inputs, so each side must advance for late rows to drop
+    val detSentinel = Seq(("s2", base + 60 * min)) // joins nothing
+    val segSentinel = Seq(("s9", base + 60 * min)) // stream with no dets
+    val late = Seq(("s1", base + 1 * min + 1000L)) // below watermark by ~49 min
 
     val segIn = MemoryStream[(String, Long)](spark)
     val detIn = MemoryStream[(String, Long)](spark)
@@ -60,6 +68,11 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       q.processAllAvailable()
       detIn.addData(dets2)
       q.processAllAvailable()
+      detIn.addData(detSentinel)
+      segIn.addData(segSentinel)
+      q.processAllAvailable() // commits watermark ≈ base+50min on both
+      detIn.addData(late)
+      q.processAllAvailable() // late row filtered before the join
     } finally q.stop()
 
     val got = spark.sql("SELECT det_stream, det_ms, seg_start FROM ss_join")
@@ -67,17 +80,22 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime))
       .toSet
 
-    val batch = (dets1 ++ dets2).toDF("det_stream", "det_ms")
-      .join(segs.toDF("stream_id", "seg_ms"),
+    val batch = (dets1 ++ dets2 ++ detSentinel ++ late)
+      .toDF("det_stream", "det_ms")
+      .join((segs ++ segSentinel).toDF("stream_id", "seg_ms"),
         col("det_stream") === col("stream_id") &&
           col("det_ms") >= col("seg_ms") &&
           col("det_ms") < col("seg_ms") + lit(3 * min))
       .select(col("det_stream"), col("det_ms"), col("seg_ms"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
 
-    assert(got === batch)
-    // every detection found exactly its enclosing segment
+    // the batch join matches the late row; the streaming join must not
+    val lateRow = ("s1", base + 1 * min + 1000L, base)
+    assert(batch.contains(lateRow), "fixture: late row must be joinable in batch")
+    assert(got === batch - lateRow)
+    // every on-time detection found exactly its enclosing segment
     assert(got.size === 5)
     assert(got.contains(("s1", base + 4 * min, base + 3 * min)))
+    assert(!got.contains(lateRow), "late row must be dropped by the watermark")
   }
 }
