@@ -56,11 +56,17 @@ object Bench {
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
+      // Force execution through the noop DataSourceV2 sink, NOT .count():
+      // count() is rewritten to Aggregate[count(1)], after which
+      // ColumnPruning drops deterministic per-row projections and
+      // EliminateSorts drops orderBy — narrow scan→project queries would
+      // time only the scan. The noop sink consumes every output row/column,
+      // so the timed pass executes exactly the work a real consumer would.
       // clearCache in finally: queries persist() intermediate signature
       // tables, and a query that THROWS mid-action must not leak its
       // cached blocks into the next query's timed passes. Clearing per
       // pass also keeps every timed pass an honest full recompute.
-      try fn(spark, sfDir).count()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       finally spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }

@@ -73,25 +73,39 @@ object StreamLoadSink {
     * partition replay was non-deterministic and data would be lost
     * silently, so fail loudly instead.
     */
-  final class FileTransport(dir: String) extends Transport {
+  class FileTransport(dir: String) extends Transport {
+
+    /** Test seam: invoked between the temp write and the atomic
+      * publish — the exact window in which a concurrent attempt can
+      * land the target file first. Specs override it to drive that
+      * interleaving deterministically; production leaves it a no-op.
+      */
+    protected def beforePublish(target: java.io.File): Unit = ()
+
     override def put(label: String, payload: Array[Byte],
         props: Map[String, String]): Boolean = {
       val d = new java.io.File(dir)
       if (!d.isDirectory) d.mkdirs()
       val f = new java.io.File(d, s"$label.jsonl")
       if (checkExisting(f, label, payload)) return true
-      // per-attempt unique temp + atomic NO-replace move: concurrent
+      // per-attempt unique temp + atomic CREATE-NEW publish: concurrent
       // attempts for the same label (speculative execution) can't
-      // interleave writes into one temp file or overwrite the winner —
-      // the loser's move fails and falls back to the digest check,
-      // preserving "the server keeps only the FIRST payload"
+      // interleave writes into one temp file or overwrite the winner.
+      // Files.move(ATOMIC_MOVE) is the WRONG primitive here — on Linux
+      // it is rename(2), which silently REPLACES an existing target, so
+      // a losing attempt would clobber the winner's file. createLink is
+      // link(2): atomic and guaranteed to fail with
+      // FileAlreadyExistsException when the target exists, so the loser
+      // falls into the digest check instead, preserving "the server
+      // keeps only the FIRST payload".
       val tmp = java.io.File.createTempFile(s".$label.", ".tmp", d)
       val out = new java.io.FileOutputStream(tmp)
       try out.write(payload)
       finally out.close()
+      beforePublish(f)
       try {
-        java.nio.file.Files.move(tmp.toPath, f.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+        tmp.delete()
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

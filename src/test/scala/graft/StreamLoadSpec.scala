@@ -94,6 +94,46 @@ class StreamLoadSpec extends AnyFunSuite {
       "replay must not duplicate rows")
   }
 
+  /** FileTransport with a concurrent winner injected into the race
+    * window: the target file appears AFTER the existence check but
+    * BEFORE the atomic publish — the speculative-execution
+    * interleaving the create-new publish must survive.
+    */
+  private def racingTransport(dir: String, winner: Array[Byte]) =
+    new FileTransport(dir) {
+      override protected def beforePublish(target: java.io.File): Unit =
+        if (!target.exists())
+          java.nio.file.Files.write(target.toPath, winner)
+    }
+
+  test("losing concurrent attempt must not clobber the winner's payload") {
+    val dir = java.nio.file.Files.createTempDirectory("slrace").toString
+    val winner = "winner\n".getBytes("UTF-8")
+    // identical replay: loser's publish fails (file exists), digest
+    // check matches → acknowledged as dedupe, file untouched
+    val tr = racingTransport(dir, winner)
+    assert(tr.put("lbl", winner, Map.empty))
+    val f = new java.io.File(dir, "lbl.jsonl")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(f.toPath), winner),
+      "winner's payload must survive the losing attempt")
+    // no leaked temp files from the losing attempt
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == Set("lbl.jsonl"))
+  }
+
+  test("losing concurrent attempt with DIVERGENT payload fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("slrace2").toString
+    val winner = "winner\n".getBytes("UTF-8")
+    val tr = racingTransport(dir, winner)
+    val e = intercept[IllegalStateException](
+      tr.put("lbl", "loser\n".getBytes("UTF-8"), Map.empty))
+    assert(e.getMessage.contains("diverged"))
+    val f = new java.io.File(dir, "lbl.jsonl")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(f.toPath), winner),
+      "divergent loser must neither clobber nor merge")
+  }
+
   test("streaming e2e: dorisJsonLines through JsonLinesWriter, exactly once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("slstream").toString
