@@ -489,18 +489,29 @@ object Dedup {
           .select(col("doc_a"), col("doc_b")).distinct()
         val ha = harr.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
         val hb = harr.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"))
+        // verify via the threshold-aware sorted-merge overlap
+        // (plans/HashExpressions.SortedOverlap): PPJoin's suffix-filter
+        // role — the merge tracks the overlap upper bound
+        // inter + min(remaining) and aborts a dissimilar pair early —
+        // fused with the exact intersection, so survivors' `inter` is
+        // exact and the output stays byte-identical to the
+        // array_intersect formulation. The required overlap is the
+        // J ≥ ½ threshold in exact integers: 2·inter ≥ un ⇔ 3·inter ≥
+        // sz ⇔ inter ≥ (sz + 2) div 3; the sentinel −1 (bound broke)
+        // can never collide with a passing count, so `≥ 0` IS the
+        // exact threshold filter (a rounded-ppm threshold would also
+        // admit J ∈ [0.4999995, ½) pairs the prefix/size/positional
+        // filters never generated). The 6-decimal jaccard is
+        // display-only, rounded half-up integerly (q42's form).
         cands.join(ha, "doc_a").join(hb, "doc_b")
           .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("hl_a"), col("hl_b"))).cast("long")
-              .as("inter"),
+            expr("graft_sorted_overlap(hl_a, hl_b," +
+              " CAST((size(hl_a) + size(hl_b) + 2) div 3 AS INT))")
+              .as("inter0"),
             (size(col("hl_a")) + size(col("hl_b"))).cast("long").as("sz"))
-          // threshold on the EXACT inequality 2·inter ≥ un (the same
-          // J ≥ ½ the candidate filters guarantee recall for — a
-          // rounded-ppm threshold would also admit J ∈ [0.4999995, ½)
-          // pairs the prefix/size/positional filters never generated);
-          // the 6-decimal jaccard is display-only, rounded half-up
-          // integerly (q42's form)
-          .filter(col("inter") * 2 >= col("sz") - col("inter"))
+          .filter(col("inter0") >= 0)
+          .select(col("doc_a"), col("doc_b"),
+            col("inter0").cast("long").as("inter"), col("sz"))
           .select(col("doc_a"), col("doc_b"), col("inter").as("n_shared"),
             expr("CAST((2 * inter * 1000000 + (sz - inter))" +
               " div (2 * (sz - inter)) AS DOUBLE) / 1000000.0").as("jaccard"))

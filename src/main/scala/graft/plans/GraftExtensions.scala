@@ -44,7 +44,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => TextHash64(args.head)),
     (FunctionIdentifier("graft_mix64"),
       new ExpressionInfo(classOf[Mix64].getName, "graft_mix64"),
-      (args: Seq[Expression]) => Mix64(args.head)))
+      (args: Seq[Expression]) => Mix64(args.head)),
+    (FunctionIdentifier("graft_sorted_overlap"),
+      new ExpressionInfo(classOf[SortedOverlap].getName, "graft_sorted_overlap"),
+      (args: Seq[Expression]) => SortedOverlap(args(0), args(1), args(2))))
 
   /** Idempotent session-local registration (overwrites are no-ops —
     * the builders are stateless).

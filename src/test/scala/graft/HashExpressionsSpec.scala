@@ -57,6 +57,55 @@ class HashExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("graft_sorted_overlap equals thresholded array_intersect, codegen on and off") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(46)
+    // sorted distinct long arrays with controlled overlap, plus edges:
+    // empty sides, identical arrays, disjoint ranges, single element
+    val cases: Seq[(Seq[Long], Seq[Long])] =
+      Seq(
+        (Seq.empty[Long], Seq.empty[Long]),
+        (Seq.empty[Long], Seq(1L, 2L)),
+        (Seq(5L), Seq(5L)),
+        (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+        (Seq(-9L, -1L, 0L, 7L), Seq(-9L, -1L, 0L, 7L))) ++
+        (1 to 30).map { _ =>
+          val base = Seq.fill(40)(rnd.nextLong()).distinct.sorted
+          val keep = base.filter(_ => rnd.nextDouble() < 0.6)
+          val extra = Seq.fill(20)(rnd.nextLong()).distinct
+            .filterNot(base.contains)
+          (base, (keep ++ extra).distinct.sorted)
+        }
+    val df = cases.toDF("a", "b")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      val got = df.select(
+        expr("graft_sorted_overlap(a, b," +
+          " CAST((size(a) + size(b) + 2) div 3 AS INT))").as("ov"),
+        expr("size(array_intersect(a, b))").as("inter"),
+        expr("size(a) + size(b)").as("sz")).collect()
+      got.foreach { r =>
+        val (ov, inter, sz) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        if (3 * inter >= sz) assert(ov === inter, s"mode=$mode")
+        else assert(ov === -1, s"mode=$mode inter=$inter sz=$sz")
+      }
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("graft_sorted_overlap: req=0 always reports the exact overlap") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val got = Seq((Seq(1L, 3L, 9L), Seq(2L, 3L, 9L, 11L)))
+      .toDF("a", "b")
+      .select(expr("graft_sorted_overlap(a, b, 0)"),
+        expr("graft_sorted_overlap(a, b, 3)"))
+      .collect().head
+    assert(got.getInt(0) === 2) // exact count, no abort possible
+    assert(got.getInt(1) === -1) // bound breaks mid-merge
+  }
+
   test("null propagates; SQL-callable after ensure()") {
     GraftFunctions.ensure(spark)
     val rows = spark.sql(
