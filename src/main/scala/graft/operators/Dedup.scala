@@ -54,6 +54,92 @@ object Dedup {
     TextKernels.fingerprint(text, 8)
   }
 
+  /** q42's signature step: (doc_id, text) → (doc_id, bands) — split
+    * out so the scale-growth probe (ScaleGrowthSpec) can drive the
+    * REAL candidate generator over synthetic corpora.
+    */
+  private[graft] def minhashSignatures(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), minhashBandsUdf(col("text")).as("bands"))
+
+  /** q42's candidate generation from persisted signatures: band
+    * explode → hot-bucket cap (count → broadcast anti-join) → band
+    * self-join with first-matching-band dedup. Output: (doc_a, doc_b)
+    * exactly once per surviving candidate pair. The cap bounds join
+    * output at MAX_BUCKET · band-rows — LINEAR in corpus size by the
+    * sum-of-squares-under-a-cap argument, the property
+    * ScaleGrowthSpec measures.
+    */
+  private[graft] def minhashCandidates(sigs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = sigs.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val hotBuckets = bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > MAX_BUCKET)
+      .select(col("band_idx"), col("band_hash"))
+    val bucketed = bands.join(broadcast(hotBuckets),
+      Seq("band_idx", "band_hash"), "left_anti")
+    val a = bucketed.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("bands").as("bands_a"))
+    val b = bucketed.select(col("band_idx").as("bi"),
+      col("band_hash").as("bh"), col("doc_id").as("doc_b"),
+      col("bands").as("bands_b"))
+    // first-matching-band dedup: drop the row if any EARLIER band
+    // already matched (slice is 1-based; length band_idx = bands
+    // strictly before the current one)
+    val earlierMatch = exists(
+      zip_with(slice(col("bands_a"), lit(1), col("band_idx")),
+        slice(col("bands_b"), lit(1), col("band_idx")),
+        (x, y) => x === y),
+      m => m)
+    a.join(b,
+      col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+        col("doc_a") < col("doc_b"))
+      .filter(!earlierMatch)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** q46's index step: (doc_id, text) → (doc_id, hl = sorted distinct
+    * shingle hashes) — split out for ScaleGrowthSpec (q42's rationale).
+    */
+  private[graft] def sortedShingleHashes(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), sort_array(shingleHashesUdf(col("text"))).as("hl"))
+
+  /** q46's AllPairs/PPJoin candidate generation from the persisted
+    * (doc_id, hl) index: prefix postings (first ⌊n/2⌋+1 hashes — the
+    * J ≥ ½ prefix-filter length) → df-hot cap (> MAX_DF docs =
+    * boilerplate, dropped via count → broadcast anti-join) → posting
+    * self-join with size-ratio and positional filters → distinct
+    * pairs. The df cap bounds join output at MAX_DF · posting-rows —
+    * linear in corpus size (same argument as q42's bucket cap).
+    */
+  private[graft] def prefixCandidates(harr: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // persisted: consumed three times (hot-key agg + both sides of
+    // the candidate self-join) — without the cache the explode
+    // re-runs per branch (the q63-edges lesson)
+    val pre = harr.select(col("doc_id"), size(col("hl")).as("n"),
+      posexplode(expr("slice(hl, 1, size(hl) div 2 + 1)"))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("h"))
+      .persist()
+    val hot = pre.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MAX_DF).select(col("h"))
+    val pruned = pre.join(broadcast(hot), Seq("h"), "left_anti")
+    val a = pruned.select(col("h"), col("doc_id").as("doc_a"),
+      col("n").as("na"), col("pos").as("pa"))
+    val b = pruned.select(col("h").as("h2"), col("doc_id").as("doc_b"),
+      col("n").as("nb"), col("pos").as("pb"))
+    a.join(b,
+      col("h") === col("h2") && col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")) &&
+        (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))) * 3
+          >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   /** q43's pair derivation, shared with q63's component grouping. */
   private def simhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -146,32 +232,88 @@ object Dedup {
         struct(col("doc_b").as(aOut), col("doc_a").as(bOut)))).as("e"))
       .select(col(s"e.$aOut"), col(s"e.$bOut"))
 
+  /** Cache contract: the returned DataFrame is backed by the final
+    * round's `localCheckpoint` blocks (intermediate generations and
+    * the edge table are released before return; checkpoint blocks of
+    * stale generations are reclaimed by Spark's ContextCleaner once
+    * unreferenced). Callers that keep the session alive should drop
+    * their reference after consuming the result — the Verify/Bench
+    * harness additionally runs `spark.catalog.clearCache()` per query.
+    */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** Min-label propagation with a pointer-jumping compress step —
+    * each round HOOKs every node to the min label in its closed
+    * neighborhood, then COMPRESSes by one label-of-label jump
+    * (lbl := lbl(lbl)), the Shiloach–Vishkin / large-star idea that
+    * turns O(diameter) rounds into O(log n): on a path graph the
+    * labeled distance d grows as d ← 2·(d+1) per round, so a 64-node
+    * chain converges in 6 rounds + 1 no-change round, where plain
+    * propagation needs 63. Near-dup clique components still converge
+    * in 1-2 rounds as before (the jump is a no-op once hooked).
+    *
+    * Safety of the jump: a node's label is always the id of some node
+    * in its component (labels start as self and only ever copy other
+    * labels), labels are monotonically non-increasing, and the unique
+    * fixpoint of hook is "everyone holds the component min" — the
+    * jump only accelerates descent along the label chain, never
+    * crosses components. Each round costs one edge-join shuffle
+    * (hook) + one label-self-join shuffle (compress); label rows ≤
+    * nodes, so compress is the cheaper of the two, bought back
+    * many-fold in round count on chainy graphs.
+    *
+    * Returns (labels, rounds) — rounds includes the final fixpoint-
+    * detection round that changes nothing.
+    */
+  def connectedComponentsWithRounds(pairs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Int) = {
     val edges = symmetrize(pairs, "a", "b").persist()
-    var pinned = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).persist()
-    var labels: org.apache.spark.sql.DataFrame = pinned
+    // Each generation is cut over to a localCheckpoint: the label
+    // table is used on BOTH sides of the compress self-join, so a
+    // lineage-carrying plan would grow ~4× per round (persist caches
+    // DATA but not the logical plan) and Catalyst analysis would go
+    // exponential in the round count — the classic iterative-
+    // algorithm trap. The checkpoint truncates the plan to a leaf,
+    // keeping every round's plan constant-sized; blocks of stale
+    // generations are reclaimed by the ContextCleaner on GC.
+    var labels: org.apache.spark.sql.DataFrame =
+      edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")).localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl")), "b")
         .groupBy(col("a")).agg(min(col("lbl")).as("nbr_lbl"))
-      // Carry the previous label through the same join so the
+      // HOOK. Carry the previous label through the same join so the
       // convergence count is a filter on `next`, not a second shuffle
       // join against the previous generation.
-      val next = labels
+      // hooked feeds BOTH sides of the compress self-join; persist it
+      // for the round so the hook's edge-join shuffle runs once, not
+      // once per branch (released after `next` materializes).
+      val hooked = labels
         .join(nbrMin.select(col("a").as("id"), col("nbr_lbl")), Seq("id"), "left")
         .select(col("id"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist()
+      // COMPRESS: lbl := lbl(lbl). Left join — a label always names a
+      // real node, but the left+coalesce keeps the step total even on
+      // degenerate inputs.
+      val jumpMap = hooked.select(col("id").as("j_id"), col("lbl").as("j_lbl"))
+      val next = hooked
+        .join(jumpMap, hooked("lbl") === jumpMap("j_id"), "left")
+        .select(col("id"), col("old_lbl"),
+          least(col("lbl"), coalesce(col("j_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint() // eager: materializes + truncates lineage
       changed = next.filter(col("lbl") < col("old_lbl")).count()
-      pinned.unpersist()
-      pinned = next
+      hooked.unpersist()
       labels = next.select(col("id"), col("lbl"))
     }
     edges.unpersist()
-    labels
+    (labels, rounds)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -239,35 +381,8 @@ object Dedup {
         // each branch a different scan schema. The cache is (doc_id, 16
         // longs) per doc; at scale this is the standard shape anyway —
         // signatures are computed once at ingest and stored.
-        val sigs = docs.select(col("doc_id"),
-          minhashBandsUdf(col("text")).as("bands"))
-          .persist()
-        val bands = sigs.select(col("doc_id"), col("bands"),
-          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-        val hotBuckets = bands.groupBy(col("band_idx"), col("band_hash"))
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") > MAX_BUCKET)
-          .select(col("band_idx"), col("band_hash"))
-        val bucketed = bands.join(broadcast(hotBuckets),
-          Seq("band_idx", "band_hash"), "left_anti")
-        val a = bucketed.select(col("band_idx"), col("band_hash"),
-          col("doc_id").as("doc_a"), col("bands").as("bands_a"))
-        val b = bucketed.select(col("band_idx").as("bi"),
-          col("band_hash").as("bh"), col("doc_id").as("doc_b"),
-          col("bands").as("bands_b"))
-        // first-matching-band dedup: drop the row if any EARLIER band
-        // already matched (slice is 1-based; length band_idx = bands
-        // strictly before the current one)
-        val earlierMatch = exists(
-          zip_with(slice(col("bands_a"), lit(1), col("band_idx")),
-            slice(col("bands_b"), lit(1), col("band_idx")),
-            (x, y) => x === y),
-          m => m)
-        val cands = a.join(b,
-          col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
-            col("doc_a") < col("doc_b"))
-          .filter(!earlierMatch)
-          .select(col("doc_a"), col("doc_b"))
+        val sigs = minhashSignatures(docs).persist()
+        val cands = minhashCandidates(sigs)
         val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
         val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
         cands.join(ta, "doc_a").join(tb, "doc_b")
@@ -463,30 +578,8 @@ object Dedup {
     QueryDef("q46_ngram_jaccard_pairs",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val harr = docs.select(col("doc_id"),
-          sort_array(shingleHashesUdf(col("text"))).as("hl"))
-          .persist()
-        // persisted: consumed three times (hot-key agg + both sides of
-        // the candidate self-join) — without the cache the explode
-        // re-runs per branch (the q63-edges lesson)
-        val pre = harr.select(col("doc_id"), size(col("hl")).as("n"),
-          posexplode(expr("slice(hl, 1, size(hl) div 2 + 1)"))
-            .as(Seq("p0", "h")))
-          .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("h"))
-          .persist()
-        val hot = pre.groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > MAX_DF).select(col("h"))
-        val pruned = pre.join(broadcast(hot), Seq("h"), "left_anti")
-        val a = pruned.select(col("h"), col("doc_id").as("doc_a"),
-          col("n").as("na"), col("pos").as("pa"))
-        val b = pruned.select(col("h").as("h2"), col("doc_id").as("doc_b"),
-          col("n").as("nb"), col("pos").as("pb"))
-        val cands = a.join(b,
-          col("h") === col("h2") && col("doc_a") < col("doc_b") &&
-            least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")) &&
-            (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))) * 3
-              >= col("na") + col("nb"))
-          .select(col("doc_a"), col("doc_b")).distinct()
+        val harr = sortedShingleHashes(docs).persist()
+        val cands = prefixCandidates(harr)
         val ha = harr.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
         val hb = harr.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"))
         // verify via the threshold-aware sorted-merge overlap

@@ -75,6 +75,37 @@ object TextAnalysis {
       + when(c < 0, two64).otherwise(lit(0)))
       .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
 
+  /** q48's probe join, pre-aggregation: src0 ("test") 5-gram hash
+    * occurrences LEFT-joined against the DISTINCT non-src0 ("train")
+    * 5-gram hash set. Split out so ScaleGrowthSpec can drive the real
+    * probe over synthetic corpora: because the build side is DISTINCT,
+    * each probe row matches at most once — probe output rows == test
+    * 5-gram rows EXACTLY, independent of train-corpus size. That
+    * no-amplification property is the 100 TB shape (the train side
+    * compacts to its distinct hash set; the join never multiplies).
+    */
+  private[graft] def contaminationProbe(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sh5 = when(size(toks) < 5, array(array_join(toks, " ")))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - 4),
+        i => array_join(slice(toks, i, lit(5)), " "))))
+    // persist the shingled docs: the test and train branches would
+    // otherwise each recompute the 5-gram construction over the
+    // full scan (the q42 persist rationale)
+    val docs = docsIn
+      .select(col("doc_id"), col("source"), sh5.as("sh"))
+      .persist()
+    val test = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+      .select(col("doc_id"), hash64C(col("sg")).as("s"))
+    val train = docs.filter(col("source") =!= "src0")
+      .select(explode(col("sh")).as("sg"))
+      .select(hash64C(col("sg")).as("s")).distinct()
+      .withColumn("hit", lit(1))
+    test.join(train, Seq("s"), "left")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Q30: token statistics per document (token counting op):
@@ -142,39 +173,46 @@ object TextAnalysis {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ── Q32: stopword language scoring (language-ID heuristic):
-    // per-language stopword hit ratio + deterministic argmax.
+    // per-language stopword hit ratio + deterministic argmax. Scores
+    // ship as exact ppm INTEGERS (q59's convention) — round_half_up
+    // (hits·10⁶ / n_tokens) in pure integer arithmetic, so no
+    // engine-boundary float ever crosses the compare. The argmax
+    // compares raw hit counts: all three ratios share the denominator
+    // n_tokens, so hit-count order IS ratio order, exactly.
     QueryDef("q32_lang_scores",
       (s, dir) => {
-        val nTokens = size(toks).cast("double")
-        def score(ws: Seq[String]) =
-          size(filter(toks, t => t.isInCollection(ws))).cast("double") / nTokens
-        val en = score(enWords); val es = score(esWords); val de = score(deWords)
+        def hits(ws: Seq[String]) =
+          size(filter(toks, t => t.isInCollection(ws))).cast("long")
         Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
-            round(en, 6).as("en_score"),
-            round(es, 6).as("es_score"),
-            round(de, 6).as("de_score"),
-            when(en >= es && en >= de, "en")
-              .when(es >= de, "es").otherwise("de").as("predicted"))
+            size(toks).cast("long").as("n_tok"),
+            hits(enWords).as("en_h"), hits(esWords).as("es_h"),
+            hits(deWords).as("de_h"))
+          .select(col("doc_id"), col("lang"),
+            expr("(2 * en_h * 1000000 + n_tok) div (2 * n_tok)").as("en_ppm"),
+            expr("(2 * es_h * 1000000 + n_tok) div (2 * n_tok)").as("es_ppm"),
+            expr("(2 * de_h * 1000000 + n_tok) div (2 * n_tok)").as("de_ppm"),
+            when(col("en_h") >= col("es_h") && col("en_h") >= col("de_h"), "en")
+              .when(col("es_h") >= col("de_h"), "es").otherwise("de")
+              .as("predicted"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH scored AS (
               |  SELECT doc_id, lang,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
               |    CAST(len(list_filter(string_split(text, ' '),
-              |      x -> x IN (${inList(enWords)}))) AS DOUBLE)
-              |      / len(string_split(text, ' ')) AS en_s,
+              |      x -> x IN (${inList(enWords)}))) AS BIGINT) AS en_h,
               |    CAST(len(list_filter(string_split(text, ' '),
-              |      x -> x IN (${inList(esWords)}))) AS DOUBLE)
-              |      / len(string_split(text, ' ')) AS es_s,
+              |      x -> x IN (${inList(esWords)}))) AS BIGINT) AS es_h,
               |    CAST(len(list_filter(string_split(text, ' '),
-              |      x -> x IN (${inList(deWords)}))) AS DOUBLE)
-              |      / len(string_split(text, ' ')) AS de_s
+              |      x -> x IN (${inList(deWords)}))) AS BIGINT) AS de_h
               |  FROM documents)
               |SELECT doc_id, lang,
-              |  round(en_s, 6) AS en_score, round(es_s, 6) AS es_score,
-              |  round(de_s, 6) AS de_score,
-              |  CASE WHEN en_s >= es_s AND en_s >= de_s THEN 'en'
-              |       WHEN es_s >= de_s THEN 'es' ELSE 'de' END AS predicted
+              |  (2 * en_h * 1000000 + n_tok) // (2 * n_tok) AS en_ppm,
+              |  (2 * es_h * 1000000 + n_tok) // (2 * n_tok) AS es_ppm,
+              |  (2 * de_h * 1000000 + n_tok) // (2 * n_tok) AS de_ppm,
+              |  CASE WHEN en_h >= es_h AND en_h >= de_h THEN 'en'
+              |       WHEN es_h >= de_h THEN 'es' ELSE 'de' END AS predicted
               |FROM scored ORDER BY doc_id""".stripMargin)),
 
     // ── Q33: per-source corpus profile (the "corpus report" agg).
@@ -399,24 +437,7 @@ object TextAnalysis {
     // string→hash map is a TextKernels UDF (the documented exception).
     QueryDef("q48_contamination_check",
       (s, dir) => {
-        val sh5 = when(size(toks) < 5, array(array_join(toks, " ")))
-          .otherwise(array_distinct(transform(
-            sequence(lit(1), size(toks) - 4),
-            i => array_join(slice(toks, i, lit(5)), " "))))
-        // persist the shingled docs: the test and train branches would
-        // otherwise each recompute the 5-gram construction over the
-        // full scan (the q42 persist rationale)
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), sh5.as("sh"))
-          .persist()
-        val test = docs.filter(col("source") === "src0")
-          .select(col("doc_id"), explode(col("sh")).as("sg"))
-          .select(col("doc_id"), hash64C(col("sg")).as("s"))
-        val train = docs.filter(col("source") =!= "src0")
-          .select(explode(col("sh")).as("sg"))
-          .select(hash64C(col("sg")).as("s")).distinct()
-          .withColumn("hit", lit(1))
-        test.join(train, Seq("s"), "left")
+        contaminationProbe(Tables.documents(s, dir))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_ngrams"),
             count(col("hit")).as("n_matched"))

@@ -80,6 +80,22 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // Observability for the two memory-pressure events this operator can
+  // take (mirroring ObjectHashAggregate's "number of sort fallback
+  // tasks"): heap evictions are the normal bounded-heap discipline at
+  // work; a sort fallback means a partition's key cardinality outgrew
+  // spark.graft.topk.maxKeysInMemory and the partition switched to the
+  // spillable external sort. Visible in the formatted plan / Spark UI.
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "heapEvictions" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of heap evictions"),
+    "sortFallbackTasks" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of sort fallback tasks"),
+    "sortFallbackKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of keys handed to sort fallback"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val childSchema = child.schema
@@ -89,6 +105,10 @@ case class TopKPerKeyExec(
     val isPartial = partial
     val maxKeys = conf
       .getConfString("spark.graft.topk.maxKeysInMemory", "65536").toInt
+    val numOutputRows = longMetric("numOutputRows")
+    val heapEvictions = longMetric("heapEvictions")
+    val sortFallbackTasks = longMetric("sortFallbackTasks")
+    val sortFallbackKeys = longMetric("sortFallbackKeys")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(orderExprs, childOutput)
@@ -114,10 +134,13 @@ case class TopKPerKeyExec(
           else if (ordering.compare(row, heap.peek()) < 0) {
             heap.poll()
             heap.add(row.copy())
+            heapEvictions += 1
           }
         }
       }
       if (overflowRow != null) {
+        sortFallbackTasks += 1
+        sortFallbackKeys += heaps.size()
         // Sort-based fallback: key-cardinality outgrew the map bound.
         // Everything kept so far + the rest of the input goes through a
         // task-memory-managed external sort on (keys, order); top-k per
@@ -176,6 +199,7 @@ case class TopKPerKeyExec(
             val out =
               if (isPartial) proj(r)
               else { rankRow.setInt(0, inGroup); proj(joined(r, rankRow)) }
+            numOutputRows += 1
             advance()
             out
           }
@@ -191,7 +215,10 @@ case class TopKPerKeyExec(
               cur = entries.next().iterator()
             cur.hasNext
           }
-          override def next(): InternalRow = cur.next()
+          override def next(): InternalRow = {
+            numOutputRows += 1
+            cur.next()
+          }
         }
       } else {
         val outAttrs = childOutput :+ rankAttr.get
@@ -214,6 +241,7 @@ case class TopKPerKeyExec(
             val r = sorted(idx)
             idx += 1
             rankRow.setInt(0, idx) // dense rank 1..k within the key
+            numOutputRows += 1
             proj(joined(r, rankRow))
           }
         }

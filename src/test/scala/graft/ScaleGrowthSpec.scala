@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured scale-growth evidence for the pair-mining caps: the
+  * sf-harness tops out at tiny data, so the 100 TB "candidates grow
+  * linearly, not quadratically" claims are asserted here as numbers —
+  * the REAL candidate generators (q42's banded minhash join, q46's
+  * prefix-posting join, q48's distinct-probe join) run over controlled
+  * corpus replications and their candidate counts are compared against
+  * the linear and quadratic predictions.
+  *
+  * Two regimes:
+  *  - Disjoint growth (replicas with replica-unique token suffixes →
+  *    disjoint shingle spaces): candidates must grow ≈ r×, never the
+  *    ≈ r²× an uncapped all-pairs generator would show on the
+  *    self-similar corpus.
+  *  - Degenerate-key growth (one boilerplate doc repeated past the
+  *    cap): q42's bucket cap (MAX_BUCKET = 100) and q46's df cap
+  *    (MAX_DF = 100) must drop the hot key entirely — candidate
+  *    counts EQUAL the base corpus's, where uncapped mining would add
+  *    C(200,2) = 19,900 pairs from the blob alone.
+  */
+class ScaleGrowthSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ensureFns(): Unit = graft.plans.GraftFunctions.ensure(spark)
+
+  private lazy val base: DataFrame = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("source"), col("text"))
+    .persist()
+
+  /** r disjoint replicas: doc_id offset per replica, every token
+    * suffixed with the replica tag — replica shingle spaces are
+    * disjoint, so cross-replica candidates are impossible and the
+    * per-replica mining problem is isomorphic to the base corpus
+    * (modulo re-hashed prefix order). Linear growth is then the
+    * NO-cross-interaction prediction; an uncapped quadratic stage
+    * would still show r² growth via its per-bucket blowup.
+    */
+  private def replicas(r: Int): DataFrame =
+    (0 until r).map { i =>
+      base.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        col("source"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~r$i"))), " ").as("text"))
+    }.reduce(_.unionAll(_))
+
+  /** 200 verbatim copies of one boilerplate doc, token space disjoint
+    * from the corpus (synthetic `zq*` tokens).
+    */
+  private def boilerplate: DataFrame = {
+    import spark.implicits._
+    val text = (0 until 12).map(i => s"zq$i").mkString(" ")
+    (0 until 200).map(i => (900000L + i, "srcZ", text))
+      .toDF("doc_id", "source", "text")
+  }
+
+  private def countAndRelease(df: DataFrame): Long = {
+    val n = df.count()
+    spark.catalog.clearCache()
+    n
+  }
+
+  private def q42Cands(docs: DataFrame): Long =
+    countAndRelease(Dedup.minhashCandidates(
+      Dedup.minhashSignatures(docs.select(col("doc_id"), col("text"))).persist()))
+
+  private def q46Cands(docs: DataFrame): Long =
+    countAndRelease(Dedup.prefixCandidates(
+      Dedup.sortedShingleHashes(docs.select(col("doc_id"), col("text"))).persist()))
+
+  test("q42 minhash-LSH candidates grow ~linearly under disjoint 5x growth") {
+    val c1 = q42Cands(replicas(1))
+    val c5 = q42Cands(replicas(5))
+    assert(c1 > 0, "self-similar corpus must yield candidates at 1x")
+    // linear prediction: 5·c1 (replicas are isomorphic mining
+    // problems); quadratic would be ≈ 25·c1. The band on the ratio
+    // absorbs re-hash variance across replica shingle spaces.
+    assert(c5 <= c1 * 5 * 3 / 2,
+      s"super-linear candidate growth: c1=$c1 c5=$c5 (quadratic ≈ ${25 * c1})")
+    assert(c5 >= c1 * 5 / 2,
+      s"implausibly sub-linear growth (generator broken?): c1=$c1 c5=$c5")
+  }
+
+  test("q46 prefix-posting candidates grow ~linearly under disjoint 5x growth") {
+    val c1 = q46Cands(replicas(1))
+    val c5 = q46Cands(replicas(5))
+    assert(c1 > 0)
+    assert(c5 <= c1 * 5 * 3 / 2,
+      s"super-linear candidate growth: c1=$c1 c5=$c5 (quadratic ≈ ${25 * c1})")
+    assert(c5 >= c1 * 5 / 2,
+      s"implausibly sub-linear growth: c1=$c1 c5=$c5")
+  }
+
+  test("q42 bucket cap drops a 200-doc boilerplate blob entirely") {
+    val c1 = q42Cands(replicas(1))
+    val cBlob = q42Cands(replicas(1).unionAll(boilerplate))
+    assert(cBlob === c1,
+      s"hot-bucket cap must contribute 0 candidates from the blob " +
+        s"(uncapped would add C(200,2) = 19900): base=$c1 withBlob=$cBlob")
+  }
+
+  test("q46 df cap drops a 200-doc boilerplate blob entirely") {
+    val c1 = q46Cands(replicas(1))
+    val cBlob = q46Cands(replicas(1).unionAll(boilerplate))
+    assert(cBlob === c1,
+      s"df-hot cap must contribute 0 candidates from the blob: " +
+        s"base=$c1 withBlob=$cBlob")
+  }
+
+  test("q48 probe join never amplifies: output rows == test 5-gram rows, " +
+      "invariant under 5x train growth") {
+    ensureFns()
+    val probe0 = countAndRelease(TextAnalysis.contaminationProbe(base))
+    // verbatim train replication: distinct train-hash set unchanged
+    val trainDup = base.unionAll(
+      base.filter(col("source") =!= "src0")
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+          col("text")))
+    val probeDup = countAndRelease(TextAnalysis.contaminationProbe(trainDup))
+    // perturbed 5x train growth: distinct set grows ~5x, matches don't
+    val trainGrown = base.unionAll(
+      (1 to 4).map { i =>
+        base.filter(col("source") =!= "src0").select(
+          (col("doc_id") + lit(i.toLong * 3000000L)).as("doc_id"),
+          col("source"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"~t$i"))), " ").as("text"))
+      }.reduce(_.unionAll(_)))
+    val probeGrown = countAndRelease(TextAnalysis.contaminationProbe(trainGrown))
+    assert(probe0 > 0)
+    assert(probeDup === probe0,
+      s"distinct build side must dedupe verbatim train copies: " +
+        s"base=$probe0 dup=$probeDup")
+    assert(probeGrown === probe0,
+      s"probe output must be test-side-bounded regardless of train size: " +
+        s"base=$probe0 grown=$probeGrown")
+  }
+}

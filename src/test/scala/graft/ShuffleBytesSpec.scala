@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,22 +30,35 @@ class ShuffleBytesSpec extends AnyFunSuite {
     */
   private def shuffleBytes(df: DataFrame): Long = {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val started = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ended = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         bytes.addAndGet(
           e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        started.incrementAndGet()
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        ended.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       df.count()
-      // the listener bus is async (and private); wait for the byte
-      // count to stop moving instead (AtomicLong for cross-thread
-      // visibility between the bus thread and this spin loop)
-      var prev = -1L
-      var spins = 0
-      while (bytes.get != prev && spins < 50) {
-        prev = bytes.get; spins += 1; Thread.sleep(100)
+      // The listener bus is async (and private), so latch on job
+      // completion instead of polling for a stable byte count: count()
+      // is blocking, so by now every job of the action has POSTED its
+      // JobEnd; per-listener delivery preserves posting order, so once
+      // we observe ended == started (> 0), every StageCompleted of
+      // those jobs has already been delivered to THIS listener. (AQE
+      // may run several jobs per action — hence counting, not a
+      // single-job latch.)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ((started.get == 0 || ended.get < started.get) &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(10)
       }
+      assert(started.get > 0 && ended.get == started.get,
+        s"listener bus did not drain: started=${started.get} ended=${ended.get}")
     } finally spark.sparkContext.removeSparkListener(listener)
     bytes.get
   }

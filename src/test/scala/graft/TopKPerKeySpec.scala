@@ -167,6 +167,51 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
   }
 
+  test("SQLMetrics: fallback + eviction counters fire, and stay zero in-bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // TreeNode.collect does not descend through AQE wrapper nodes
+    // (AdaptiveSparkPlanExec / QueryStageExec are leaves to it), so
+    // walk the EXECUTED adaptive plan explicitly.
+    def walk(p: SparkPlan): Seq[graft.plans.TopKPerKeyExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case e: graft.plans.TopKPerKeyExec => e +: e.children.flatMap(walk)
+      case other => other.children.flatMap(walk)
+    }
+    def metric(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val nodes = walk(df.queryExecution.executedPlan)
+      assert(nodes.nonEmpty, "no TopKPerKeyExec found in executed plan")
+      nodes.map(_.metrics(name).value).sum
+    }
+    // past the map bound: every partition of the partial exec overflows
+    val big = spark.range(0, 30000).map { i =>
+      (s"key_${i % 10000}", (i * 131 % 1009).toDouble, i)
+    }.toDF("k", "score", "id").repartition(5)
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "64")
+    val overflowed =
+      try {
+        val q = TopK.perKey(big, Seq("k"), Seq(("score", false), ("id", true)), 2)
+        val n = q.collect().length
+        assert(metric(q, "numOutputRows") >= n.toLong,
+          "final output rows must be metered")
+        q
+      } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
+    assert(metric(overflowed, "sortFallbackTasks") > 0,
+      "10k keys against a 64-key bound must take the sort fallback")
+    assert(metric(overflowed, "sortFallbackKeys") > 0,
+      "heaps built before the switch are handed to the sorter")
+    // within the bound: 17-key skewed data never falls back, but the
+    // hot key (4000 rows vs k=3) must evict constantly
+    val q2 = TopK.perKey(data, Seq("k"), Seq(("score", false), ("id", true)), 3)
+    q2.collect()
+    assert(metric(q2, "sortFallbackTasks") === 0L,
+      "in-bound key cardinality must not fall back")
+    assert(metric(q2, "heapEvictions") > 0L,
+      "hot-key rows past k must show up as evictions")
+  }
+
   test("empty input yields empty output") {
     import spark.implicits._
     val df = Seq.empty[(String, Double, Long)].toDF("k", "score", "id")
