@@ -299,18 +299,26 @@ object Dedup {
         .select(col("id"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist()
-      // COMPRESS: lbl := lbl(lbl). Left join — a label always names a
-      // real node, but the left+coalesce keeps the step total even on
-      // degenerate inputs.
-      val jumpMap = hooked.select(col("id").as("j_id"), col("lbl").as("j_lbl"))
-      val next = hooked
-        .join(jumpMap, hooked("lbl") === jumpMap("j_id"), "left")
-        .select(col("id"), col("old_lbl"),
-          least(col("lbl"), coalesce(col("j_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint() // eager: materializes + truncates lineage
-      changed = next.filter(col("lbl") < col("old_lbl")).count()
+      // Convergence is detected on the HOOK result, before the jump: a
+      // hook-stable labeling is already the all-equal-component-min
+      // fixpoint (were any label above its component min, some node
+      // adjacent to a lower label would still change), so the final
+      // detection round skips the compress shuffle entirely — for the
+      // clique-shaped graphs near-dup mining produces (1-2 rounds)
+      // that is a third of the shuffles.
+      changed = hooked.filter(col("lbl") < col("old_lbl")).count()
+      if (changed > 0) {
+        // COMPRESS: lbl := lbl(lbl). Left join — a label always names
+        // a real node, but the left+coalesce keeps the step total even
+        // on degenerate inputs.
+        val jumpMap = hooked.select(col("id").as("j_id"), col("lbl").as("j_lbl"))
+        labels = hooked
+          .join(jumpMap, hooked("lbl") === jumpMap("j_id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("j_lbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint() // eager: materializes + truncates lineage
+      }
       hooked.unpersist()
-      labels = next.select(col("id"), col("lbl"))
     }
     edges.unpersist()
     (labels, rounds)
