@@ -5,10 +5,15 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
   *
   * Noise-robustness: this box is co-tenant (round-2 recorded a 1.5x "regression"
-  * that was pure measurement noise), so each query is timed TWICE — a cold pass
-  * (includes plan compilation + any codegen) and a warm pass (steady state).
-  * `value` is the warm-pass total (the number comparable across rounds);
-  * `cold_total` is reported alongside so one-time costs stay visible.
+  * that was pure measurement noise; round 4's recorded q48 was 24.7 s vs 2.2 s
+  * re-measured clean). Each query gets a cold pass (includes plan compilation +
+  * any codegen) and `SPARK_GRAFT_WARM_PASSES` (default 2) steady-state passes;
+  * `warm` is the MIN of the warm passes — co-tenant interference is strictly
+  * additive, so the minimum is the estimator of the noise-free time (the
+  * max/min ratio of the warm passes is reported per query as `spread` so a
+  * polluted sample stays visible instead of silently discarded). `value` is
+  * the warm total (the number comparable across rounds); `cold_total` keeps
+  * one-time costs visible.
   *
   * Failure-transparency: a query that throws is recorded in `errors` with the
   * exception string — never as a fake (fast) timing.
@@ -71,21 +76,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "2").toInt.max(1)
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val cold = timeOnce(fn)
-        val warm = timeOnce(fn)
-        timings += name -> (cold, warm)
+        val warms = Seq.fill(warmPasses)(timeOnce(fn))
+        timings += name -> (cold, warms.min, warms.max / warms.min)
       } catch {
         case e: Throwable =>
           errors += name -> jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
     }
 
-    val qs = timings.map { case (k, (c, w)) => s""""$k":{"cold":$c,"warm":$w}""" }
-      .mkString("{", ",", "}")
+    val qs = timings.map { case (k, (c, w, s)) =>
+      // Double.toString is locale-independent ('.'), unlike %f formatting
+      s""""$k":{"cold":$c,"warm":$w,"spread":${math.rint(s * 100) / 100}}"""
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
     val warmTotal = timings.values.map(_._2).sum
     val coldTotal = timings.values.map(_._1).sum
