@@ -43,6 +43,24 @@ object TextKernels {
     else toks.sliding(k).map(_.mkString(" ")).toSet
   }
 
+  /** Sorted hash64 values of the distinct word k-shingles — the q46
+    * posting-index row shape. Set semantics apply to the shingle
+    * STRINGS (a ~2⁻⁶⁴ hash collision between distinct shingles keeps
+    * both longs, matching `shingles(..).map(hash64)` exactly); the
+    * ascending sort is part of the contract (prefix slicing and the
+    * sorted-merge verify both require it). Static so codegen call
+    * sites ([[graft.plans.ShingleHashes]]) invoke it without a
+    * ScalaUDF boundary.
+    */
+  def sortedShingleHashes(text: String, k: Int): Array[Long] = {
+    val sh = shingles(text, k)
+    val out = new Array[Long](sh.size)
+    var i = 0
+    sh.foreach { s => out(i) = hash64(s); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** Exact Jaccard similarity of two shingle sets. */
   def jaccard(a: Set[String], b: Set[String]): Double = {
     if (a.isEmpty && b.isEmpty) 1.0
@@ -82,6 +100,16 @@ object TextKernels {
     }
     sig
   }
+
+  /** Fused text → minhash → LSH band keys (the q42 signature row) in
+    * one static call, so codegen call sites
+    * ([[graft.plans.MinhashBands]]) invoke the whole per-row map
+    * without a ScalaUDF boundary. Identical to
+    * `lshBands(minhash(shingles(text, k), numHashes), rowsPerBand)`.
+    */
+  def minhashBands(text: String, k: Int, numHashes: Int,
+      rowsPerBand: Int): Array[Long] =
+    lshBands(minhash(shingles(text, k), numHashes), rowsPerBand)
 
   /** LSH band keys of a minhash signature: hash each band of `rowsPerBand`
     * consecutive signature slots; docs sharing any band key are candidate

@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   * join so one hot key cannot produce a quadratic explosion — at 100 TB
   * a single pathological band would otherwise dominate the stage.
   *
-  * The signature computation is a deterministic Scala UDF
-  * (TextKernels) — an opaque per-row map with no pushdown value, the
-  * documented exception to the no-UDF rule (SURVEY.md §4).
+  * The signature computations (shingle hashes, minhash bands, simhash,
+  * fingerprint) are opaque per-row maps with no pushdown value; they
+  * run as native static-call codegen expressions
+  * (plans/HashExpressions: graft_shingle_hashes / graft_minhash_bands /
+  * graft_simhash / graft_fingerprint) over the deterministic
+  * TextKernels, so the scan→signature stages stay inside whole-stage
+  * codegen. The one remaining ScalaUDF is q42's post-candidate
+  * shingle-overlap verify (struct-returning, small row count — the
+  * documented exception to the no-UDF rule, SURVEY.md §4).
   */
 object Dedup {
 
@@ -29,11 +35,6 @@ object Dedup {
   private val MAX_BUCKET = 100 // cap candidate bucket fan-out
   private val MAX_DF = 100 // q46: shingles in more docs are boilerplate
 
-  private val minhashBandsUdf = udf { text: String =>
-    TextKernels.lshBands(
-      TextKernels.minhash(TextKernels.shingles(text, SHINGLE_K), NUM_HASHES),
-      ROWS_PER_BAND)
-  }
   // (inter, union) of the two shingle sets — kept integral so the
   // 6-decimal jaccard can be rounded half-up in EXACT integer
   // arithmetic on both engines (round(double, 6) straddles rounding
@@ -44,15 +45,6 @@ object Dedup {
     val inter = sa.intersect(sb).size.toLong
     (inter, sa.size.toLong + sb.size.toLong - inter)
   }
-  private val simhashUdf = udf { text: String => TextKernels.simhash(text, 2) }
-  // distinct shingle hashes (q46 inverted-index keys): the shingle TEXT
-  // never leaves the executor — only 8-byte hashes shuffle
-  private val shingleHashesUdf = udf { text: String =>
-    TextKernels.shingles(text, SHINGLE_K).toArray.map(TextKernels.hash64)
-  }
-  private val fingerprintUdf = udf { text: String =>
-    TextKernels.fingerprint(text, 8)
-  }
 
   /** q42's signature step: (doc_id, text) → (doc_id, bands) — split
     * out so the scale-growth probe (ScaleGrowthSpec) can drive the
@@ -60,7 +52,9 @@ object Dedup {
     */
   private[graft] def minhashSignatures(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), minhashBandsUdf(col("text")).as("bands"))
+    docs.select(col("doc_id"),
+      call_function("graft_minhash_bands", coalesce(col("text"), lit("")),
+        lit(SHINGLE_K), lit(NUM_HASHES), lit(ROWS_PER_BAND)).as("bands"))
 
   /** q42's candidate generation from persisted signatures: band
     * explode → hot-bucket cap (count → broadcast anti-join) → band
@@ -102,10 +96,17 @@ object Dedup {
 
   /** q46's index step: (doc_id, text) → (doc_id, hl = sorted distinct
     * shingle hashes) — split out for ScaleGrowthSpec (q42's rationale).
+    * The native graft_shingle_hashes expression (plans/HashExpressions)
+    * emits the sorted array directly inside whole-stage codegen — no
+    * ScalaUDF boundary, no separate sort_array pass; coalesce keeps
+    * the legacy hash-of-empty-shingle behavior on null text. Shingle
+    * TEXT never leaves the executor — only 8-byte hashes shuffle.
     */
   private[graft] def sortedShingleHashes(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), sort_array(shingleHashesUdf(col("text"))).as("hl"))
+    docs.select(col("doc_id"),
+      call_function("graft_shingle_hashes",
+        coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"))
 
   /** q46's AllPairs/PPJoin candidate generation from the persisted
     * (doc_id, hl) index: prefix postings (first ⌊n/2⌋+1 hashes — the
@@ -146,7 +147,9 @@ object Dedup {
     def bandOf(sh: Column, j: Int): Column =
       shiftrightunsigned(sh, 16 * j).bitwiseAND(lit(65535L))
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), simhashUdf(col("text")).as("sh"))
+      .select(col("doc_id"),
+        call_function("graft_simhash", coalesce(col("text"), lit("")), lit(2))
+          .as("sh"))
       .persist() // both self-join sides; one UDF pass (see q42 note)
     // bit-slice per band: (sh >>> 16*i) & 0xFFFF
     val sliced = docs.select(col("doc_id"), col("sh"),
@@ -498,7 +501,9 @@ object Dedup {
     // side, mirrored in the oracle via coalesce(text, '').
     QueryDef("q44_fingerprint_groups",
       (s, dir) => Tables.documents(s, dir)
-        .select(col("doc_id"), fingerprintUdf(col("text")).as("fp"))
+        .select(col("doc_id"),
+          call_function("graft_fingerprint",
+            coalesce(col("text"), lit("")), lit(8)).as("fp"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
           collect_list(col("doc_id")).as("members"))

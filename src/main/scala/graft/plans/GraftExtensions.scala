@@ -32,6 +32,20 @@ object GraftFunctions {
 
   type Builder = Seq[Expression] => Expression
 
+  /** Constant int argument of a kernel expression — must be a foldable
+    * literal so the value can be baked into the expression (and its
+    * generated code) at build time.
+    */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case f if f.foldable => f.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn constant argument must be int, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn constant argument must be a literal")
+  }
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -47,7 +61,25 @@ object GraftFunctions {
       (args: Seq[Expression]) => Mix64(args.head)),
     (FunctionIdentifier("graft_sorted_overlap"),
       new ExpressionInfo(classOf[SortedOverlap].getName, "graft_sorted_overlap"),
-      (args: Seq[Expression]) => SortedOverlap(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => SortedOverlap(args(0), args(1), args(2))),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0),
+        litInt(args(1), "graft_shingle_hashes"))),
+    (FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
+      (args: Seq[Expression]) => MinhashBands(args(0),
+        litInt(args(1), "graft_minhash_bands"),
+        litInt(args(2), "graft_minhash_bands"),
+        litInt(args(3), "graft_minhash_bands"))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args(0),
+        litInt(args(1), "graft_simhash"))),
+    (FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => Fingerprint(args(0),
+        litInt(args(1), "graft_fingerprint"))))
 
   /** Idempotent session-local registration (overwrites are no-ops —
     * the builders are stateless).

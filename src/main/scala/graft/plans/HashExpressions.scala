@@ -178,3 +178,168 @@ case class SortedOverlap(first: Expression, second: Expression,
 
   override def prettyName: String = "graft_sorted_overlap"
 }
+
+/** Sorted hash64 values of a document's distinct word k-shingles
+  * (TextKernels.sortedShingleHashes) — q46's posting-index row, built
+  * inside whole-stage codegen instead of through a ScalaUDF.
+  *
+  * The kernel itself (tokenize → k-window join → string-set dedup →
+  * hash64 → sort) is a per-row scalar map with no pushdown value, so
+  * unlike hash64/mix64 it is NOT inlined into generated Java — the
+  * generated code calls the static kernel directly. That still removes
+  * everything that makes a ScalaUDF a boundary: no catalyst↔scala row
+  * conversion, no boxed Function1 dispatch, no codegen-stage split —
+  * the scan→shingle→explode stage stays one fused loop and the result
+  * lands as an UnsafeArrayData with no per-element boxing.
+  *
+  * `k` is a constructor constant (the SQL builder requires a foldable
+  * int literal) so the generated call site bakes it in.
+  *
+  * Null contract: standard null-safe propagation (null text → null
+  * array). Call sites that need the legacy ScalaUDF behavior on null
+  * (hash of the empty shingle) wrap the input in coalesce(text, '') —
+  * TextKernels.shingles("") and shingles(null) agree.
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes needs k >= 1, got $k")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes needs string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      graft.functions.TextKernels.sortedShingleHashes(
+        a.asInstanceOf[UTF8String].toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.TextKernels
+         |    .sortedShingleHashes($a.toString(), $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** Fused text → minhash → LSH band keys (TextKernels.minhashBands) —
+  * q42's signature row, built inside whole-stage codegen via a static
+  * kernel call instead of a ScalaUDF (the [[ShingleHashes]] pattern
+  * and rationale: no catalyst↔scala conversion, no boxed dispatch, no
+  * codegen-stage split; the 128-slot mixing loop is the single
+  * heaviest per-row map in the engine). Constants are constructor-
+  * baked (SQL builder requires foldable int literals).
+  */
+case class MinhashBands(child: Expression, k: Int, numHashes: Int,
+    rowsPerBand: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 && numHashes >= 1 && rowsPerBand >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_bands needs positive (k, numHashes, rowsPerBand), " +
+        s"got ($k, $numHashes, $rowsPerBand)")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_bands needs string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      graft.functions.TextKernels.minhashBands(
+        a.asInstanceOf[UTF8String].toString, k, numHashes, rowsPerBand))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.TextKernels
+         |    .minhashBands($a.toString(), $k, $numHashes, $rowsPerBand));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_bands"
+}
+
+/** 64-bit SimHash over word k-shingles (TextKernels.simhash) — the
+  * q43/q63/q68 near-dup key, as a codegen static-call expression
+  * (same pattern/rationale as [[ShingleHashes]]).
+  */
+case class SimHash64(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash needs k >= 1, got $k")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash needs string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    graft.functions.TextKernels.simhash(a.asInstanceOf[UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.TextKernels
+         |  .simhash($a.toString(), $k);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}
+
+/** Rolling-hash document fingerprint (TextKernels.fingerprint — min of
+  * `window`-token window hashes, winnowing-lite) — q44's grouping key,
+  * as a codegen static-call expression (the [[ShingleHashes]] pattern).
+  * Note the kernel maps empty/whitespace text to 0L, so the legacy
+  * null→0 behavior needs only coalesce(text, '') at the call site.
+  */
+case class Fingerprint(child: Expression, window: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if window >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint needs window >= 1, got $window")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint needs string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    graft.functions.TextKernels.fingerprint(
+      a.asInstanceOf[UTF8String].toString, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.TextKernels
+         |  .fingerprint($a.toString(), $window);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_fingerprint"
+}

@@ -115,4 +115,57 @@ class HashExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.isNullAt(0))
     assert(rows.getLong(1) === TextKernels.mix64(TextKernels.hash64("abc")))
   }
+
+  test("graft_shingle_hashes equals sorted hash64 of TextKernels.shingles, codegen on and off") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val texts = Seq("", "one", "one two", "one two three",
+      "one two three four five six", "a  b\t c   d", "dup dup dup dup",
+      "the quick brown fox jumps over the lazy dog", "x " * 200)
+    def ref(t: String): Seq[Long] = TextKernels
+      .shingles(t, 3).toArray.map(TextKernels.hash64).sorted.toSeq
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      val got = texts.zipWithIndex.map(_.swap).toDF("i", "s")
+        .select(col("i"),
+          call_function("graft_shingle_hashes", col("s"), lit(3)).as("hl"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      for ((t, i) <- texts.zipWithIndex)
+        assert(got(i) === ref(t), s"mode=$mode input='$t'")
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+    // null text propagates null; coalesce('' ) restores the legacy
+    // hash-of-empty-shingle row the q46 call site relies on
+    val r = spark.sql(
+      """SELECT graft_shingle_hashes(CAST(NULL AS STRING), 3) AS a,
+        |       graft_shingle_hashes(coalesce(CAST(NULL AS STRING), ''), 3) AS b
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getSeq[Long](1) === Seq(TextKernels.hash64("")))
+  }
+
+  test("graft_minhash_bands / graft_simhash / graft_fingerprint match TextKernels, codegen on and off") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val texts = Seq("", "one", "one two three", "dup dup dup dup",
+      "the quick brown fox jumps over the lazy dog",
+      "a  b\t c   d", "x " * 150)
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      val got = texts.zipWithIndex.map(_.swap).toDF("i", "s")
+        .select(col("i"),
+          call_function("graft_minhash_bands", col("s"), lit(3), lit(128), lit(8)).as("mb"),
+          call_function("graft_simhash", col("s"), lit(2)).as("sh"),
+          call_function("graft_fingerprint", col("s"), lit(8)).as("fp"))
+        .collect().map(r => r.getInt(0) ->
+          ((r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap
+      for ((t, i) <- texts.zipWithIndex) {
+        val (mb, sh, fp) = got(i)
+        assert(mb === TextKernels.minhashBands(t, 3, 128, 8).toSeq, s"mode=$mode bands '$t'")
+        assert(sh === TextKernels.simhash(t, 2), s"mode=$mode simhash '$t'")
+        assert(fp === TextKernels.fingerprint(t, 8), s"mode=$mode fingerprint '$t'")
+      }
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }

@@ -76,9 +76,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     countAndRelease(Dedup.minhashCandidates(
       Dedup.minhashSignatures(docs.select(col("doc_id"), col("text"))).persist()))
 
-  private def q46Cands(docs: DataFrame): Long =
+  private def q46Cands(docs: DataFrame): Long = {
+    ensureFns() // sortedShingleHashes resolves graft_shingle_hashes
     countAndRelease(Dedup.prefixCandidates(
       Dedup.sortedShingleHashes(docs.select(col("doc_id"), col("text"))).persist()))
+  }
 
   test("q42 minhash-LSH candidates grow ~linearly under disjoint 5x growth") {
     val c1 = q42Cands(replicas(1))
