@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.TextKernels
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -23,9 +22,9 @@ import org.apache.spark.sql.functions._
   * (plans/HashExpressions: graft_shingle_hashes / graft_minhash_bands /
   * graft_simhash / graft_fingerprint) over the deterministic
   * TextKernels, so the scan→signature stages stay inside whole-stage
-  * codegen. The one remaining ScalaUDF is q42's post-candidate
-  * shingle-overlap verify (struct-returning, small row count — the
-  * documented exception to the no-UDF rule, SURVEY.md §4).
+  * codegen, and both pair-verify stages (q42/q46) run the
+  * threshold-aware sorted-merge expression over persisted hash arrays
+  * — this object carries no ScalaUDF at all.
   */
 object Dedup {
 
@@ -34,17 +33,6 @@ object Dedup {
   private val ROWS_PER_BAND = 8 // 16 bands; P(collide) ≈ j^8 per band
   private val MAX_BUCKET = 100 // cap candidate bucket fan-out
   private val MAX_DF = 100 // q46: shingles in more docs are boilerplate
-
-  // (inter, union) of the two shingle sets — kept integral so the
-  // 6-decimal jaccard can be rounded half-up in EXACT integer
-  // arithmetic on both engines (round(double, 6) straddles rounding
-  // boundaries differently across engines; see q52's determinism note).
-  private val shingleOverlapUdf = udf { (a: String, b: String) =>
-    val sa = TextKernels.shingles(a, SHINGLE_K)
-    val sb = TextKernels.shingles(b, SHINGLE_K)
-    val inter = sa.intersect(sb).size.toLong
-    (inter, sa.size.toLong + sb.size.toLong - inter)
-  }
 
   /** q42's signature step: (doc_id, text) → (doc_id, bands) — split
     * out so the scale-growth probe (ScaleGrowthSpec) can drive the
@@ -371,7 +359,8 @@ object Dedup {
     // a bucket only exceeds MAX_BUCKET when a band value is boilerplate
     // across the corpus), one broadcast ANTI-join to drop their rows
     // (no reshuffle of the bands table), one band-key self-join, and
-    // two joins back for texts. Each surviving pair is emitted exactly
+    // two joins back for the (8-byte-element) shingle-hash arrays —
+    // texts never reach the verify. Each surviving pair is emitted exactly
     // once, by its FIRST matching band: the full signature rides along
     // (16 longs/row) and a predicate drops non-first matches — no
     // distinct() shuffle on the (much larger) candidate-pair set.
@@ -385,26 +374,49 @@ object Dedup {
     QueryDef("q42_minhash_lsh_pairs",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        // persist AFTER the signature UDF: the self-join + hot-bucket agg
-        // + anti-join reference this subtree 4 times, and each branch
-        // would re-run the (expensive, 128-slot) UDF over every document
-        // — exchange reuse can't dedupe them because column pruning gives
-        // each branch a different scan schema. The cache is (doc_id, 16
-        // longs) per doc; at scale this is the standard shape anyway —
-        // signatures are computed once at ingest and stored.
-        val sigs = minhashSignatures(docs).persist()
+        // persist AFTER the signature kernels: the self-join + hot-bucket
+        // agg + anti-join reference this subtree 4 times, and each branch
+        // would re-run the (expensive, 128-slot) per-row map over every
+        // document — exchange reuse can't dedupe them because column
+        // pruning gives each branch a different scan schema. The cache is
+        // (doc_id, 16 band longs, shingle-hash array) per doc; at scale
+        // this is the standard shape anyway — signatures are computed
+        // once at ingest and stored. The shingle-hash array rides along
+        // so the VERIFY stage joins 8-byte hash arrays, not texts
+        // (q46's measured ~27× lesson vs re-tokenizing per pair).
+        val sigs = docs.select(col("doc_id"),
+          call_function("graft_minhash_bands",
+            coalesce(col("text"), lit("")),
+            lit(SHINGLE_K), lit(NUM_HASHES), lit(ROWS_PER_BAND)).as("bands"),
+          call_function("graft_shingle_hashes",
+            coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"))
+          .persist()
         val cands = minhashCandidates(sigs)
-        val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-        val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-        cands.join(ta, "doc_a").join(tb, "doc_b")
+        val ha = sigs.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
+        val hb = sigs.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"))
+        // Threshold-aware sorted-merge verify (q46's shape). The rounded
+        // jaccard passes iff round_ppm(inter/union) ≥ 700000 with
+        // union = sz − inter ⇔ (2·10⁶·inter + union) div (2·union) ≥
+        // 7·10⁵ ⇔ 2·10⁶·inter ≥ 1399999·(sz − inter) ⇔
+        // inter ≥ ⌈1399999·sz / 3399999⌉ — so `req` IS the exact
+        // rounded-threshold filter and survivors report exact inter for
+        // the (byte-identical) display rounding. BIGINT cast before the
+        // multiply: 1399999·sz overflows int for docs past ~1500
+        // shingles.
+        cands.join(ha, "doc_a").join(hb, "doc_b")
           .select(col("doc_a"), col("doc_b"),
-            shingleOverlapUdf(col("text_a"), col("text_b")).as("ov"))
-          // exact half-up rounding to 1e-6: (2·inter·10⁶ + union) div
-          // (2·union); union ≥ 1 always (shingle sets are non-empty)
+            expr("graft_sorted_overlap(hl_a, hl_b, CAST(" +
+              "(1399999 * CAST(size(hl_a) + size(hl_b) AS BIGINT) + 3399998)" +
+              " div 3399999 AS INT))").as("inter0"),
+            (size(col("hl_a")) + size(col("hl_b"))).cast("long").as("sz"))
+          .filter(col("inter0") >= 0)
           .select(col("doc_a"), col("doc_b"),
-            expr("CAST((2 * ov._1 * 1000000 + ov._2) div (2 * ov._2)" +
-              " AS DOUBLE) / 1000000.0").as("jaccard"))
-          .filter(col("jaccard") >= 0.7)
+            col("inter0").cast("long").as("inter"), col("sz"))
+          // exact half-up rounding to 1e-6 over (inter, union = sz −
+          // inter); union ≥ 1 always (shingle sets are non-empty)
+          .select(col("doc_a"), col("doc_b"),
+            expr("CAST((2 * inter * 1000000 + (sz - inter))" +
+              " div (2 * (sz - inter)) AS DOUBLE) / 1000000.0").as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
