@@ -86,6 +86,26 @@ object VectorKernels {
     bucket
   }
 
+  /** Float overload for codegen call sites
+    * ([[graft.plans.LshBucket]]): float→double widening is exact, and
+    * the accumulation order matches the double form, so both agree
+    * bit-for-bit with the driver-side query-bucket computation.
+    */
+  def bucketOf(v: Array[Float], nPlanes: Int): Long = {
+    val dim = v.length
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val pl = planeCache(p)
+      var d = 0.0
+      var i = 0
+      while (i < dim) { d += v(i).toDouble * pl(i); i += 1 }
+      if (d >= 0.0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
   private val MAX_PLANES = 64
   private val PLANE_DIM = 64
   private lazy val planeCache: Array[Array[Double]] =
@@ -97,22 +117,18 @@ object VectorKernels {
     * same bucket are likely cosine-close; used to prune ANN candidate
     * pairs from O(n^2) to per-bucket.
     *
-    * Implemented as a tight-loop UDF over a precomputed plane matrix —
-    * the Column-expression alternative (nPlanes separate
-    * aggregate(zip_with(...)) folds) is the documented no-UDF preference
-    * but measured 6× slower at 64 planes: 4096 multiply-adds per row
-    * through expression-tree interpretation vs one fused loop. An
-    * opaque per-row map with no pushdown value is the sanctioned UDF
-    * exception (SURVEY.md §4).
+    * Runs as the native graft_lsh_bucket codegen expression
+    * (plans/VectorExpressions.LshBucket) calling [[bucketOf]] on a
+    * primitive float[]: one fused loop with no Seq[Float] boxing and
+    * no codegen-stage split. (History: the Column-expression
+    * alternative — nPlanes separate aggregate(zip_with(...)) folds —
+    * measured 6× slower at 64 planes than even the boxed tight-loop
+    * UDF this replaced; the static-call expression keeps the loop AND
+    * removes the UDF boundary.)
     */
   def lshBucket(a: Column, dim: Int, nPlanes: Int): Column = {
     require(dim == PLANE_DIM && nPlanes <= MAX_PLANES)
-    val f = udf { emb: Seq[Float] =>
-      val v = new Array[Double](emb.length)
-      var i = 0
-      while (i < v.length) { v(i) = emb(i).toDouble; i += 1 }
-      bucketOf(v, nPlanes)
-    }
-    f(a)
+    org.apache.spark.sql.functions.call_function("graft_lsh_bucket",
+      a, org.apache.spark.sql.functions.lit(nPlanes))
   }
 }

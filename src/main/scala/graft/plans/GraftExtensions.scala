@@ -79,7 +79,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
       (args: Seq[Expression]) => Fingerprint(args(0),
-        litInt(args(1), "graft_fingerprint"))))
+        litInt(args(1), "graft_fingerprint"))),
+    (FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+      (args: Seq[Expression]) => LshBucket(args(0),
+        litInt(args(1), "graft_lsh_bucket"))))
 
   /** Idempotent session-local registration (overwrites are no-ops —
     * the builders are stateless).

@@ -142,3 +142,44 @@ case class L2Norm(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_norm"
 }
+
+/** Random-hyperplane LSH bucket id (VectorKernels.bucketOf) for an
+  * embedding — the q53/q54 candidate-pruning key, as a codegen
+  * static-call expression. The per-row map is a 64×64 multiply-add
+  * against the broadcast-free deterministic plane matrix; as a ScalaUDF
+  * it paid Seq[Float] boxing per element and a codegen-stage split.
+  * The generated code hands the kernel a primitive float[] straight
+  * from ArrayData (exact float→double widening inside the kernel
+  * matches the legacy UDF's element-wise conversion bit-for-bit).
+  * `nPlanes` is constructor-baked (foldable-literal SQL builder).
+  */
+case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if nPlanes >= 1 && nPlanes <= 64 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bucket needs 1 <= nPlanes <= 64, got $nPlanes")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bucket needs array<float>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    graft.functions.VectorKernels.bucketOf(
+      a.asInstanceOf[ArrayData].toFloatArray(), nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.VectorKernels
+         |  .bucketOf($a.toFloatArray(), $nPlanes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lsh_bucket"
+}

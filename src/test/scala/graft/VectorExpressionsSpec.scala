@@ -103,4 +103,27 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = L2Norm(arr(1.0))
     assert(n.withNewChildren(Seq(arr(5.0))).isInstanceOf[L2Norm])
   }
+
+  test("graft_lsh_bucket matches VectorKernels.bucketOf, codegen on and off") {
+    import graft.functions.VectorKernels
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(53)
+    val vecs: Seq[Seq[Float]] = (0 until 20).map(_ =>
+      Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    def ref(v: Seq[Float], n: Int): Long =
+      VectorKernels.bucketOf(v.map(_.toDouble).toArray, n)
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      for (n <- Seq(1, 16, 64)) {
+        val got = vecs.zipWithIndex.map(_.swap).toDF("i", "v")
+          .select(col("i"),
+            call_function("graft_lsh_bucket", col("v"), lit(n)))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        for ((v, i) <- vecs.zipWithIndex)
+          assert(got(i) === ref(v, n), s"mode=$mode nPlanes=$n vec=$i")
+      }
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }
