@@ -150,6 +150,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup/ANN signature queries are UDF-free end to end") {
+    // every signature kernel (shingle hashes, minhash bands, simhash,
+    // fingerprint, lsh bucket) and both pair verifies run as native
+    // static-call codegen expressions — no ScalaUDF boundary anywhere
+    // in these plans
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    for (q <- Seq("q42_minhash_lsh_pairs", "q43_simhash_pairs",
+        "q44_fingerprint_groups", "q46_ngram_jaccard_pairs",
+        "q53_ann_lsh")) {
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val hasUdf = exec.exists(node =>
+        node.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
+      assert(!hasUdf, s"$q: ScalaUDF in plan:\n${exec.toString.take(1500)}")
+    }
+    spark.catalog.clearCache() // the queries persist signature tables
+  }
+
   test("q65: stats and limiting-row joins broadcast (scan never shuffles)") {
     val p = plan("q65_source_mix_sample")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),

@@ -72,9 +72,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     n
   }
 
-  private def q42Cands(docs: DataFrame): Long =
+  private def q42Cands(docs: DataFrame): Long = {
+    ensureFns() // minhashSignatures resolves graft_minhash_bands
     countAndRelease(Dedup.minhashCandidates(
       Dedup.minhashSignatures(docs.select(col("doc_id"), col("text"))).persist()))
+  }
 
   private def q46Cands(docs: DataFrame): Long = {
     ensureFns() // sortedShingleHashes resolves graft_shingle_hashes
