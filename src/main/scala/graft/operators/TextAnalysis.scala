@@ -83,25 +83,37 @@ object TextAnalysis {
     * 5-gram rows EXACTLY, independent of train-corpus size. That
     * no-amplification property is the 100 TB shape (the train side
     * compacts to its distinct hash set; the join never multiplies).
+    *
+    * Shingling runs through the native `graft_shingle_hashes`
+    * expression (plans/HashExpressions), the same kernel q42/q46 use:
+    * text → distinct 5-gram hash64 array in one fused codegen loop,
+    * with NO 5-gram string materialization (the previous
+    * array_join(slice(toks,…)) built every 5-gram as a string and
+    * hashed it in a second pass — measured ~2x slower and allocation-
+    * heavy; q48 was the engine's slowest query because of it).
+    *
+    * Cache contract (shared with minhashCandidates/prefixCandidates):
+    * persists the shingled docs for the duration of the returned plan —
+    * the test and train branches would otherwise each recompute the
+    * shingle construction over the full scan. Callers that consume the
+    * result outside Bench/Verify (which clearCache per pass) must run
+    * `spark.catalog.clearCache()` (or unpersist via the catalog) once
+    * done — the same caller-side contract connectedComponents documents.
     */
   private[graft] def contaminationProbe(docsIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val sh5 = when(size(toks) < 5, array(array_join(toks, " ")))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - 4),
-        i => array_join(slice(toks, i, lit(5)), " "))))
     // persist the shingled docs: the test and train branches would
     // otherwise each recompute the 5-gram construction over the
     // full scan (the q42 persist rationale)
     val docs = docsIn
-      .select(col("doc_id"), col("source"), sh5.as("sh"))
+      .select(col("doc_id"), col("source"),
+        call_function("graft_shingle_hashes",
+          coalesce(col("text"), lit("")), lit(5)).as("sh"))
       .persist()
     val test = docs.filter(col("source") === "src0")
-      .select(col("doc_id"), explode(col("sh")).as("sg"))
-      .select(col("doc_id"), hash64C(col("sg")).as("s"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
     val train = docs.filter(col("source") =!= "src0")
-      .select(explode(col("sh")).as("sg"))
-      .select(hash64C(col("sg")).as("s")).distinct()
+      .select(explode(col("sh")).as("s")).distinct()
       .withColumn("hit", lit(1))
     test.join(train, Seq("s"), "left")
   }
@@ -448,16 +460,9 @@ object TextAnalysis {
             (col("n_matched") * 5 >= col("n_ngrams")).as("contaminated"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH tk AS (
-              |  SELECT doc_id, source, string_split(text, ' ') AS t
-              |  FROM documents),
-              |sh AS (
-              |  SELECT doc_id, source,
-              |    unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
-              |      ELSE list_distinct(list_transform(range(1, len(t) - 3),
-              |             i -> array_to_string(t[i:i+4], ' ')))
-              |      END) AS sg
-              |  FROM tk),
+      Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id, source")},
+              |${OracleSql.shinglesCte(5, "doc_id, source")},
+              |sh AS (SELECT doc_id, source, unnest(sset) AS sg FROM shing),
               |hs AS (
               |  SELECT doc_id, source, ${OracleSql.hash64("sg")} AS s
               |  FROM sh),
