@@ -518,8 +518,13 @@ object Similarity {
     * the cell id (a k-means assignment in a real deployment; the
     * driver's labels here). Train = per-cell mean; probe = nProbe
     * cells nearest the query; exact re-rank within probed cells only.
-    * The centroid collect is K rows (K = #cells — constant), the
-    * standard IVF probe-selection step, not a data-sized collect.
+    * Probe selection runs IN-PLAN: centroid scores rank through a
+    * TakeOrderedAndProject over K rows (K = #cells — constant) and the
+    * nProbe winning labels broadcast-semi-join back onto the corpus —
+    * no `.collect()` anywhere in the query path. (FP note: the probe
+    * score keeps the oracle's exact association, dot / sqrt(norm2 ·
+    * qn2) with a single sqrt over the product, so near-tie probe
+    * choices cannot flicker between engines.)
     */
   def ivfTopK(e: org.apache.spark.sql.DataFrame, q: Seq[Double],
       nProbe: Int, k: Int): org.apache.spark.sql.DataFrame = {
@@ -542,23 +547,24 @@ object Similarity {
         .as("pairs"))
       .select(col("label"),
         transform(col("pairs"), p => p.getField("cv")).as("centroid"))
-    // probe selection: score centroids against the query driver-side
-    val centroids = cent.collect().map(r =>
-      r.get(0) -> r.getSeq[Double](1).toArray)
-    val qArr = q.toArray
-    val probes = centroids
-      .map { case (lbl, c) =>
-        var d = 0.0; var na = 0.0; var i = 0
-        while (i < c.length) {
-          d += c(i) * qArr(i); na += c(i) * c(i); i += 1
-        }
-        (lbl, if (na == 0.0) 0.0 else d / math.sqrt(na * qn2))
-      }
-      .sortBy { case (lbl, sc) => (-sc, String.valueOf(lbl)) }
-      .take(nProbe).map(_._1).toSeq
+    // probe selection, in-plan: cosine(centroid, q) per label, top
+    // nProbe by (score desc, label-string) — K rows through a
+    // TakeOrderedAndProject, then the winners broadcast back as a
+    // semi-join build side. na (= centroid·centroid) instead of
+    // graft_norm so the score is dot / sqrt(na · qn2) — the oracle's
+    // association, one sqrt over the product.
+    val na = VectorKernels.dot(col("centroid"), col("centroid"))
+    val probeLabels = cent
+      .select(col("label"),
+        when(na === 0.0, lit(0.0))
+          .otherwise(VectorKernels.dotConst(col("centroid"), q)
+            / sqrt(na * lit(qn2))).as("sc"))
+      .orderBy(col("sc").desc, col("label").cast("string"))
+      .limit(nProbe)
+      .select(col("label"))
     val cos = VectorKernels.dotConst(col("embedding"), q) /
       (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qn2)))
-    e.filter(col("label").isin(probes: _*))
+    e.join(broadcast(probeLabels), Seq("label"), "left_semi")
       .select(col("vec_id"), col("label"), cos.as("cos_raw"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
       .limit(k)
