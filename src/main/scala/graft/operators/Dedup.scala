@@ -51,6 +51,12 @@ object Dedup {
     * output at MAX_BUCKET · band-rows — LINEAR in corpus size by the
     * sum-of-squares-under-a-cap argument, the property
     * ScaleGrowthSpec measures.
+    *
+    * Cache contract: expects `sigs` already persisted by the caller
+    * (it is consumed by the hot-bucket agg and both join sides);
+    * callers outside Bench/Verify (which clearCache per pass) must
+    * `spark.catalog.clearCache()` (or unpersist their sigs frame) when
+    * done — the same caller-side contract connectedComponents documents.
     */
   private[graft] def minhashCandidates(sigs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -103,6 +109,12 @@ object Dedup {
     * self-join with size-ratio and positional filters → distinct
     * pairs. The df cap bounds join output at MAX_DF · posting-rows —
     * linear in corpus size (same argument as q42's bucket cap).
+    *
+    * Cache contract: persists its internal posting table `pre` for the
+    * duration of the returned plan (consumed three times); callers
+    * outside Bench/Verify (which clearCache per pass) must
+    * `spark.catalog.clearCache()` when done — the same caller-side
+    * contract connectedComponents documents.
     */
   private[graft] def prefixCandidates(harr: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -127,6 +139,203 @@ object Dedup {
         (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))) * 3
           >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** q46's full pair derivation (sorted shingle-hash index → PPJoin
+    * prefix/size/positional candidates → threshold-aware sorted-merge
+    * verify), shared with q71's multi-signal union. Output: (doc_a,
+    * doc_b, n_shared, jaccard), unordered.
+    *
+    * Verify runs the threshold-aware sorted-merge overlap
+    * (plans/HashExpressions.SortedOverlap): PPJoin's suffix-filter
+    * role — the merge tracks the overlap upper bound
+    * inter + min(remaining) and aborts a dissimilar pair early —
+    * fused with the exact intersection, so survivors' `inter` is
+    * exact and the output stays byte-identical to the
+    * array_intersect formulation. The required overlap is the
+    * J ≥ ½ threshold in exact integers: 2·inter ≥ un ⇔ 3·inter ≥
+    * sz ⇔ inter ≥ (sz + 2) div 3; the sentinel −1 (bound broke)
+    * can never collide with a passing count, so `≥ 0` IS the
+    * exact threshold filter (a rounded-ppm threshold would also
+    * admit J ∈ [0.4999995, ½) pairs the prefix/size/positional
+    * filters never generated). The 6-decimal jaccard is
+    * display-only, rounded half-up integerly (q42's form). Cache
+    * contract as on [[prefixCandidates]].
+    */
+  private def ppjoinPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val harr = sortedShingleHashes(docs).persist()
+    val cands = prefixCandidates(harr)
+    val ha = harr.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
+    val hb = harr.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"))
+    cands.join(ha, "doc_a").join(hb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_sorted_overlap(hl_a, hl_b," +
+          " CAST((size(hl_a) + size(hl_b) + 2) div 3 AS INT))")
+          .as("inter0"),
+        (size(col("hl_a")) + size(col("hl_b"))).cast("long").as("sz"))
+      .filter(col("inter0") >= 0)
+      .select(col("doc_a"), col("doc_b"),
+        col("inter0").cast("long").as("inter"), col("sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter").as("n_shared"),
+        expr("CAST((2 * inter * 1000000 + (sz - inter))" +
+          " div (2 * (sz - inter)) AS DOUBLE) / 1000000.0").as("jaccard"))
+  }
+
+  /** q46's oracle CTE chain through `verified$sfx` (doc_a, doc_b,
+    * inter, un); the exact J ≥ ½ threshold `2·inter >= un` applied on
+    * top yields exactly the engine's pair set. Suffixed for q71's
+    * three-miner composition.
+    */
+  private def ppjoinVerifiedCtes(sfx: String): String =
+    s"""${OracleSql.toksCte("documents", "doc_id", sfx)},
+       |${OracleSql.shinglesCte(SHINGLE_K, "doc_id", sfx)},
+       |harr$sfx AS (
+       |  SELECT doc_id, list_sort(list_transform(sset, s ->
+       |    ${OracleSql.toSigned(OracleSql.hash64("s"))})) AS hl
+       |  FROM shing$sfx),
+       |pe$sfx AS (
+       |  SELECT doc_id, len(hl) AS n,
+       |    unnest(list_transform(range(1, len(hl) // 2 + 2),
+       |      i -> {pos: i, h: hl[i]})) AS u
+       |  FROM harr$sfx),
+       |pre$sfx AS (
+       |  SELECT doc_id, n, CAST(u.pos AS INT) AS pos, u.h AS h FROM pe$sfx),
+       |hot$sfx AS (SELECT h FROM pre$sfx GROUP BY h HAVING count(*) > $MAX_DF),
+       |pruned$sfx AS (
+       |  SELECT doc_id, n, pos, h FROM pre$sfx
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot$sfx WHERE hot$sfx.h = pre$sfx.h)),
+       |cand$sfx AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pruned$sfx a JOIN pruned$sfx b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |   AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)
+       |   AND 3 * (1 + least(a.n - a.pos, b.n - b.pos)) >= a.n + b.n),
+       |verified$sfx AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(ha.hl, hb.hl)) AS inter,
+       |    len(ha.hl) + len(hb.hl)
+       |      - len(list_intersect(ha.hl, hb.hl)) AS un
+       |  FROM cand$sfx c
+       |  JOIN harr$sfx ha ON ha.doc_id = c.doc_a
+       |  JOIN harr$sfx hb ON hb.doc_id = c.doc_b)""".stripMargin
+
+  /** q42's full pair derivation (signatures → capped LSH candidates →
+    * threshold-aware sorted-merge verify), shared with q71's
+    * multi-signal union. Output: (doc_a, doc_b, jaccard), unordered.
+    *
+    * Persist rationale (sigs): the self-join + hot-bucket agg +
+    * anti-join reference the signature subtree 4 times, and each
+    * branch would re-run the (expensive, 128-slot) per-row map over
+    * every document — exchange reuse can't dedupe them because column
+    * pruning gives each branch a different scan schema. The cache is
+    * (doc_id, 16 band longs, shingle-hash array) per doc; at scale
+    * this is the standard shape anyway — signatures are computed once
+    * at ingest and stored. The shingle-hash array rides along so the
+    * VERIFY stage joins 8-byte hash arrays, not texts (q46's measured
+    * ~27× lesson vs re-tokenizing per pair). Cache contract as on
+    * [[minhashCandidates]].
+    */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sigs = docs.select(col("doc_id"),
+      call_function("graft_minhash_bands",
+        coalesce(col("text"), lit("")),
+        lit(SHINGLE_K), lit(NUM_HASHES), lit(ROWS_PER_BAND)).as("bands"),
+      call_function("graft_shingle_hashes",
+        coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"))
+      .persist()
+    val cands = minhashCandidates(sigs)
+    val ha = sigs.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
+    val hb = sigs.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"))
+    // Threshold-aware sorted-merge verify (q46's shape). The rounded
+    // jaccard passes iff round_ppm(inter/union) ≥ 700000 with
+    // union = sz − inter ⇔ (2·10⁶·inter + union) div (2·union) ≥
+    // 7·10⁵ ⇔ 2·10⁶·inter ≥ 1399999·(sz − inter) ⇔
+    // inter ≥ ⌈1399999·sz / 3399999⌉ — so `req` IS the exact
+    // rounded-threshold filter and survivors report exact inter for
+    // the (byte-identical) display rounding. BIGINT cast before the
+    // multiply: 1399999·sz overflows int for docs past ~1500
+    // shingles.
+    cands.join(ha, "doc_a").join(hb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_sorted_overlap(hl_a, hl_b, CAST(" +
+          "(1399999 * CAST(size(hl_a) + size(hl_b) AS BIGINT) + 3399998)" +
+          " div 3399999 AS INT))").as("inter0"),
+        (size(col("hl_a")) + size(col("hl_b"))).cast("long").as("sz"))
+      .filter(col("inter0") >= 0)
+      .select(col("doc_a"), col("doc_b"),
+        col("inter0").cast("long").as("inter"), col("sz"))
+      // exact half-up rounding to 1e-6 over (inter, union = sz −
+      // inter); union ≥ 1 always (shingle sets are non-empty)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((2 * inter * 1000000 + (sz - inter))" +
+          " div (2 * (sz - inter)) AS DOUBLE) / 1000000.0").as("jaccard"))
+  }
+
+  /** q42's oracle CTE chain through `verified$sfx` (doc_a, doc_b,
+    * inter, un); the rounded-ppm threshold `(2·inter·10⁶ + un) //
+    * (2·un) >= 700000` applied on top yields exactly the engine's
+    * pair set. Suffixed for q71's three-miner composition.
+    */
+  private def minhashVerifiedCtes(sfx: String): String = {
+    val golden = "11400714819323198485"
+    s"""${OracleSql.toksCte("documents", "doc_id", sfx)},
+       |${OracleSql.shinglesCte(SHINGLE_K, "doc_id", sfx)},
+       |docsh$sfx AS (SELECT doc_id, unnest(sset) AS s FROM shing$sfx),
+       |shs$sfx AS (SELECT DISTINCT s FROM docsh$sfx),
+       |h0s$sfx AS (SELECT s, ${OracleSql.hash64("s")} AS h1 FROM shs$sfx),
+       |slots$sfx AS (
+       |  SELECT s, CAST(i.range AS INT) AS i,
+       |    (h1 + (CAST(i.range AS HUGEINT) * $golden) % ${OracleSql.MOD})
+       |      % ${OracleSql.MOD} AS z
+       |  FROM h0s$sfx, range(0, $NUM_HASHES) i),
+       |${OracleSql.mix64Ctes("s, i", s"slots$sfx", sfx)},
+       |ssig$sfx AS (SELECT s, i, ${OracleSql.toSigned("m")} AS s64 FROM mixed$sfx),
+       |sig$sfx AS (
+       |  SELECT d.doc_id, g.i, min(g.s64) AS v
+       |  FROM docsh$sfx d JOIN ssig$sfx g ON d.s = g.s
+       |  GROUP BY d.doc_id, g.i),
+       |bandhash$sfx AS (
+       |  SELECT doc_id, CAST(i // $ROWS_PER_BAND AS INT) AS band_idx,
+       |    list_reduce(list_prepend(
+       |        CAST(1125899906842597 AS HUGEINT)
+       |          + CAST(i // $ROWS_PER_BAND AS INT),
+       |        list_transform(list(v ORDER BY i),
+       |          x -> ((CAST(x AS HUGEINT) % ${OracleSql.MOD})
+       |                + ${OracleSql.MOD}) % ${OracleSql.MOD})),
+       |      (h, c) -> (31*h + c) % ${OracleSql.MOD}) AS bh
+       |  FROM sig$sfx GROUP BY doc_id, i // $ROWS_PER_BAND),
+       |hot$sfx AS (
+       |  SELECT band_idx, bh FROM bandhash$sfx
+       |  GROUP BY band_idx, bh HAVING count(*) > $MAX_BUCKET),
+       |matches$sfx AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band_idx, a.bh
+       |  FROM bandhash$sfx a JOIN bandhash$sfx b
+       |    ON a.band_idx = b.band_idx AND a.bh = b.bh
+       |   AND a.doc_id < b.doc_id),
+       |firstm$sfx AS (
+       |  SELECT doc_a, doc_b, min(band_idx) AS k
+       |  FROM matches$sfx GROUP BY doc_a, doc_b),
+       |cands$sfx AS (
+       |  -- the engine emits a pair at its FIRST matching band and
+       |  -- only if that bucket survived the hot-bucket cap; a pair
+       |  -- whose earliest shared band is hot is skipped entirely
+       |  SELECT f.doc_a, f.doc_b
+       |  FROM firstm$sfx f JOIN matches$sfx m
+       |    ON m.doc_a = f.doc_a AND m.doc_b = f.doc_b AND m.band_idx = f.k
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot$sfx h
+       |                    WHERE h.band_idx = f.k AND h.bh = m.bh)),
+       |verified$sfx AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(sa.sset, sb.sset)) AS inter,
+       |    len(sa.sset) + len(sb.sset)
+       |      - len(list_intersect(sa.sset, sb.sset)) AS un
+       |  FROM cands$sfx c
+       |  JOIN shing$sfx sa ON sa.doc_id = c.doc_a
+       |  JOIN shing$sfx sb ON sb.doc_id = c.doc_b)""".stripMargin
   }
 
   /** q43's pair derivation, shared with q63's component grouping. */
@@ -160,42 +369,46 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
-  /** q43's oracle CTE chain through `ham` (pairs = ham WHERE hamming
-    * <= 3), shared with q63's recursive-CTE component oracle.
+  /** q43's oracle CTE chain through `ham$sfx` (pairs = ham WHERE
+    * hamming <= 3), shared with q63's recursive-CTE component oracle
+    * and (suffixed, so its CTE names don't collide with the other two
+    * miners' chains) q71's multi-signal union.
     */
-  private val simhashPairsCtes: String =
-    s"""${OracleSql.toksCte("documents", "doc_id")},
-       |${OracleSql.shinglesCte(2, "doc_id")},
-       |sh AS (SELECT doc_id, unnest(sset) AS s FROM shing),
-       |h0 AS (SELECT doc_id, ${OracleSql.hash64("s")} AS z FROM sh),
-       |${OracleSql.mix64Ctes("doc_id", "h0")},
-       |bits AS (
+  private def simhashHamCtes(sfx: String): String =
+    s"""${OracleSql.toksCte("documents", "doc_id", sfx)},
+       |${OracleSql.shinglesCte(2, "doc_id", sfx)},
+       |sh$sfx AS (SELECT doc_id, unnest(sset) AS s FROM shing$sfx),
+       |h0$sfx AS (SELECT doc_id, ${OracleSql.hash64("s")} AS z FROM sh$sfx),
+       |${OracleSql.mix64Ctes("doc_id", s"h0$sfx", sfx)},
+       |bits$sfx AS (
        |  SELECT doc_id, CAST(b.range AS INT) AS b,
        |    CASE WHEN sum(CASE WHEN (h.m >> CAST(b.range AS INT)) % 2 = 1
        |                       THEN 1 ELSE -1 END) > 0
        |         THEN 1 ELSE 0 END AS bit
-       |  FROM mixed h, range(0, 64) b GROUP BY doc_id, b.range),
-       |bands AS (
+       |  FROM mixed$sfx h, range(0, 64) b GROUP BY doc_id, b.range),
+       |bands$sfx AS (
        |  SELECT doc_id, CAST(b // 16 AS INT) AS band_idx,
        |    sum(CASE WHEN bit = 1 THEN 1 << (b % 16) ELSE 0 END) AS band_val
-       |  FROM bits GROUP BY doc_id, b // 16),
-       |docb AS (
+       |  FROM bits$sfx GROUP BY doc_id, b // 16),
+       |docb$sfx AS (
        |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bl
-       |  FROM bands GROUP BY doc_id),
-       |cand AS (
+       |  FROM bands$sfx GROUP BY doc_id),
+       |cand$sfx AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM bands$sfx a JOIN bands$sfx b
        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |   AND a.doc_id < b.doc_id),
-       |ham AS (
+       |ham$sfx AS (
        |  SELECT c.doc_a, c.doc_b,
        |    bit_count(xor(da.bl[1], db.bl[1]))
        |    + bit_count(xor(da.bl[2], db.bl[2]))
        |    + bit_count(xor(da.bl[3], db.bl[3]))
        |    + bit_count(xor(da.bl[4], db.bl[4])) AS hamming
-       |  FROM cand c
-       |  JOIN docb da ON da.doc_id = c.doc_a
-       |  JOIN docb db ON db.doc_id = c.doc_b)""".stripMargin
+       |  FROM cand$sfx c
+       |  JOIN docb$sfx da ON da.doc_id = c.doc_a
+       |  JOIN docb$sfx db ON db.doc_id = c.doc_b)""".stripMargin
+
+  private lazy val simhashPairsCtes: String = simhashHamCtes("")
 
   /** Connected components over an undirected pair list by min-label
     * propagation — the step that turns near-dup PAIRS (q42/q43/q46)
@@ -372,116 +585,14 @@ object Dedup {
     // they still surface via their first non-degenerate band unless
     // band 0..j-1 are ALL hot, i.e. the pair is boilerplate-driven.
     QueryDef("q42_minhash_lsh_pairs",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        // persist AFTER the signature kernels: the self-join + hot-bucket
-        // agg + anti-join reference this subtree 4 times, and each branch
-        // would re-run the (expensive, 128-slot) per-row map over every
-        // document — exchange reuse can't dedupe them because column
-        // pruning gives each branch a different scan schema. The cache is
-        // (doc_id, 16 band longs, shingle-hash array) per doc; at scale
-        // this is the standard shape anyway — signatures are computed
-        // once at ingest and stored. The shingle-hash array rides along
-        // so the VERIFY stage joins 8-byte hash arrays, not texts
-        // (q46's measured ~27× lesson vs re-tokenizing per pair).
-        val sigs = docs.select(col("doc_id"),
-          call_function("graft_minhash_bands",
-            coalesce(col("text"), lit("")),
-            lit(SHINGLE_K), lit(NUM_HASHES), lit(ROWS_PER_BAND)).as("bands"),
-          call_function("graft_shingle_hashes",
-            coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"))
-          .persist()
-        val cands = minhashCandidates(sigs)
-        val ha = sigs.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
-        val hb = sigs.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"))
-        // Threshold-aware sorted-merge verify (q46's shape). The rounded
-        // jaccard passes iff round_ppm(inter/union) ≥ 700000 with
-        // union = sz − inter ⇔ (2·10⁶·inter + union) div (2·union) ≥
-        // 7·10⁵ ⇔ 2·10⁶·inter ≥ 1399999·(sz − inter) ⇔
-        // inter ≥ ⌈1399999·sz / 3399999⌉ — so `req` IS the exact
-        // rounded-threshold filter and survivors report exact inter for
-        // the (byte-identical) display rounding. BIGINT cast before the
-        // multiply: 1399999·sz overflows int for docs past ~1500
-        // shingles.
-        cands.join(ha, "doc_a").join(hb, "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            expr("graft_sorted_overlap(hl_a, hl_b, CAST(" +
-              "(1399999 * CAST(size(hl_a) + size(hl_b) AS BIGINT) + 3399998)" +
-              " div 3399999 AS INT))").as("inter0"),
-            (size(col("hl_a")) + size(col("hl_b"))).cast("long").as("sz"))
-          .filter(col("inter0") >= 0)
-          .select(col("doc_a"), col("doc_b"),
-            col("inter0").cast("long").as("inter"), col("sz"))
-          // exact half-up rounding to 1e-6 over (inter, union = sz −
-          // inter); union ≥ 1 always (shingle sets are non-empty)
-          .select(col("doc_a"), col("doc_b"),
-            expr("CAST((2 * inter * 1000000 + (sz - inter))" +
-              " div (2 * (sz - inter)) AS DOUBLE) / 1000000.0").as("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some {
-        val golden = "11400714819323198485"
-        s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
-           |${OracleSql.shinglesCte(SHINGLE_K, "doc_id")},
-           |docsh AS (SELECT doc_id, unnest(sset) AS s FROM shing),
-           |shs AS (SELECT DISTINCT s FROM docsh),
-           |h0s AS (SELECT s, ${OracleSql.hash64("s")} AS h1 FROM shs),
-           |slots AS (
-           |  SELECT s, CAST(i.range AS INT) AS i,
-           |    (h1 + (CAST(i.range AS HUGEINT) * $golden) % ${OracleSql.MOD})
-           |      % ${OracleSql.MOD} AS z
-           |  FROM h0s, range(0, $NUM_HASHES) i),
-           |${OracleSql.mix64Ctes("s, i", "slots")},
-           |ssig AS (SELECT s, i, ${OracleSql.toSigned("m")} AS s64 FROM mixed),
-           |sig AS (
-           |  SELECT d.doc_id, g.i, min(g.s64) AS v
-           |  FROM docsh d JOIN ssig g ON d.s = g.s
-           |  GROUP BY d.doc_id, g.i),
-           |bandhash AS (
-           |  SELECT doc_id, CAST(i // $ROWS_PER_BAND AS INT) AS band_idx,
-           |    list_reduce(list_prepend(
-           |        CAST(1125899906842597 AS HUGEINT)
-           |          + CAST(i // $ROWS_PER_BAND AS INT),
-           |        list_transform(list(v ORDER BY i),
-           |          x -> ((CAST(x AS HUGEINT) % ${OracleSql.MOD})
-           |                + ${OracleSql.MOD}) % ${OracleSql.MOD})),
-           |      (h, c) -> (31*h + c) % ${OracleSql.MOD}) AS bh
-           |  FROM sig GROUP BY doc_id, i // $ROWS_PER_BAND),
-           |hot AS (
-           |  SELECT band_idx, bh FROM bandhash
-           |  GROUP BY band_idx, bh HAVING count(*) > $MAX_BUCKET),
-           |matches AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band_idx, a.bh
-           |  FROM bandhash a JOIN bandhash b
-           |    ON a.band_idx = b.band_idx AND a.bh = b.bh
-           |   AND a.doc_id < b.doc_id),
-           |firstm AS (
-           |  SELECT doc_a, doc_b, min(band_idx) AS k
-           |  FROM matches GROUP BY doc_a, doc_b),
-           |cands AS (
-           |  -- the engine emits a pair at its FIRST matching band and
-           |  -- only if that bucket survived the hot-bucket cap; a pair
-           |  -- whose earliest shared band is hot is skipped entirely
-           |  SELECT f.doc_a, f.doc_b
-           |  FROM firstm f JOIN matches m
-           |    ON m.doc_a = f.doc_a AND m.doc_b = f.doc_b AND m.band_idx = f.k
-           |  WHERE NOT EXISTS (SELECT 1 FROM hot h
-           |                    WHERE h.band_idx = f.k AND h.bh = m.bh)),
-           |verified AS (
-           |  SELECT c.doc_a, c.doc_b,
-           |    len(list_intersect(sa.sset, sb.sset)) AS inter,
-           |    len(sa.sset) + len(sb.sset)
-           |      - len(list_intersect(sa.sset, sb.sset)) AS un
-           |  FROM cands c
-           |  JOIN shing sa ON sa.doc_id = c.doc_a
-           |  JOIN shing sb ON sb.doc_id = c.doc_b)
-           |SELECT doc_a, doc_b,
-           |  CAST((2 * inter * 1000000 + un) // (2 * un) AS DOUBLE)
-           |    / 1000000.0 AS jaccard
-           |FROM verified
-           |WHERE (2 * inter * 1000000 + un) // (2 * un) >= 700000
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      (s, dir) => minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH ${minhashVerifiedCtes("")}
+              |SELECT doc_a, doc_b,
+              |  CAST((2 * inter * 1000000 + un) // (2 * un) AS DOUBLE)
+              |    / 1000000.0 AS jaccard
+              |FROM verified
+              |WHERE (2 * inter * 1000000 + un) // (2 * un) >= 700000
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ── Q43: SimHash near-dup pairs — 4×16-bit band join, hamming ≤ 3
     // verify (pigeonhole guarantees recall for hamming ≤ 3). A pair
@@ -601,71 +712,8 @@ object Dedup {
     // and an 8-byte-pair shuffle is cheaper than carrying both prefix
     // arrays through the join for a first-match predicate.
     QueryDef("q46_ngram_jaccard_pairs",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val harr = sortedShingleHashes(docs).persist()
-        val cands = prefixCandidates(harr)
-        val ha = harr.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
-        val hb = harr.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"))
-        // verify via the threshold-aware sorted-merge overlap
-        // (plans/HashExpressions.SortedOverlap): PPJoin's suffix-filter
-        // role — the merge tracks the overlap upper bound
-        // inter + min(remaining) and aborts a dissimilar pair early —
-        // fused with the exact intersection, so survivors' `inter` is
-        // exact and the output stays byte-identical to the
-        // array_intersect formulation. The required overlap is the
-        // J ≥ ½ threshold in exact integers: 2·inter ≥ un ⇔ 3·inter ≥
-        // sz ⇔ inter ≥ (sz + 2) div 3; the sentinel −1 (bound broke)
-        // can never collide with a passing count, so `≥ 0` IS the
-        // exact threshold filter (a rounded-ppm threshold would also
-        // admit J ∈ [0.4999995, ½) pairs the prefix/size/positional
-        // filters never generated). The 6-decimal jaccard is
-        // display-only, rounded half-up integerly (q42's form).
-        cands.join(ha, "doc_a").join(hb, "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            expr("graft_sorted_overlap(hl_a, hl_b," +
-              " CAST((size(hl_a) + size(hl_b) + 2) div 3 AS INT))")
-              .as("inter0"),
-            (size(col("hl_a")) + size(col("hl_b"))).cast("long").as("sz"))
-          .filter(col("inter0") >= 0)
-          .select(col("doc_a"), col("doc_b"),
-            col("inter0").cast("long").as("inter"), col("sz"))
-          .select(col("doc_a"), col("doc_b"), col("inter").as("n_shared"),
-            expr("CAST((2 * inter * 1000000 + (sz - inter))" +
-              " div (2 * (sz - inter)) AS DOUBLE) / 1000000.0").as("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
-              |${OracleSql.shinglesCte(SHINGLE_K, "doc_id")},
-              |harr AS (
-              |  SELECT doc_id, list_sort(list_transform(sset, s ->
-              |    ${OracleSql.toSigned(OracleSql.hash64("s"))})) AS hl
-              |  FROM shing),
-              |pe AS (
-              |  SELECT doc_id, len(hl) AS n,
-              |    unnest(list_transform(range(1, len(hl) // 2 + 2),
-              |      i -> {pos: i, h: hl[i]})) AS u
-              |  FROM harr),
-              |pre AS (
-              |  SELECT doc_id, n, CAST(u.pos AS INT) AS pos, u.h AS h FROM pe),
-              |hot AS (SELECT h FROM pre GROUP BY h HAVING count(*) > $MAX_DF),
-              |pruned AS (
-              |  SELECT doc_id, n, pos, h FROM pre
-              |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = pre.h)),
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM pruned a JOIN pruned b
-              |    ON a.h = b.h AND a.doc_id < b.doc_id
-              |   AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)
-              |   AND 3 * (1 + least(a.n - a.pos, b.n - b.pos)) >= a.n + b.n),
-              |verified AS (
-              |  SELECT c.doc_a, c.doc_b,
-              |    len(list_intersect(ha.hl, hb.hl)) AS inter,
-              |    len(ha.hl) + len(hb.hl)
-              |      - len(list_intersect(ha.hl, hb.hl)) AS un
-              |  FROM cand c
-              |  JOIN harr ha ON ha.doc_id = c.doc_a
-              |  JOIN harr hb ON hb.doc_id = c.doc_b)
+      (s, dir) => ppjoinPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH ${ppjoinVerifiedCtes("")}
               |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS n_shared,
               |  CAST((2 * inter * 1000000 + un) // (2 * un) AS DOUBLE)
               |    / 1000000.0 AS jaccard
@@ -697,6 +745,59 @@ object Dedup {
       Some(s"""WITH RECURSIVE $simhashPairsCtes,
               |pairs AS (
               |  SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+              |edges AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+              |comp AS (
+              |  SELECT src AS id, min(dst) AS keeper FROM reach GROUP BY src)
+              |SELECT keeper, count(*) AS n_docs,
+              |  array_to_string(list_sort(list(id)), ',') AS members
+              |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin)),
+
+    // ── Q71: MULTI-SIGNAL dedup groups — the production dedup pass:
+    // no single miner catches everything (minhash recalls shuffled
+    // text, simhash catches small-hamming rewrites, PPJoin is exact
+    // on J ≥ ½), so their pair sets UNION into one edge list before
+    // connected components. Pairs are distinct()ed first: the same
+    // near-dup pair typically fires in 2-3 miners and the edge table
+    // should carry it once (edges shuffle in CC rounds; at 100 TB the
+    // dedup is the difference between |pairs| and 3·|pairs| per
+    // round). The three miners share nothing at runtime except the
+    // documents scan — each keeps its own capped candidate generation
+    // (the per-miner linearity arguments compose: a union of three
+    // linear-size pair sets is linear). The oracle replays all three
+    // chains (suffixed CTEs _mh/_sh/_pp), unions with UNION (set
+    // semantics = the engine's distinct), and runs the q63 recursive
+    // reachability fixpoint over the merged edges.
+    QueryDef("q71_multi_signal_components",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+          .union(simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+          .union(ppjoinPairs(s, dir).select(col("doc_a"), col("doc_b")))
+          .distinct()
+        connectedComponents(pairs)
+          .groupBy(col("lbl"))
+          .agg(count(lit(1)).as("n_docs"),
+            array_join(array_sort(collect_list(col("id"))), ",")
+              .as("members"))
+          .select(col("lbl").as("keeper"), col("n_docs"), col("members"))
+          .orderBy(col("keeper"))
+      },
+      Some(s"""WITH RECURSIVE ${minhashVerifiedCtes("_mh")},
+              |${simhashHamCtes("_sh")},
+              |${ppjoinVerifiedCtes("_pp")},
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM verified_mh
+              |  WHERE (2 * inter * 1000000 + un) // (2 * un) >= 700000
+              |  UNION
+              |  SELECT doc_a, doc_b FROM ham_sh WHERE hamming <= 3
+              |  UNION
+              |  SELECT doc_a, doc_b FROM verified_pp WHERE 2 * inter >= un),
               |edges AS (
               |  SELECT doc_a AS a, doc_b AS b FROM pairs
               |  UNION ALL SELECT doc_b, doc_a FROM pairs),

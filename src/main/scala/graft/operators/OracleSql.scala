@@ -23,19 +23,21 @@ object OracleSql {
        |    (a, c) -> (31*a + c) % $MOD)""".stripMargin
 
   /** CTE chain applying TextKernels.mix64 to column `z` of CTE `src`,
-    * carrying the `carry` columns through; terminates in CTE `mixed`
-    * exposing the mixed value as column `m` (unsigned residue).
+    * carrying the `carry` columns through; terminates in CTE
+    * `mixed$sfx` exposing the mixed value as column `m` (unsigned
+    * residue). `sfx` disambiguates CTE names when several hash chains
+    * compose in one statement (q71 unions three pair miners).
     */
-  def mix64Ctes(carry: String, src: String): String =
-    s"""m1 AS (SELECT $carry, xor(z, z >> 30) AS x FROM $src),
-       |m1b AS (SELECT $carry,
+  def mix64Ctes(carry: String, src: String, sfx: String = ""): String =
+    s"""m1$sfx AS (SELECT $carry, xor(z, z >> 30) AS x FROM $src),
+       |m1b$sfx AS (SELECT $carry,
        |    (((x * 3210233709) % 4294967296) * 4294967296 + (x * 484763065)) % $MOD AS z
-       |  FROM m1),
-       |m2 AS (SELECT $carry, xor(z, z >> 27) AS x FROM m1b),
-       |m2b AS (SELECT $carry,
+       |  FROM m1$sfx),
+       |m2$sfx AS (SELECT $carry, xor(z, z >> 27) AS x FROM m1b$sfx),
+       |m2b$sfx AS (SELECT $carry,
        |    (((x * 2496678331) % 4294967296) * 4294967296 + (x * 321982955)) % $MOD AS z
-       |  FROM m2),
-       |mixed AS (SELECT $carry, xor(z, z >> 31) AS m FROM m2b)""".stripMargin
+       |  FROM m2$sfx),
+       |mixed$sfx AS (SELECT $carry, xor(z, z >> 31) AS m FROM m2b$sfx)""".stripMargin
 
   /** Unsigned residue → signed BIGINT (Java long) via the ±2⁶³ shift. */
   def toSigned(u: String): String =
@@ -45,22 +47,22 @@ object OracleSql {
   /** Whitespace tokenization mirroring TextKernels.tokenize
     * (NULL → empty list), as CTE `toks` with token list `t`.
     */
-  def toksCte(table: String, id: String): String =
-    s"""toks AS (
+  def toksCte(table: String, id: String, sfx: String = ""): String =
+    s"""toks$sfx AS (
        |  SELECT $id,
        |    list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
        |                x -> x <> '') AS t
        |  FROM $table)""".stripMargin
 
   /** Distinct word k-shingle set per row (TextKernels.shingles), as CTE
-    * `shing` with list column `sset`; expects `toks` upstream.
+    * `shing$sfx` with list column `sset`; expects `toks$sfx` upstream.
     */
-  def shinglesCte(k: Int, id: String): String =
-    s"""shing AS (
+  def shinglesCte(k: Int, id: String, sfx: String = ""): String =
+    s"""shing$sfx AS (
        |  SELECT $id,
        |    CASE WHEN len(t) < $k THEN [array_to_string(t, ' ')]
        |         ELSE list_distinct(list_transform(range(1, len(t) - ${k - 2}),
        |                i -> array_to_string(t[i:i+${k - 1}], ' ')))
        |    END AS sset
-       |  FROM toks)""".stripMargin
+       |  FROM toks$sfx)""".stripMargin
 }
