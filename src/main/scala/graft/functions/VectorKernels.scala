@@ -73,6 +73,7 @@ object VectorKernels {
     */
   def bucketOf(v: Array[Double], nPlanes: Int): Long = {
     val dim = v.length
+    checkDim(dim)
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {
@@ -93,6 +94,7 @@ object VectorKernels {
     */
   def bucketOf(v: Array[Float], nPlanes: Int): Long = {
     val dim = v.length
+    checkDim(dim)
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {
@@ -110,6 +112,22 @@ object VectorKernels {
   private val PLANE_DIM = 64
   private lazy val planeCache: Array[Array[Double]] =
     Array.tabulate(MAX_PLANES)(p => plane(p, PLANE_DIM).toArray)
+
+  /** The plane matrix is PLANE_DIM wide; a longer vector would index
+    * past the cached plane rows (AIOOBE deep in an executor task) —
+    * and silently truncating to the first PLANE_DIM dims would be a
+    * different (wrong) hash function. Validate with a clear message:
+    * the SQL-registered graft_lsh_bucket bypasses the Column builder's
+    * require(dim == PLANE_DIM), so this is the only guard on that path.
+    * Vectors SHORTER than PLANE_DIM are fine (the plane restricted to
+    * the leading dims is still a fixed hyperplane family).
+    */
+  private def checkDim(dim: Int): Unit =
+    if (dim > PLANE_DIM)
+      throw new IllegalArgumentException(
+        s"graft_lsh_bucket: embedding has $dim dims but the plane family" +
+          s" is $PLANE_DIM-dimensional; vectors longer than $PLANE_DIM" +
+          " are not supported")
 
   /** Random-hyperplane LSH bucket id for an embedding: sign bits against
     * `nPlanes` deterministic pseudo-random hyperplanes (seeded by plane

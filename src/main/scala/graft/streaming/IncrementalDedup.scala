@@ -129,10 +129,14 @@ object IncrementalDedup {
 
     /** Classify one micro-batch against the current store, then (in
       * continuous mode) add it. Returns (doc_id, status, match_id) —
-      * q68's exact output shape; the result is materialized (persisted
-      * into the new store generation's lifetime is NOT required — it
-      * is collected into a local relation) so callers may consume it
-      * after the store has moved on.
+      * q68's exact output shape; the result is pinned via eager
+      * `localCheckpoint()` (materialized now, truncated to a leaf
+      * plan) so callers may consume it after the store generations
+      * this plan read have been replaced and `hd` unpersisted. The
+      * pin stays DISTRIBUTED — foreachBatch gives no batch-size
+      * bound, so a replay/backfill batch must never round-trip
+      * through the driver the way the previous collect+parallelize
+      * pin did.
       */
     def classifyAndIngest(batch: DataFrame): DataFrame = {
       val hd = hashed(batch).persist()
@@ -151,12 +155,11 @@ object IncrementalDedup {
             .when(col("near_match").isNotNull, "near")
             .otherwise("novel").as("status"),
           coalesce(col("ex_match"), col("near_match")).as("match_id"))
-      // pin the result as a local relation: micro-batch outputs are
-      // small (one row per incoming doc), and the store generations
-      // this plan reads are about to be replaced
-      val rows = out.collect().toSeq
-      val result = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), out.schema)
+      // pin the result NOW (eager leaf-plan cut): the store
+      // generations this plan reads are about to be replaced and hd
+      // unpersisted, and the pin must stay distributed (no driver
+      // round-trip — a backfill batch can be arbitrarily large)
+      val result = out.localCheckpoint()
       if (ingestClassified) addToStore(hd)
       hd.unpersist()
       result

@@ -133,38 +133,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("l_comment") && !read.contains("l_shipinstruct"), read)
   }
 
+  /** True iff a ScalaUDF appears anywhere in the physical plan,
+    * INCLUDING inside cached subtrees: the signature queries persist()
+    * their signature tables during construction, so those subtrees
+    * surface as InMemoryTableScan leaves and a plain `exists` walk
+    * never descends into `relation.cachedPlan` — a reintroduced UDF
+    * under a persist() would be invisible to the check.
+    */
+  private def hasScalaUdf(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p.exists {
+      case s: InMemoryTableScanExec => hasScalaUdf(s.relation.cachedPlan)
+      case node => node.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF]))
+    }
+  }
+
   test("q56/q65 deterministic sampling is UDF-free (native hash + decimal)") {
     // the whole-stage-codegen story of the sampling ops: graft_mix64 is
     // a native expression and the u64 threshold is decimal arithmetic,
     // so no ScalaUDF (codegen boundary) appears anywhere in the plan.
     // Walk the actual expression trees — ScalaUDF renders as "UDF(...)"
     // in plan strings, so a string match on the class name is vacuous.
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     for (q <- Seq("q56_hash_split", "q65_source_mix_sample")) {
       val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
-      val hasUdf = exec.exists(node =>
-        node.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
-      assert(!hasUdf, s"$q: ScalaUDF in plan:\n${exec.toString.take(1500)}")
+      assert(!hasScalaUdf(exec), s"$q: ScalaUDF in plan:\n${exec.toString.take(1500)}")
       assert(exec.toString.contains("graft_mix64"),
         s"$q: native mix64 missing")
     }
   }
 
-  test("dedup/ANN signature queries are UDF-free end to end") {
+  test("dedup/ANN signature queries are UDF-free end to end (incl. cached subtrees)") {
     // every signature kernel (shingle hashes, minhash bands, simhash,
     // fingerprint, lsh bucket) and both pair verifies run as native
     // static-call codegen expressions — no ScalaUDF boundary anywhere
-    // in these plans
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
-    for (q <- Seq("q42_minhash_lsh_pairs", "q43_simhash_pairs",
-        "q44_fingerprint_groups", "q46_ngram_jaccard_pairs",
-        "q53_ann_lsh")) {
-      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
-      val hasUdf = exec.exists(node =>
-        node.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
-      assert(!hasUdf, s"$q: ScalaUDF in plan:\n${exec.toString.take(1500)}")
-    }
-    spark.catalog.clearCache() // the queries persist signature tables
+    // in these plans, cached signature subtrees included (hasScalaUdf
+    // recurses through InMemoryTableScan)
+    try {
+      for (q <- Seq("q42_minhash_lsh_pairs", "q43_simhash_pairs",
+          "q44_fingerprint_groups", "q46_ngram_jaccard_pairs",
+          "q48_contamination_check", "q53_ann_lsh")) {
+        val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+        assert(!hasScalaUdf(exec), s"$q: ScalaUDF in plan:\n${exec.toString.take(1500)}")
+      }
+    } finally spark.catalog.clearCache() // the queries persist signature tables
   }
 
   test("q65: stats and limiting-row joins broadcast (scan never shuffles)") {
