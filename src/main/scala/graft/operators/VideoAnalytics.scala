@@ -226,6 +226,38 @@ object VideoAnalytics {
               |WHERE rn <= 3
               |ORDER BY stream_id, rn""".stripMargin)),
 
+    // ── Q72: argmax WITH ties — all detections tied for the best
+    // confidence per (stream, class), via the standard `rank() = 1`
+    // window idiom. The engine substitutes the keep-ties mode of the
+    // custom TopKPerKey operator (TopKRewriteRule): per-key state is
+    // the tie group itself, bounded heaps on both sides of one hash
+    // exchange, no per-group sort — where row_number() = 1 (q14)
+    // picks an arbitrary winner, rank() = 1 keeps every tied row,
+    // which is the shape dedup keeper-selection and label-vote ops
+    // actually need. Confidences are 2-decimal rationals, so tie
+    // groups are real (and the oracle's rank() agrees exactly —
+    // no FP comparison ambiguity).
+    QueryDef("q72_argmax_ties",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        val w = Window.partitionBy(col("stream_id"), col("object_class"))
+          .orderBy(col("confidence").desc)
+        detections(s, dir)
+          .select(col("stream_id"), col("object_class"), col("det_id"),
+            col("confidence"))
+          .withColumn("rn", rank().over(w))
+          .filter(col("rn") === 1)
+          .orderBy(col("stream_id"), col("object_class"), col("det_id"))
+      },
+      Some(s"""$detectionsCte
+              |SELECT stream_id, object_class, det_id, confidence, rn FROM (
+              |  SELECT stream_id, object_class, det_id, confidence,
+              |    rank() OVER (PARTITION BY stream_id, object_class
+              |                 ORDER BY confidence DESC) AS rn
+              |  FROM detections)
+              |WHERE rn = 1
+              |ORDER BY stream_id, object_class, det_id""".stripMargin)),
+
     // ── Q16: per-class histogram (ref metric: detections by class).
     // confidence values are exact 2-decimal rationals (k/100), so the
     // mean is summed as int64 centi-units and rounded half-up to 4

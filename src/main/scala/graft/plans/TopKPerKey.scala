@@ -47,9 +47,15 @@ case class TopKPerKeyNode(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    keepTies: Boolean = false) extends UnaryNode {
 
   require(k >= 1, s"TopKPerKeyNode requires k >= 1, got $k")
+  // keep-ties is the rank()/dense_rank() = 1 shape: the kept set is
+  // the tie group for the best order value, so a k past 1 has no
+  // bounded-heap meaning (rank <= k admits more than k rows on ties)
+  require(!keepTies || k == 1,
+    s"TopKPerKeyNode keep-ties mode requires k == 1, got $k")
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
 
@@ -66,6 +72,7 @@ case class TopKPerKeyExec(
     k: Int,
     partial: Boolean,
     rankAttr: Option[AttributeReference],
+    keepTies: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -103,6 +110,7 @@ case class TopKPerKeyExec(
     val orderExprs = order
     val kk = k
     val isPartial = partial
+    val ties = keepTies
     val maxKeys = conf
       .getConfString("spark.graft.topk.maxKeysInMemory", "65536").toInt
     val numOutputRows = longMetric("numOutputRows")
@@ -130,7 +138,22 @@ case class TopKPerKeyExec(
           }
         }
         if (heap != null) {
-          if (heap.size() < kk) heap.add(row.copy())
+          if (ties) {
+            // keep-ties (k = 1): the heap holds the current tie group
+            // for the best order value — every element compares equal,
+            // so peek() is a representative. Strictly better row →
+            // the whole group evicts; tied → joins; worse → dropped.
+            // State is bounded by the tie group, i.e. by the output.
+            if (heap.isEmpty) heap.add(row.copy())
+            else {
+              val cmp = ordering.compare(row, heap.peek())
+              if (cmp < 0) {
+                heapEvictions += heap.size()
+                heap.clear()
+                heap.add(row.copy())
+              } else if (cmp == 0) heap.add(row.copy())
+            }
+          } else if (heap.size() < kk) heap.add(row.copy())
           else if (ordering.compare(row, heap.peek()) < 0) {
             heap.poll()
             heap.add(row.copy())
@@ -180,6 +203,7 @@ case class TopKPerKeyExec(
         new Iterator[InternalRow] {
           private var prevKey: UnsafeRow = null
           private var inGroup = 0
+          private var groupBest: InternalRow = null
           private var nextRow: InternalRow = null
           private def advance(): Unit = {
             nextRow = null
@@ -188,8 +212,18 @@ case class TopKPerKeyExec(
               val key = keyProj(r)
               if (prevKey == null || !key.equals(prevKey)) {
                 prevKey = key.copy(); inGroup = 0
+                if (ties) groupBest = r.copy()
               }
-              if (inGroup < kk) { inGroup += 1; nextRow = r }
+              if (ties) {
+                // keep-ties: the group is sorted best-first, so keep
+                // rows while they compare equal to the group head
+                // (rank stays 1); once a worse row appears the rest
+                // of the group is all worse — scanned only to find
+                // the next key boundary
+                if (ordering.compare(r, groupBest) == 0) {
+                  inGroup = 1; nextRow = r
+                }
+              } else if (inGroup < kk) { inGroup += 1; nextRow = r }
             }
           }
           advance()
@@ -240,7 +274,10 @@ case class TopKPerKeyExec(
           override def next(): InternalRow = {
             val r = sorted(idx)
             idx += 1
-            rankRow.setInt(0, idx) // dense rank 1..k within the key
+            // dense rank 1..k within the key; keep-ties emits the tie
+            // group, all at rank 1 (the sort over equal rows is a
+            // no-op kept for code unity)
+            rankRow.setInt(0, if (ties) 1 else idx)
             numOutputRows += 1
             proj(joined(r, rankRow))
           }
@@ -255,10 +292,10 @@ case class TopKPerKeyExec(
 
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+    case TopKPerKeyNode(keys, order, k, rankAttr, child, keepTies) =>
       val childPlan = planLater(child)
-      val part = TopKPerKeyExec(keys, order, k, partial = true, None, childPlan)
-      TopKPerKeyExec(keys, order, k, partial = false, Some(rankAttr), part) :: Nil
+      val part = TopKPerKeyExec(keys, order, k, partial = true, None, keepTies, childPlan)
+      TopKPerKeyExec(keys, order, k, partial = false, Some(rankAttr), keepTies, part) :: Nil
     case _ => Nil
   }
 }

@@ -97,6 +97,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TopKPerKey"), p.take(1500))
   }
 
+  test("q72: rank()=1 rewrites into keep-ties TopKPerKey (no Window executed)") {
+    val opt = SparkEntry.queries("q72_argmax_ties")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(opt.exists {
+      case n: graft.plans.TopKPerKeyNode => n.keepTies && n.k == 1
+      case _ => false
+    }, opt.toString.take(1500))
+    assert(!opt.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+      s"the rank() window must be rewritten away:\n${opt.toString.take(1500)}")
+  }
+
   test("q46: hot-shingle prune is a broadcast anti-join; no cartesian anywhere") {
     val p = plan("q46_ngram_jaccard_pairs")
     assert(p.contains("LeftAnti"), p.take(1500))

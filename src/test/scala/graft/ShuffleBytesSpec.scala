@@ -80,7 +80,8 @@ class ShuffleBytesSpec extends AnyFunSuite {
         Seq(("l_extendedprice", false), ("l_orderkey", true)), k = 3))
     // The uncapped alternative: every row of a key crosses the
     // exchange, then a per-group sort. Two guards keep it uncapped:
-    // rank() (TopKRewriteRule matches only row_number), and Spark's
+    // rank() <= 3 (TopKRewriteRule rewrites rank() only at k = 1,
+    // the keep-ties argmax shape), and Spark's
     // own InferWindowGroupLimit excluded — otherwise 3.5+ inserts a
     // partial group limit below the exchange, which is precisely the
     // optimization whose absence this baseline represents.

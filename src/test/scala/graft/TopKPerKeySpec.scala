@@ -119,6 +119,90 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) == 1))
   }
 
+  test("rank() = 1 rewrites into keep-ties TopKPerKey and keeps ALL tied rows") {
+    TopK.ensure(spark)
+    val df = data
+    // order by score ONLY → the top of most keys is a tie group;
+    // rank() = 1 must keep every tied row (row_number would pick one)
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
+    val q = df.withColumn("rn", rank().over(w)).filter(col("rn") === 1)
+    // structural check: the spec's own lambdas render as
+    // graft.TopKPerKeySpec$$Lambda... in plan strings, so a substring
+    // match on "TopKPerKey" is vacuous here
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.exists(_.isInstanceOf[graft.plans.TopKPerKeyNode]),
+      opt.toString.take(1500))
+    assert(!opt.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Window]),
+      s"window must be rewritten away:\n${opt.toString.take(1500)}")
+    // driver-side reference: all rows tied at the per-key max score
+    val ref = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        val best = rows.map(_._2).max
+        rows.filter(_._2 == best).map { case (_, s, id) => Seq[Any](k, s, id, 1) }
+      }.sortBy(_.toString()).toSeq
+    assert(ref.length > ref.map(_.head).distinct.length,
+      "test data must actually have top-score ties")
+    val got = q.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(got === ref)
+  }
+
+  test("dense_rank() = 1 rewrites identically (same tie-group semantics at 1)") {
+    TopK.ensure(spark)
+    val df = data
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
+    val q = df.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 1)
+    assert(q.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[graft.plans.TopKPerKeyNode]))
+    val ref = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        val best = rows.map(_._2).max
+        rows.filter(_._2 == best).map { case (_, s, id) => Seq[Any](k, s, id, 1) }
+      }.sortBy(_.toString()).toSeq
+    val got = q.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(got === ref)
+  }
+
+  test("rank() <= k for k > 1 does NOT rewrite (ties overflow a k-bounded heap)") {
+    TopK.ensure(spark)
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
+    val q = data.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    val opt = q.queryExecution.optimizedPlan
+    assert(!opt.exists(_.isInstanceOf[graft.plans.TopKPerKeyNode]),
+      opt.toString.take(1500))
+    assert(opt.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Window]),
+      opt.toString.take(1500))
+  }
+
+  test("keep-ties survives the sort fallback (key cardinality above the map bound)") {
+    import spark.implicits._
+    TopK.ensure(spark)
+    // 2,000 distinct keys vs a 50-key bound → both execs overflow into
+    // the external-sort path; scores collapse to 7 values so every
+    // key's top is a multi-row tie group
+    val df = spark.range(0, 20000).map { i =>
+      (s"key_${i % 2000}", (i % 7).toDouble, i)
+    }.toDF("k", "score", "id").repartition(5)
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
+    val q = df.withColumn("rn", rank().over(w)).filter(col("rn") === 1)
+    assert(q.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[graft.plans.TopKPerKeyNode]))
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "50")
+    try {
+      val got = q.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+      val ref = df.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+          val best = rows.map(_._2).max
+          rows.filter(_._2 == best).map { case (_, s, id) => Seq[Any](k, s, id, 1) }
+        }.sortBy(_.toString()).toSeq
+      assert(got === ref)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
+  }
+
   test("sort fallback: key cardinality far above the map bound matches window form") {
     import spark.implicits._
     // 20,000 distinct keys against a bound of 50 → both the partial and
