@@ -338,6 +338,50 @@ object Dedup {
        |  JOIN shing$sfx sb ON sb.doc_id = c.doc_b)""".stripMargin
   }
 
+  /** q71/q73's edge list: the union of all three pair miners,
+    * distinct-ed — the same near-dup pair typically fires in 2-3
+    * miners and the edge table should carry it once (edges shuffle in
+    * every CC round). Each miner keeps its own capped candidate
+    * generation, so the union of three linear-size pair sets stays
+    * linear. Cache contract as on the individual miners.
+    */
+  private def multiSignalPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .union(simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .union(ppjoinPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .distinct()
+
+  /** Oracle CTE chain replaying [[multiSignalPairs]] and the q63
+    * recursive reachability fixpoint: all three miner chains
+    * (suffixed _mh/_sh/_pp), UNION (set semantics = the engine's
+    * distinct) into `pairs`, then `comp(id, keeper)` with keeper =
+    * min reachable doc_id. Callers append their aggregation /
+    * keeper-election on top of `comp` (q71 groups members, q73 elects
+    * quality keepers).
+    */
+  private lazy val multiSignalCompCtes: String =
+    s"""${minhashVerifiedCtes("_mh")},
+       |${simhashHamCtes("_sh")},
+       |${ppjoinVerifiedCtes("_pp")},
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM verified_mh
+       |  WHERE (2 * inter * 1000000 + un) // (2 * un) >= 700000
+       |  UNION
+       |  SELECT doc_a, doc_b FROM ham_sh WHERE hamming <= 3
+       |  UNION
+       |  SELECT doc_a, doc_b FROM verified_pp WHERE 2 * inter >= un),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |comp AS (
+       |  SELECT src AS id, min(dst) AS keeper FROM reach GROUP BY src)""".stripMargin
+
   /** q43's pair derivation, shared with q63's component grouping. */
   private def simhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -776,11 +820,7 @@ object Dedup {
     // reachability fixpoint over the merged edges.
     QueryDef("q71_multi_signal_components",
       (s, dir) => {
-        val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-          .union(simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
-          .union(ppjoinPairs(s, dir).select(col("doc_a"), col("doc_b")))
-          .distinct()
-        connectedComponents(pairs)
+        connectedComponents(multiSignalPairs(s, dir))
           .groupBy(col("lbl"))
           .agg(count(lit(1)).as("n_docs"),
             array_join(array_sort(collect_list(col("id"))), ",")
@@ -788,29 +828,58 @@ object Dedup {
           .select(col("lbl").as("keeper"), col("n_docs"), col("members"))
           .orderBy(col("keeper"))
       },
-      Some(s"""WITH RECURSIVE ${minhashVerifiedCtes("_mh")},
-              |${simhashHamCtes("_sh")},
-              |${ppjoinVerifiedCtes("_pp")},
-              |pairs AS (
-              |  SELECT doc_a, doc_b FROM verified_mh
-              |  WHERE (2 * inter * 1000000 + un) // (2 * un) >= 700000
-              |  UNION
-              |  SELECT doc_a, doc_b FROM ham_sh WHERE hamming <= 3
-              |  UNION
-              |  SELECT doc_a, doc_b FROM verified_pp WHERE 2 * inter >= un),
-              |edges AS (
-              |  SELECT doc_a AS a, doc_b AS b FROM pairs
-              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |nodes AS (SELECT DISTINCT a AS id FROM edges),
-              |reach(src, dst) AS (
-              |  SELECT id, id FROM nodes
-              |  UNION
-              |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
-              |comp AS (
-              |  SELECT src AS id, min(dst) AS keeper FROM reach GROUP BY src)
+      Some(s"""WITH RECURSIVE $multiSignalCompCtes
               |SELECT keeper, count(*) AS n_docs,
               |  array_to_string(list_sort(list(id)), ',') AS members
               |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin)),
+
+    // ── Q73: dedup KEEPER SELECTION — the action list a production
+    // dedup pass actually emits: within each q71 component, keep the
+    // highest-quality member (longest text; doc_id breaks ties
+    // totally) and mark the rest as drops. The per-group argmax runs
+    // through the row_number() = 1 window idiom, which TopKRewriteRule
+    // turns into the bounded TopKPerKey operator — per-component state
+    // is ONE row on each side of the exchange, no per-group sort, so
+    // keeper election costs one capped shuffle over (component, len)
+    // pairs regardless of how large the boilerplate components grow.
+    // The keepers table is one row per component — broadcast back onto
+    // the membership, never shuffling the corpus-sized side.
+    QueryDef("q73_dedup_keepers",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            length(coalesce(col("text"), lit(""))).as("len"))
+        val scored = connectedComponents(multiSignalPairs(s, dir))
+          .join(docs, col("id") === col("doc_id"))
+          .select(col("lbl"), col("doc_id"), col("len"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lbl"))
+          .orderBy(col("len").desc, col("doc_id"))
+        val keepers = scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("lbl"), col("doc_id").as("keeper_id"))
+        scored.join(broadcast(keepers), Seq("lbl"))
+          .select(col("doc_id"), col("keeper_id"),
+            (col("doc_id") === col("keeper_id")).as("is_keeper"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $multiSignalCompCtes,
+              |scored AS (
+              |  SELECT c.keeper AS lbl, c.id AS doc_id,
+              |    len(coalesce(d.text, '')) AS len
+              |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+              |keep AS (
+              |  SELECT lbl, doc_id AS keeper_id FROM (
+              |    SELECT lbl, doc_id, row_number() OVER (
+              |      PARTITION BY lbl ORDER BY len DESC, doc_id) AS rn
+              |    FROM scored)
+              |  WHERE rn = 1)
+              |SELECT s.doc_id, k.keeper_id,
+              |  s.doc_id = k.keeper_id AS is_keeper
+              |FROM scored s JOIN keep k ON k.lbl = s.lbl
+              |ORDER BY s.doc_id""".stripMargin)),
 
     // ── Q68: incremental ingest dedup — classify an INCOMING batch
     // (source src0, the held-out source) against the EXISTING corpus:
