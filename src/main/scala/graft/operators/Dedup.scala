@@ -165,7 +165,16 @@ object Dedup {
   private def ppjoinPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val harr = sortedShingleHashes(docs).persist()
+    ppjoinPairsFrom(sortedShingleHashes(docs).persist())
+  }
+
+  /** [[ppjoinPairs]] over an already-persisted (doc_id, hl) index —
+    * q71/q73 pass a projection of the shared signature table so the
+    * shingle hashes are computed (and cached) once for both SHINGLE_K
+    * miners instead of once per miner.
+    */
+  private def ppjoinPairsFrom(harr: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val cands = prefixCandidates(harr)
     val ha = harr.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
     val hb = harr.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"))
@@ -240,13 +249,29 @@ object Dedup {
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val sigs = docs.select(col("doc_id"),
+    minhashPairsFrom(minhashSigs(docs).persist())
+  }
+
+  /** The (doc_id, bands, hl) signature projection both SHINGLE_K
+    * miners read: minhash band hashes for q42's LSH buckets plus the
+    * sorted shingle-hash array for BOTH verify stages AND q46's
+    * prefix index (hl is exactly [[sortedShingleHashes]]'s column).
+    * Persisted once by the caller, this is the ingest-time signature
+    * table of a production corpus — computed in one documents scan,
+    * shared by every miner over it.
+    */
+  private def minhashSigs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
       call_function("graft_minhash_bands",
         coalesce(col("text"), lit("")),
         lit(SHINGLE_K), lit(NUM_HASHES), lit(ROWS_PER_BAND)).as("bands"),
       call_function("graft_shingle_hashes",
         coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"))
-      .persist()
+
+  /** [[minhashPairs]] over an already-persisted signature table. */
+  private def minhashPairsFrom(sigs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val cands = minhashCandidates(sigs)
     val ha = sigs.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
     val hb = sigs.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"))
@@ -346,11 +371,19 @@ object Dedup {
     * linear. Cache contract as on the individual miners.
     */
   private def multiSignalPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // ONE signature scan for both SHINGLE_K miners: bands + sorted
+    // shingle hashes computed and cached once; the PPJoin miner reads
+    // the hl projection of the same in-memory table. The simhash
+    // miner shingles at k = 2 (different set) and keeps its own path.
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val shared = minhashSigs(docs).persist()
+    minhashPairsFrom(shared).select(col("doc_a"), col("doc_b"))
       .union(simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
-      .union(ppjoinPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .union(ppjoinPairsFrom(shared.select(col("doc_id"), col("hl")))
+        .select(col("doc_a"), col("doc_b")))
       .distinct()
+  }
 
   /** Oracle CTE chain replaying [[multiSignalPairs]] and the q63
     * recursive reachability fixpoint: all three miner chains
