@@ -165,6 +165,30 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got === ref)
   }
 
+  test("keep-ties with null keys and null order values (desc = NULLS LAST)") {
+    import spark.implicits._
+    TopK.ensure(spark)
+    // all-null group b: every row ties at rank 1 (null == null under
+    // the ordering); group a: nulls sort last so only the 3.0 pair
+    // survives; null KEY is its own group like any window partition
+    val df = Seq(
+      (Some("a"), Some(3.0), 1L), (Some("a"), Some(3.0), 2L),
+      (Some("a"), None, 3L),
+      (Some("b"), None, 4L), (Some("b"), None, 5L),
+      (None, Some(1.0), 6L), (None, Some(1.0), 7L)
+    ).toDF("k", "score", "id")
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
+    val q = df.withColumn("rn", rank().over(w)).filter(col("rn") === 1)
+    assert(q.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[graft.plans.TopKPerKeyNode]))
+    val got = q.collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2))).toSet
+    assert(got === Set(
+      ("a", Some(3.0), 1L), ("a", Some(3.0), 2L),
+      ("b", None, 4L), ("b", None, 5L),
+      (null, Some(1.0), 6L), (null, Some(1.0), 7L)))
+  }
+
   test("rank() <= k for k > 1 does NOT rewrite (ties overflow a k-bounded heap)") {
     TopK.ensure(spark)
     val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
