@@ -371,15 +371,20 @@ object Dedup {
     * linear. Cache contract as on the individual miners.
     */
   private def multiSignalPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    multiSignalPairsFrom(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[multiSignalPairs]] over any (doc_id, text) frame. */
+  private[graft] def multiSignalPairsFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // ONE signature scan for both SHINGLE_K miners: bands + sorted
     // shingle hashes computed and cached once; the PPJoin miner reads
     // the hl projection of the same in-memory table. The simhash
     // miner shingles at k = 2 (different set) and keeps its own path.
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val shared = minhashSigs(docs).persist()
     minhashPairsFrom(shared).select(col("doc_a"), col("doc_b"))
-      .union(simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .union(simhashPairsFrom(docs).select(col("doc_a"), col("doc_b")))
       .union(ppjoinPairsFrom(shared.select(col("doc_id"), col("hl")))
         .select(col("doc_a"), col("doc_b")))
       .distinct()
@@ -417,10 +422,17 @@ object Dedup {
 
   /** q43's pair derivation, shared with q63's component grouping. */
   private def simhashPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    simhashPairsFrom(Tables.documents(s, dir))
+
+  /** [[simhashPairs]] over any (doc_id, text) frame — the df-based
+    * entry ScaleGrowthSpec drives with synthetic corpora.
+    */
+  private[graft] def simhashPairsFrom(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     def bandOf(sh: Column, j: Int): Column =
       shiftrightunsigned(sh, 16 * j).bitwiseAND(lit(65535L))
-    val docs = Tables.documents(s, dir)
+    val docs = docsIn
       .select(col("doc_id"),
         call_function("graft_simhash", coalesce(col("text"), lit("")), lit(2))
           .as("sh"))

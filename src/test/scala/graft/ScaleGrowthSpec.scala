@@ -123,6 +123,24 @@ class ScaleGrowthSpec extends AnyFunSuite {
         s"base=$c1 withBlob=$cBlob")
   }
 
+  test("q71 multi-signal VERIFIED edge list grows ~linearly under disjoint 5x growth") {
+    // the full union — all three miners through their verify stages,
+    // shared signature table, distinct-ed — is the edge list every CC
+    // round shuffles in q71/q73; the per-miner linearity arguments
+    // must survive the composition (and the shared-signature cache)
+    ensureFns()
+    def edges(docs: DataFrame): Long =
+      countAndRelease(Dedup.multiSignalPairsFrom(
+        docs.select(col("doc_id"), col("text"))))
+    val e1 = edges(replicas(1))
+    val e5 = edges(replicas(5))
+    assert(e1 > 0, "self-similar corpus must yield verified near-dup edges")
+    assert(e5 <= e1 * 5 * 3 / 2,
+      s"super-linear edge growth: e1=$e1 e5=$e5 (quadratic ≈ ${25 * e1})")
+    assert(e5 >= e1 * 5 / 2,
+      s"implausibly sub-linear edge growth: e1=$e1 e5=$e5")
+  }
+
   test("q48 probe join never amplifies: output rows == test 5-gram rows, " +
       "invariant under 5x train growth") {
     ensureFns()
