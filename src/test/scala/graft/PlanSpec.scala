@@ -97,6 +97,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TopKPerKey"), p.take(1500))
   }
 
+  test("q73: keeper election through TopKPerKey; keepers join broadcasts") {
+    val q = SparkEntry.queries("q73_dedup_keepers")(spark, sf)
+    try {
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.exists(_.isInstanceOf[graft.plans.TopKPerKeyNode]),
+        "keeper argmax must go through the bounded operator:\n" +
+          opt.toString.take(1500))
+      val phys = q.queryExecution.sparkPlan.toString
+      assert(phys.contains("BroadcastHashJoin"),
+        s"one-row-per-component keepers must broadcast onto the membership:\n${phys.take(1500)}")
+    } finally spark.catalog.clearCache() // q73 persists signature tables
+  }
+
   test("q72: rank()=1 rewrites into keep-ties TopKPerKey (no Window executed)") {
     val opt = SparkEntry.queries("q72_argmax_ties")(spark, sf)
       .queryExecution.optimizedPlan
