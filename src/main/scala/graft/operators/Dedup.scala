@@ -892,9 +892,12 @@ object Dedup {
     QueryDef("q73_dedup_keepers",
       (s, dir) => {
         graft.plans.TopK.ensure(s)
+        // quality = the stored n_chars column, NOT length(text): the
+        // scoring branch then scans only (doc_id, n_chars) — the text
+        // column never leaves the parquet reader for this branch (the
+        // miners read text through their own shared-signature scan)
         val docs = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            length(coalesce(col("text"), lit(""))).as("len"))
+          .select(col("doc_id"), col("n_chars").as("len"))
         val scored = connectedComponents(multiSignalPairs(s, dir))
           .join(docs, col("id") === col("doc_id"))
           .select(col("lbl"), col("doc_id"), col("len"))
@@ -913,7 +916,7 @@ object Dedup {
       Some(s"""WITH RECURSIVE $multiSignalCompCtes,
               |scored AS (
               |  SELECT c.keeper AS lbl, c.id AS doc_id,
-              |    len(coalesce(d.text, '')) AS len
+              |    d.n_chars AS len
               |  FROM comp c JOIN documents d ON d.doc_id = c.id),
               |keep AS (
               |  SELECT lbl, doc_id AS keeper_id FROM (
