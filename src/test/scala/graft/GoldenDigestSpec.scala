@@ -54,7 +54,8 @@ object GoldenDigest {
 
   def digest(df: DataFrame): String = {
     val cols = df.columns.sorted
-    val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val proj = df.select(
+      cols.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
     val lines = proj.collect().map(_.toSeq.map(norm).mkString("")).sorted
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update((cols.mkString("") + "\n").getBytes("UTF-8"))
