@@ -189,6 +189,40 @@ class TopKPerKeySpec extends AnyFunSuite {
       (null, Some(1.0), 6L), (null, Some(1.0), 7L)))
   }
 
+  test("keep-ties equals driver-computed tie groups across seeded random datasets") {
+    import spark.implicits._
+    TopK.ensure(spark)
+    // small score domain + null injection → heavy tie groups, nulls in
+    // and out of the winning position; ids are unique so the sets
+    // compare exactly
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val data = (0 until 400).map { i =>
+        (s"k${rnd.nextInt(13)}",
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toDouble),
+          i.toLong)
+      }
+      val df = data.toDF("k", "score", "id").repartition(1 + seed % 5)
+      val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
+      val q = df.withColumn("rn", rank().over(w)).filter(col("rn") === 1)
+      assert(q.queryExecution.optimizedPlan
+        .exists(_.isInstanceOf[graft.plans.TopKPerKeyNode]))
+      val got = q.collect()
+        .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2))).toSet
+      val expect = data.groupBy(_._1).flatMap { case (_, rs) =>
+        val nonNull = rs.flatMap(_._2)
+        // desc NULLS LAST: any non-null beats null; all-null group
+        // ties entirely
+        val best: Option[Double] =
+          if (nonNull.nonEmpty) Some(nonNull.max) else None
+        rs.filter(_._2 == best)
+      }.toSet
+      // tuple equality is element-wise and Option equality is value-
+      // based, so the Row-derived Option[Any] compares fine
+      assert(got.map(t => (t._1, t._2, t._3)) === expect, s"seed=$seed")
+    }
+  }
+
   test("rank() <= k for k > 1 does NOT rewrite (ties overflow a k-bounded heap)") {
     TopK.ensure(spark)
     val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
