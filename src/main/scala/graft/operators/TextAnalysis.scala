@@ -883,5 +883,68 @@ object TextAnalysis {
              |    PARTITION BY source ORDER BY lift_ppm DESC, tok) AS INT) AS rn
              |  FROM l)
              |SELECT source, tok, tf, ctf, lift_ppm, rn FROM r
-             |WHERE rn <= 3 ORDER BY source, rn""".stripMargin)))
+             |WHERE rn <= 3 ORDER BY source, rn""".stripMargin)),
+
+    // ── Q74: fixed-vocabulary token-id encoding — the tokenize step of
+    // a training pipeline: build a size-V vocabulary from corpus
+    // frequencies (id = rank by count desc, token asc — deterministic),
+    // encode every document's token stream as ids with OOV → -1, and
+    // report the per-doc OOV count. V = 16 of the corpus's 31 distinct
+    // tokens, so both the mapped and OOV paths carry signal.
+    //
+    // 100 TB shape: one wordcount shuffle (map-side partial agg over
+    // tokens), then top-V via orderBy+limit (TakeOrderedAndProject —
+    // per-partition top-V, no global sort), a constant-V-row window to
+    // assign ids (the IVF-centroid precedent: the single-partition sort
+    // is over V rows, not the corpus), the vocab broadcast back onto
+    // the exploded tokens, and one doc_id shuffle of (pos, id) pairs —
+    // token text never shuffles twice, document text never shuffles at
+    // all. A real 32k–100k BPE vocab is a few MB — still broadcast-able.
+    QueryDef("q74_vocab_encode",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val V = 16
+        val pt = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        val top = pt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(V)
+        val vocab = top
+          .withColumn("id",
+            (row_number().over(Window.orderBy(col("c").desc, col("tok")))
+              - 1).cast("long"))
+          .select(col("tok"), col("id"))
+        pt.join(broadcast(vocab), Seq("tok"), "left")
+          .select(col("doc_id"), col("pos"),
+            coalesce(col("id"), lit(-1L)).as("id"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("id") === -1L, 1L).otherwise(0L)).as("n_oov"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("id")))),
+                e => e.getField("id").cast("string")), ",").as("ids"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH pt AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok,
+             |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+             |  FROM documents),
+             |cnt AS (SELECT tok, count(*) AS c FROM pt GROUP BY tok),
+             |vocab AS (
+             |  SELECT tok, id FROM (
+             |    SELECT tok, CAST(row_number() OVER (
+             |      ORDER BY c DESC, tok) - 1 AS BIGINT) AS id
+             |    FROM cnt)
+             |  WHERE id < 16),
+             |enc AS (
+             |  SELECT p.doc_id, p.pos, coalesce(v.id, -1) AS id
+             |  FROM pt p LEFT JOIN vocab v ON v.tok = p.tok)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oov,
+             |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',')
+             |    AS ids
+             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }
