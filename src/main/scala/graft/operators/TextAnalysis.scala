@@ -946,5 +946,45 @@ object TextAnalysis {
              |    AS n_oov,
              |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',')
              |    AS ids
-             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── Q75: deterministic global shuffle + sharding — the
+    // training-order shuffle that precedes shard writing: every doc
+    // gets a pseudo-random permutation position mix64(doc_id), a shard
+    // by hash mod S, and a within-shard index by hash order. Fully
+    // deterministic (re-runs and retries produce identical shards —
+    // the property rand() cannot give a distributed writer) and seeds
+    // compose by mixing a salt into the key.
+    //
+    // 100 TB shape: the hash is computed in the scan projection; ONE
+    // shuffle partitions by shard and the window sorts within each
+    // shard partition — there is no global sort anywhere (a
+    // row_number over a global ORDER BY would serialize on one task;
+    // partition-by-shard keeps every shard's sort local and parallel).
+    // Production S is thousands (shards ≫ executors); the final
+    // orderBy is display-only for the oracle compare — a real writer
+    // sinks partitionBy("shard") files directly.
+    QueryDef("q75_global_shuffle",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val S = 8
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            unsignedDec(call_function("graft_mix64", col("doc_id"))).as("u"))
+          .withColumn("shard", pmod(col("u"), lit(S)).cast("long"))
+          .withColumn("idx", (row_number().over(
+            Window.partitionBy(col("shard"))
+              .orderBy(col("u"), col("doc_id"))) - 1).cast("long"))
+          .select(col("doc_id"), col("shard"), col("idx"))
+          .orderBy(col("shard"), col("idx"))
+      },
+      Some(s"""WITH h0 AS (
+              |  SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents),
+              |${OracleSql.mix64Ctes("doc_id", "h0")},
+              |lab AS (
+              |  SELECT doc_id, m, CAST(m % 8 AS BIGINT) AS shard FROM mixed)
+              |SELECT doc_id, shard,
+              |  CAST(row_number() OVER (
+              |    PARTITION BY shard ORDER BY m, doc_id) - 1 AS BIGINT) AS idx
+              |FROM lab ORDER BY shard, idx""".stripMargin)))
 }
