@@ -986,5 +986,55 @@ object TextAnalysis {
               |SELECT doc_id, shard,
               |  CAST(row_number() OVER (
               |    PARTITION BY shard ORDER BY m, doc_id) - 1 AS BIGINT) AS idx
-              |FROM lab ORDER BY shard, idx""".stripMargin)))
+              |FROM lab ORDER BY shard, idx""".stripMargin)),
+
+    // ── Q76: duplicated n-gram fraction — the Gopher/MassiveText
+    // boilerplate signal: for each document, the fraction of its
+    // distinct 5-grams that appear in ≥ 2 documents corpus-wide.
+    // Distinct from q48 (containment of a TEST split against a TRAIN
+    // split): this is a symmetric corpus-wide document-frequency
+    // statistic, the filter stage that drops template-heavy docs
+    // before training.
+    //
+    // 100 TB shape: ONE documents scan and two shuffles of
+    // (8-byte hash, doc_id) pairs — document text never shuffles.
+    // The document frequency is a count() window over the hash
+    // partition, not a groupBy+self-join: a join formulation would
+    // re-scan and re-explode the corpus for the probe side (the
+    // aggregate side's partial-HashAggregate makes its exchange
+    // subtree non-reusable), where the window reads the exploded
+    // frame exactly once. dup_ppm is exact integer half-up rounding
+    // — no engine-float ranking.
+    QueryDef("q76_dup_ngram_fraction",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(call_function("graft_shingle_hashes",
+              coalesce(col("text"), lit("")), lit(5))).as("s"))
+        // per-doc shingles are a distinct set, so count(*) per hash
+        // IS the document frequency
+        sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+            expr("CAST((2 * n_dup * 1000000 + n_shingles)" +
+              " div (2 * n_shingles) AS BIGINT)").as("dup_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
+              |${OracleSql.shinglesCte(5, "doc_id")},
+              |sh AS (SELECT doc_id, unnest(sset) AS sg FROM shing),
+              |hs AS (SELECT doc_id, ${OracleSql.hash64("sg")} AS s FROM sh),
+              |dfq AS (SELECT s, count(*) AS df FROM hs GROUP BY s),
+              |agg AS (
+              |  SELECT h.doc_id, count(*) AS n_shingles,
+              |    sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+              |  FROM hs h JOIN dfq d ON h.s = d.s GROUP BY h.doc_id)
+              |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+              |  CAST(n_dup AS BIGINT) AS n_dup,
+              |  CAST((2 * n_dup * 1000000 + n_shingles)
+              |    // (2 * n_shingles) AS BIGINT) AS dup_ppm
+              |FROM agg ORDER BY doc_id""".stripMargin)))
 }

@@ -245,4 +245,33 @@ class PlanSpec extends AnyFunSuite {
       conf.unset("spark.sql.optimizer.runtimeFilter.number.threshold")
     }
   }
+
+  test("q74: top-V vocab is TakeOrderedAndProject; encode join broadcasts") {
+    val p = plan("q74_vocab_encode")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab selection must be per-partition top-V, not a global sort:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V-row vocab must broadcast onto the token stream:\n${p.take(1500)}")
+  }
+
+  test("q75: the permutation window partitions by shard (no global window)") {
+    // exchanges are inserted by EnsureRequirements, so inspect the
+    // executed plan; the row_number window's required distribution is
+    // a shard hash partition — the only full sort is the display-only
+    // final orderBy
+    val exec = SparkEntry.queries("q75_global_shuffle")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("hashpartitioning(shard"),
+      s"window must partition by shard:\n${exec.take(2000)}")
+  }
+
+  test("q76: doc frequency is a window over one exploded scan — no join") {
+    val exec = SparkEntry.queries("q76_dup_ngram_fraction")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.linesIterator.count(_.contains("Scan parquet")) == 1 &&
+      exec.linesIterator.count(_.contains("Generate explode")) == 1,
+      s"corpus must be scanned and exploded exactly once:\n${exec.take(2500)}")
+    assert(!exec.contains("Join"),
+      s"df is a window, not a groupBy+self-join:\n${exec.take(2500)}")
+  }
 }
