@@ -999,5 +999,93 @@ object Dedup {
               |FROM inc i
               |LEFT JOIN ex e USING (doc_id)
               |LEFT JOIN nearm n USING (doc_id)
-              |ORDER BY i.doc_id""".stripMargin)))
+              |ORDER BY i.doc_id""".stripMargin)),
+
+    // ── Q77: cross-shard LEAKAGE AUDIT — after q75's deterministic
+    // shard split, count near-duplicate pairs that land in DIFFERENT
+    // shards: the train/validation leakage check a production split
+    // must run before anyone trusts a held-out shard. Shards are a
+    // pure function of doc_id (q75's mix64 mod 8 — `& 7` on the
+    // signed long equals the unsigned residue mod 8 for a power-of-two
+    // S), so the labels are computed in the pair list's projection:
+    // ZERO joins beyond the miner itself, and the output is a bounded
+    // S×S matrix from one tiny groupBy.
+    //
+    // 100 TB shape: the pair list is orders of magnitude smaller than
+    // the corpus (capped candidate generation, ScaleGrowthSpec), and
+    // this adds only a constant-width projection + an S²-row
+    // aggregation on top of it.
+    QueryDef("q77_shard_leakage",
+      (s, dir) => {
+        def shardOf(c: Column): Column =
+          call_function("graft_mix64", c).bitwiseAND(lit(7L))
+        simhashPairs(s, dir)
+          .select(shardOf(col("doc_a")).as("sh_a"),
+            shardOf(col("doc_b")).as("sh_b"))
+          .groupBy(least(col("sh_a"), col("sh_b")).as("shard_lo"),
+            greatest(col("sh_a"), col("sh_b")).as("shard_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(col("shard_lo"), col("shard_hi"), col("n_pairs"),
+            (col("shard_lo") =!= col("shard_hi")).as("cross_shard"))
+          .orderBy(col("shard_lo"), col("shard_hi"))
+      },
+      Some(s"""WITH $simhashPairsCtes,
+              |prs AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+              |h0sd AS (
+              |  SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents),
+              |${OracleSql.mix64Ctes("doc_id", "h0sd", "_sd")},
+              |shards AS (
+              |  SELECT doc_id, CAST(m % 8 AS BIGINT) AS shard
+              |  FROM mixed_sd),
+              |lab AS (
+              |  SELECT least(sa.shard, sb.shard) AS shard_lo,
+              |    greatest(sa.shard, sb.shard) AS shard_hi
+              |  FROM prs p
+              |  JOIN shards sa ON sa.doc_id = p.doc_a
+              |  JOIN shards sb ON sb.doc_id = p.doc_b)
+              |SELECT shard_lo, shard_hi, count(*) AS n_pairs,
+              |  shard_lo <> shard_hi AS cross_shard
+              |FROM lab GROUP BY shard_lo, shard_hi
+              |ORDER BY shard_lo, shard_hi""".stripMargin)),
+
+    // ── Q78: cross-source near-duplicate OVERLAP — which sources
+    // mirror each other: the simhash near-dup pairs labeled with each
+    // side's `source` and rolled up into a source×source matrix. The
+    // provenance audit behind corpus mixing decisions (two feeds
+    // sharing many near-dups are re-crawls of the same origin, and
+    // their mixing weights double-count it).
+    //
+    // 100 TB shape: unlike q77 the label is NOT derivable from the
+    // key, so each side joins a two-column (doc_id, source)
+    // projection — the text column never leaves the parquet reader on
+    // the label side, the pair list stays miner-bounded, and the
+    // output is capped at (#sources)² rows.
+    QueryDef("q78_source_overlap",
+      (s, dir) => {
+        val src = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+        simhashPairs(s, dir)
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("s_a")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("s_b")), "doc_b")
+          .groupBy(least(col("s_a"), col("s_b")).as("src_lo"),
+            greatest(col("s_a"), col("s_b")).as("src_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(col("src_lo"), col("src_hi"), col("n_pairs"),
+            (col("src_lo") =!= col("src_hi")).as("cross_source"))
+          .orderBy(col("src_lo"), col("src_hi"))
+      },
+      Some(s"""WITH $simhashPairsCtes,
+              |prs AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+              |lab AS (
+              |  SELECT least(da.source, db.source) AS src_lo,
+              |    greatest(da.source, db.source) AS src_hi
+              |  FROM prs p
+              |  JOIN documents da ON da.doc_id = p.doc_a
+              |  JOIN documents db ON db.doc_id = p.doc_b)
+              |SELECT src_lo, src_hi, count(*) AS n_pairs,
+              |  src_lo <> src_hi AS cross_source
+              |FROM lab GROUP BY src_lo, src_hi
+              |ORDER BY src_lo, src_hi""".stripMargin)))
 }
