@@ -1036,5 +1036,58 @@ object TextAnalysis {
               |  CAST(n_dup AS BIGINT) AS n_dup,
               |  CAST((2 * n_dup * 1000000 + n_shingles)
               |    // (2 * n_shingles) AS BIGINT) AS dup_ppm
-              |FROM agg ORDER BY doc_id""".stripMargin)))
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // ── Q79: curriculum QUALITY BINNING — assign every document to an
+    // exact quartile bin of the stored n_chars quality proxy: the
+    // two-pass "order by difficulty" assignment curriculum training
+    // reads its epochs from. Boundaries are PERCENTILE_DISC semantics
+    // (smallest value whose cumulative distribution ≥ p — an actual
+    // data element, so no float interpolation to drift across
+    // engines), but computed the 100 TB way: a value HISTOGRAM
+    // (groupBy n_chars, map-side combinable) shrinks the corpus to
+    // its distinct score values, a cumulative window over that tiny
+    // table finds the three cut points with pure integer comparisons
+    // (4·cum ≥ total ⟺ cdf ≥ 0.25 — no p·total float), and the
+    // 1-row boundary frame broadcasts back onto a two-column
+    // projection. The only sort anywhere is over DISTINCT score
+    // values (bounded domain), never the corpus; a global
+    // percentile_disc aggregate or an ntile() window would instead
+    // buffer/sort the full 100 TB on one path.
+    QueryDef("q79_curriculum_bins",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+        val hist = docs.groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+        // single-partition window + 1-row cross joins are over the
+        // DISTINCT-value histogram (tiny by construction), not data
+        val total = hist.agg(sum(col("c")).as("total"))
+        val bounds = hist
+          .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+          .crossJoin(broadcast(total))
+          .agg(
+            min(when(col("cum") * 4 >= col("total"), col("v"))).as("b25"),
+            min(when(col("cum") * 2 >= col("total"), col("v"))).as("b50"),
+            min(when(col("cum") * 4 >= col("total") * 3, col("v"))).as("b75"))
+        docs.crossJoin(broadcast(bounds))
+          .select(col("doc_id"), col("n_chars"),
+            when(col("n_chars") <= col("b25"), 0L)
+              .when(col("n_chars") <= col("b50"), 1L)
+              .when(col("n_chars") <= col("b75"), 2L)
+              .otherwise(3L).as("bin"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT quantile_disc(n_chars, 0.25) AS b25,
+             |    quantile_disc(n_chars, 0.5) AS b50,
+             |    quantile_disc(n_chars, 0.75) AS b75
+             |  FROM documents)
+             |SELECT d.doc_id, d.n_chars,
+             |  CAST(CASE WHEN d.n_chars <= b.b25 THEN 0
+             |            WHEN d.n_chars <= b.b50 THEN 1
+             |            WHEN d.n_chars <= b.b75 THEN 2
+             |            ELSE 3 END AS BIGINT) AS bin
+             |FROM documents d, b ORDER BY d.doc_id""".stripMargin)))
 }
