@@ -265,6 +265,39 @@ class PlanSpec extends AnyFunSuite {
       s"window must partition by shard:\n${exec.take(2000)}")
   }
 
+  test("q77: shard labels are computed in-plan — no join beyond the miner") {
+    // q43's miner plans exactly one join (the band-bucket self-join);
+    // q77's shard labeling must add zero joins on top of it (labels
+    // are a pure hash of doc_id, not a lookup)
+    def joins(q: String): Int =
+      SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        .toString.linesIterator.count(_.contains("Join"))
+    try assert(joins("q77_shard_leakage") == joins("q43_simhash_pairs"),
+      "shard labeling must not introduce a join")
+    finally spark.catalog.clearCache()
+  }
+
+  test("q78: source-label joins scan only (doc_id, source)") {
+    val exec = SparkEntry.queries("q78_source_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      val labelScans = exec.linesIterator
+        .filter(l => l.contains("ReadSchema") && !l.contains("text"))
+      assert(labelScans.exists(l =>
+          l.contains("doc_id") && l.contains("source")),
+        s"label side must prune to (doc_id, source):\n${exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q79: boundary frame broadcasts; corpus aggregate is partial") {
+    val exec = SparkEntry.queries("q79_curriculum_bins")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"1-row bounds must broadcast onto the corpus:\n${exec.take(2000)}")
+    assert(exec.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"histogram groupBy must partial-aggregate:\n${exec.take(2000)}")
+  }
+
   test("q76: doc frequency is a window over one exploded scan — no join") {
     val exec = SparkEntry.queries("q76_dup_ngram_fraction")(spark, sf)
       .queryExecution.executedPlan.toString
