@@ -512,7 +512,73 @@ object Similarity {
            |SELECT s.vec_id, s.qscore, c.cosine
            |FROM scored s JOIN cosd c USING (vec_id)
            |ORDER BY s.qscore DESC, s.vec_id LIMIT 10""".stripMargin
-      }))
+      }),
+
+    // ── Q80: label OUTLIER detection — per label, the 3 vectors
+    // farthest (squared euclidean) from their own label's centroid:
+    // the embedding-space noisy-label / mislabel sweep a training-data
+    // pipeline runs before trusting its classification labels. The
+    // whole pipeline is INTEGER-exact: vectors quantize to q =
+    // round(v·10⁴) (the q52 precedent — both engines agree on the
+    // quantization), centroids are exact half-up integer averages of
+    // the quantized values, and the distance ranked on is
+    // Σ(q−cq)² — int64-exact (≤ 64·(2·10⁴)² ≈ 2.6e10), so the
+    // cross-engine ranking cannot drift the way float distances can.
+    //
+    // 100 TB shape: two passes over the quantized expansion (centroid
+    // build + distance), both map-side partial-aggregated; the
+    // centroid table is labels×dims rows and BROADCASTS back (the
+    // corpus is never shuffled for the join); per-label top-3 goes
+    // through the row_number()=1..k rewrite into TopKPerKey — bounded
+    // heaps on both sides of a (label)-keyed exchange, no per-label
+    // sort of the corpus.
+    QueryDef("q80_label_outliers",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        def qv = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            round(col("v").cast("double") * 10000).cast("long").as("q"))
+        val cent = qv.groupBy(col("label"), col("dim"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            expr("((sq + 1000000 * n) * 2 + n) div (2 * n) - 1000000")
+              .as("cq"))
+        val d2 = qv.join(broadcast(cent), Seq("label", "dim"))
+          .select(col("vec_id"), col("label"),
+            ((col("q") - col("cq")) * (col("q") - col("cq"))).as("sqd"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum(col("sqd")).as("d2"))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("d2").desc, col("vec_id"))
+        d2.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("label"), col("vec_id"), col("d2"))
+          .orderBy(col("label"), col("vec_id"))
+      },
+      Some("""WITH qv AS (
+             |  SELECT vec_id, label,
+             |    generate_subscripts(embedding, 1) - 1 AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+             |      AS BIGINT) AS q
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT label, dim,
+             |    ((sum(q) + 1000000 * count(*)) * 2 + count(*))
+             |      // (2 * count(*)) - 1000000 AS cq
+             |  FROM qv GROUP BY label, dim),
+             |d AS (
+             |  SELECT v.vec_id, v.label,
+             |    sum((v.q - c.cq) * (v.q - c.cq)) AS d2
+             |  FROM qv v JOIN cent c ON c.label = v.label AND c.dim = v.dim
+             |  GROUP BY v.vec_id, v.label),
+             |r AS (
+             |  SELECT label, vec_id, d2, row_number() OVER (
+             |    PARTITION BY label ORDER BY d2 DESC, vec_id) AS rn
+             |  FROM d)
+             |SELECT label, vec_id, CAST(d2 AS BIGINT) AS d2
+             |FROM r WHERE rn <= 3 ORDER BY label, vec_id""".stripMargin)))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the

@@ -298,6 +298,15 @@ class PlanSpec extends AnyFunSuite {
       s"histogram groupBy must partial-aggregate:\n${exec.take(2000)}")
   }
 
+  test("q80: centroid join broadcasts; top-3 runs through TopKPerKey") {
+    val exec = SparkEntry.queries("q80_label_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("TopKPerKey"),
+      s"per-label top-3 must use the bounded-heap operator:\n${exec.take(2000)}")
+    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
+      s"labels×dims centroid table must broadcast:\n${exec.take(2000)}")
+  }
+
   test("q76: doc frequency is a window over one exploded scan — no join") {
     val exec = SparkEntry.queries("q76_dup_ngram_fraction")(spark, sf)
       .queryExecution.executedPlan.toString
