@@ -1089,5 +1089,57 @@ object TextAnalysis {
              |            WHEN d.n_chars <= b.b50 THEN 1
              |            WHEN d.n_chars <= b.b75 THEN 2
              |            ELSE 3 END AS BIGINT) AS bin
-             |FROM documents d, b ORDER BY d.doc_id""".stripMargin)))
+             |FROM documents d, b ORDER BY d.doc_id""".stripMargin)),
+
+    // ── Q81: n-gram NOVELTY CURVE — walking q75's shards in order,
+    // how many never-seen-before 5-grams each shard contributes (and
+    // the cumulative total): the diminishing-returns curve that tells
+    // a corpus-growth effort when new data stops buying new language.
+    // 5-grams, not unigrams, because unigram vocabularies saturate
+    // instantly (this corpus's does in shard 0); the n-gram tail is
+    // where novelty lives. first_shard = min(shard) per 5-gram hash —
+    // an associative aggregate, so "first seen" costs one map-side-
+    // combinable groupBy on the 8-byte hash key, not an ordered scan.
+    //
+    // 100 TB shape: shard is computed in-plan from doc_id (q77's
+    // `& 7` ≡ mix64 mod 8), 5-grams are the native
+    // graft_shingle_hashes expression (no string materialization);
+    // two shuffles — hash-keyed min over (8-byte, 1-byte) pairs, then
+    // the S-row rollup; the cumulative window runs over S rows.
+    QueryDef("q81_novelty_curve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = Tables.documents(s, dir)
+          .select(call_function("graft_mix64", col("doc_id"))
+              .bitwiseAND(lit(7L)).as("shard"),
+            explode(call_function("graft_shingle_hashes",
+              coalesce(col("text"), lit("")), lit(5))).as("s"))
+        sh.groupBy(col("s"))
+          .agg(min(col("shard")).as("first_shard"))
+          .groupBy(col("first_shard"))
+          .agg(count(lit(1)).as("n_new_ngrams"))
+          .withColumn("cum_ngrams",
+            sum(col("n_new_ngrams")).over(Window.orderBy(col("first_shard"))))
+          .orderBy(col("first_shard"))
+      },
+      Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
+              |${OracleSql.shinglesCte(5, "doc_id")},
+              |h0 AS (
+              |  SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents),
+              |${OracleSql.mix64Ctes("doc_id", "h0")},
+              |sd AS (
+              |  SELECT doc_id, CAST(m % 8 AS BIGINT) AS shard FROM mixed),
+              |sg AS (SELECT doc_id, unnest(sset) AS g FROM shing),
+              |hs AS (
+              |  SELECT s.shard, ${OracleSql.hash64("sg.g")} AS h
+              |  FROM sg JOIN sd s ON s.doc_id = sg.doc_id),
+              |fs AS (
+              |  SELECT h, min(shard) AS first_shard FROM hs GROUP BY h),
+              |agg AS (
+              |  SELECT first_shard, CAST(count(*) AS BIGINT) AS n_new_ngrams
+              |  FROM fs GROUP BY first_shard)
+              |SELECT first_shard, n_new_ngrams,
+              |  CAST(sum(n_new_ngrams) OVER (ORDER BY first_shard)
+              |    AS BIGINT) AS cum_ngrams
+              |FROM agg ORDER BY first_shard""".stripMargin)))
 }
