@@ -118,6 +118,31 @@ object TextAnalysis {
     test.join(train, Seq("s"), "left")
   }
 
+  /** q76's duplicated-n-gram-fraction pipeline over any (doc_id,
+    * text) frame — the df-based entry ScaleGrowthSpec drives with
+    * synthetic corpora. One scan, one explode; the corpus-wide
+    * document frequency is a count() window over the hash partition
+    * (per-doc shingle sets are distinct, so count(*) per hash IS the
+    * df), not a groupBy+self-join — a join formulation would re-scan
+    * and re-explode the corpus for the probe side.
+    */
+  private[graft] def dupNgramFractionFrom(
+      docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docsIn
+      .select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes",
+          coalesce(col("text"), lit("")), lit(5))).as("s"))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        expr("CAST((2 * n_dup * 1000000 + n_shingles)" +
+          " div (2 * n_shingles) AS BIGINT)").as("dup_ppm"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Q30: token statistics per document (token counting op):
@@ -1006,23 +1031,8 @@ object TextAnalysis {
     // frame exactly once. dup_ppm is exact integer half-up rounding
     // — no engine-float ranking.
     QueryDef("q76_dup_ngram_fraction",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            explode(call_function("graft_shingle_hashes",
-              coalesce(col("text"), lit("")), lit(5))).as("s"))
-        // per-doc shingles are a distinct set, so count(*) per hash
-        // IS the document frequency
-        sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
-          .select(col("doc_id"), col("n_shingles"), col("n_dup"),
-            expr("CAST((2 * n_dup * 1000000 + n_shingles)" +
-              " div (2 * n_shingles) AS BIGINT)").as("dup_ppm"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => dupNgramFractionFrom(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
       Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
               |${OracleSql.shinglesCte(5, "doc_id")},
               |sh AS (SELECT doc_id, unnest(sset) AS sg FROM shing),

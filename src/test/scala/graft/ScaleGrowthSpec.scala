@@ -141,6 +141,28 @@ class ScaleGrowthSpec extends AnyFunSuite {
       s"implausibly sub-linear edge growth: e1=$e1 e5=$e5")
   }
 
+  test("q76 df-window output is doc-bounded; verbatim duplication saturates dup_ppm") {
+    ensureFns()
+    // output rows == input docs at 1x and 5x (the window never
+    // amplifies rows the way a probe-side self-join could)
+    val n1 = countAndRelease(TextAnalysis.dupNgramFractionFrom(replicas(1)))
+    val n5 = countAndRelease(TextAnalysis.dupNgramFractionFrom(replicas(5)))
+    assert(n1 === base.count(), s"output must be one row per doc: $n1")
+    assert(n5 === 5 * n1, s"doc-bounded under 5x growth: n1=$n1 n5=$n5")
+    // verbatim 2x duplication: every 5-gram's corpus df >= 2, so every
+    // doc's duplicated fraction must saturate at exactly 10^6 ppm —
+    // the semantic contract of the boilerplate signal
+    val dup2 = base.unionAll(
+      base.select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+        col("text")))
+    val notSaturated = TextAnalysis.dupNgramFractionFrom(dup2)
+      .filter(col("dup_ppm") =!= 1000000L).count()
+    spark.catalog.clearCache()
+    assert(notSaturated === 0L,
+      s"verbatim-duplicated corpus must show dup_ppm = 1e6 everywhere " +
+        s"($notSaturated rows below saturation)")
+  }
+
   test("q48 probe join never amplifies: output rows == test 5-gram rows, " +
       "invariant under 5x train growth") {
     ensureFns()
