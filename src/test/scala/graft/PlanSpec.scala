@@ -298,6 +298,15 @@ class PlanSpec extends AnyFunSuite {
       s"histogram groupBy must partial-aggregate:\n${exec.take(2000)}")
   }
 
+  test("q81: joinless — shard computed in-plan, min/count partial-aggregate") {
+    val exec = SparkEntry.queries("q81_novelty_curve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"),
+      s"shard labels and first-seen must need no join:\n${exec.take(2000)}")
+    assert(exec.contains("partial_min"),
+      s"first-seen min must combine map-side:\n${exec.take(2000)}")
+  }
+
   test("q80: centroid join broadcasts; top-3 runs through TopKPerKey") {
     val exec = SparkEntry.queries("q80_label_outliers")(spark, sf)
       .queryExecution.executedPlan.toString

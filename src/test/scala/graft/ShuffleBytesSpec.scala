@@ -98,4 +98,61 @@ class ShuffleBytesSpec extends AnyFunSuite {
     assert(topk < windowed,
       s"bounded-heap top-k must cap the exchange: topk=$topk window=$windowed")
   }
+
+  test("q76 df-window shuffles less than the groupBy+self-join formulation") {
+    graft.plans.GraftFunctions.ensure(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // At 100 TB the df table (distinct 5-grams) is NOT broadcastable —
+    // disable auto-broadcast so the measured baseline is the at-scale
+    // shuffled join, not a small-data broadcast shortcut.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val win = shuffleBytes(
+        graft.operators.TextAnalysis.dupNgramFractionFrom(docs))
+      // baseline: document frequency via groupBy, joined back onto a
+      // SECOND scan+explode of the corpus
+      def sh = docs.select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes",
+          coalesce(col("text"), lit("")), lit(5))).as("s"))
+      val dfq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val joined = sh.join(dfq, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      val jn = shuffleBytes(joined)
+      assert(win > 0, "expected a real exchange in the window formulation")
+      assert(win < jn,
+        s"df-window must shuffle less than the self-join: win=$win join=$jn")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q80 centroid broadcast shuffles less than the shuffled-join twin") {
+    graft.plans.TopK.ensure(spark)
+    val broad = shuffleBytes(
+      SparkEntry.queries("q80_label_outliers")(spark, sf))
+    // the twin without the broadcast hint, auto-broadcast disabled:
+    // the per-dim quantized expansion crosses the exchange for the
+    // centroid join — the cost q80's broadcast avoids
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def qv = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        round(col("v").cast("double") * 10000).cast("long").as("q"))
+    val cent = qv.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        expr("((sq + 1000000 * n) * 2 + n) div (2 * n) - 1000000").as("cq"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val shuffled =
+      try shuffleBytes(qv.join(cent, Seq("label", "dim"))
+        .select(col("vec_id"), col("label"),
+          ((col("q") - col("cq")) * (col("q") - col("cq"))).as("sqd"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("sqd")).as("d2")))
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(broad > 0)
+    assert(broad < shuffled,
+      s"centroid broadcast must keep the expansion off the wire: " +
+        s"broadcast=$broad shuffled=$shuffled")
+  }
 }
