@@ -578,7 +578,60 @@ object Similarity {
              |    PARTITION BY label ORDER BY d2 DESC, vec_id) AS rn
              |  FROM d)
              |SELECT label, vec_id, CAST(d2 AS BIGINT) AS d2
-             |FROM r WHERE rn <= 3 ORDER BY label, vec_id""".stripMargin)))
+             |FROM r WHERE rn <= 3 ORDER BY label, vec_id""".stripMargin)),
+
+    // ── Q82: LSH-cell label PURITY — partition embedding space into
+    // coarse LSH cells (8 sign planes → 256 cells) and measure each
+    // multi-member cell's label homogeneity: the label-noise
+    // LOCALIZATION sweep (a cell where labels disagree marks a
+    // boundary/noisy region of embedding space; q80 finds outlier
+    // points, this finds whole suspect regions). 8 planes, not q53's
+    // 64: cells must be coarse enough to hold several vectors, and
+    // the sign-of-sum FP-safety argument (q53) covers any plane
+    // subset. purity = majority-label share, exact integer ppm.
+    //
+    // 100 TB shape: the native graft_lsh_bucket codegen expression
+    // computes the cell in the scan projection; two map-side-
+    // combinable groupBys — (cell,label) counts, then the ≤ 2⁸·L-row
+    // rollup — and nothing else; no window, no join, the vectors
+    // never shuffle (only (8-byte cell, label, count) triples do).
+    QueryDef("q82_bucket_label_purity",
+      (s, dir) => {
+        val cells = Tables.embeddings(s, dir)
+          .select(col("label"),
+            VectorKernels.lshBucket(col("embedding"), DIM, 8).as("bucket"))
+          .groupBy(col("bucket"), col("label"))
+          .agg(count(lit(1)).as("nl"))
+        cells.groupBy(col("bucket"))
+          .agg(sum(col("nl")).as("n_vecs"), max(col("nl")).as("n_majority"))
+          .filter(col("n_vecs") >= 2)
+          .select(col("bucket"), col("n_vecs"), col("n_majority"),
+            expr("CAST((2 * n_majority * 1000000 + n_vecs)" +
+              " div (2 * n_vecs) AS BIGINT)").as("purity_ppm"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH $planesCte,
+              |dots AS (
+              |  SELECT e.vec_id, e.label, pl.p,
+              |    sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
+              |  FROM embeddings e, planes pl WHERE pl.p < 8
+              |  GROUP BY e.vec_id, e.label, pl.p),
+              |buck AS (
+              |  SELECT vec_id, label,
+              |    CAST(sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END)
+              |      AS BIGINT) AS bucket
+              |  FROM dots GROUP BY vec_id, label),
+              |cells AS (
+              |  SELECT bucket, label, count(*) AS nl
+              |  FROM buck GROUP BY bucket, label),
+              |agg AS (
+              |  SELECT bucket, CAST(sum(nl) AS BIGINT) AS n_vecs,
+              |    CAST(max(nl) AS BIGINT) AS n_majority
+              |  FROM cells GROUP BY bucket)
+              |SELECT bucket, n_vecs, n_majority,
+              |  CAST((2 * n_majority * 1000000 + n_vecs)
+              |    // (2 * n_vecs) AS BIGINT) AS purity_ppm
+              |FROM agg WHERE n_vecs >= 2 ORDER BY bucket""".stripMargin)))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the

@@ -307,6 +307,15 @@ class PlanSpec extends AnyFunSuite {
       s"first-seen min must combine map-side:\n${exec.take(2000)}")
   }
 
+  test("q82: joinless, windowless — two partial-aggregated groupBys only") {
+    val exec = SparkEntry.queries("q82_bucket_label_purity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Join") && !exec.contains("Window"),
+      s"cell purity must be pure aggregation:\n${exec.take(2000)}")
+    assert(exec.contains("partial_count") || exec.contains("partial_sum"),
+      s"cell counts must combine map-side:\n${exec.take(2000)}")
+  }
+
   test("q80: centroid join broadcasts; top-3 runs through TopKPerKey") {
     val exec = SparkEntry.queries("q80_label_outliers")(spark, sf)
       .queryExecution.executedPlan.toString
