@@ -61,6 +61,38 @@ object TextKernels {
     out
   }
 
+  /** Position-ordered hash64 of EVERY word k-shingle — one element per
+    * start position, duplicates kept, index == 0-based token position.
+    * The anchor stream for exact duplicated-span mining (q83), where
+    * [[sortedShingleHashes]]'s set semantics would erase the positions
+    * the diagonal/island merge needs. Docs shorter than k tokens emit
+    * the single whole-doc shingle, mirroring [[shingles]]. Static so
+    * the codegen call site ([[graft.plans.ShingleHashesPos]]) invokes
+    * it without a ScalaUDF boundary.
+    */
+  def positionalShingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < k) Array(hash64(toks.mkString(" ")))
+    else {
+      val n = toks.length - k + 1
+      val out = new Array[Long](n)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = hash64(sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Exact Jaccard similarity of two shingle sets. */
   def jaccard(a: Set[String], b: Set[String]): Double = {
     if (a.isEmpty && b.isEmpty) 1.0

@@ -22,15 +22,23 @@ object Tables {
     s.read.parquet(s"$dir/nation.parquet")
   def region(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/region.parquet")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default (SPARK-40819): read nanos as long and truncate to micros —
-    * the same positive-value truncation DuckDB applies at ms/us
-    * granularity, so oracle parity holds.
+  /** `events.ts` has shipped as two physical types across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) (which Spark 4
+    * rejects by default, SPARK-40819 — read nanos as long, truncate to
+    * micros) and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    * (which Spark reads as TIMESTAMP_NTZ). Both normalize to the same
+    * session-UTC TimestampType here, so every downstream query, oracle,
+    * and golden digest sees one schema regardless of generation.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp") // NTZ wall-clock == UTC instant
+    }
+    raw.withColumn("ts", ts)
   }
   /** Installs graft_* (the text-hash expressions ride the documents
     * pipelines) — see [[embeddings]].

@@ -66,6 +66,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (args: Seq[Expression]) => ShingleHashes(args(0),
         litInt(args(1), "graft_shingle_hashes"))),
+    (FunctionIdentifier("graft_shingle_hashes_pos"),
+      new ExpressionInfo(classOf[ShingleHashesPos].getName,
+        "graft_shingle_hashes_pos"),
+      (args: Seq[Expression]) => ShingleHashesPos(args(0),
+        litInt(args(1), "graft_shingle_hashes_pos"))),
     (FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
       (args: Seq[Expression]) => MinhashBands(args(0),

@@ -232,6 +232,46 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** Position-ordered hash64 of every word k-shingle
+  * (TextKernels.positionalShingleHashes) — [[ShingleHashes]] minus the
+  * set/sort semantics: element i is the hash of the shingle STARTING at
+  * 0-based token position i, duplicates kept. q83's duplicated-span
+  * anchors posexplode this array, so position survives into the plan
+  * with no string materialization and no ScalaUDF boundary (the
+  * [[ShingleHashes]] codegen rationale applies verbatim).
+  */
+case class ShingleHashesPos(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes_pos needs k >= 1, got $k")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes_pos needs string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      graft.functions.TextKernels.positionalShingleHashes(
+        a.asInstanceOf[UTF8String].toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.TextKernels
+         |    .positionalShingleHashes($a.toString(), $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesPos =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingle_hashes_pos"
+}
+
 /** Fused text → minhash → LSH band keys (TextKernels.minhashBands) —
   * q42's signature row, built inside whole-stage codegen via a static
   * kernel call instead of a ScalaUDF (the [[ShingleHashes]] pattern
