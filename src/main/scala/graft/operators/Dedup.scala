@@ -1087,5 +1087,106 @@ object Dedup {
               |SELECT src_lo, src_hi, count(*) AS n_pairs,
               |  src_lo <> src_hi AS cross_source
               |FROM lab GROUP BY src_lo, src_hi
-              |ORDER BY src_lo, src_hi""".stripMargin)))
+              |ORDER BY src_lo, src_hi""".stripMargin)),
+
+    // ── Q83: exact duplicated-SPAN mining — where q42/q46 say "these
+    // docs are near-duplicates", this says WHERE: every maximal run of
+    // verbatim-shared tokens (≥ 8 tokens) between a document pair,
+    // with both start positions. The token-level analogue of
+    // suffix-array exact-substring dedup (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"),
+    // approximated with 5-gram anchors: a shared span of L ≥ 8 tokens
+    // is a diagonal run of L-4 consecutive positional 5-gram matches,
+    // so anchors + a gaps-and-islands merge recover (start_a, start_b,
+    // length) exactly — no suffix array, no string comparison.
+    //
+    // Pipeline: positional 5-gram hashes via the native
+    // graft_shingle_hashes_pos expression (position survives into the
+    // plan, no 5-gram strings materialize) → posting list per anchor
+    // hash (ONE shuffle of (8-byte hash, doc_id, pos) — document text
+    // never shuffles) → df-capped in-bucket pair expansion (the q42
+    // hot-bucket rationale: df=1 anchors can't pair and are dropped
+    // before any pair exists; df > 64 anchors are boilerplate whose
+    // pairs the near-dup miners already surface) → per-(pair, diagonal)
+    // islands: rn by pos_a, group on pos_a - rn, min/count = span.
+    //
+    // 100 TB shape: pair expansion is local to a posting row and
+    // cap²-bounded; the islands window partitions by (doc_a, doc_b,
+    // diag) — thousands of tiny local sorts, never a global one; the
+    // posting-list formulation reads the exploded frame once where a
+    // self-join would scan and shuffle it twice.
+    QueryDef("q83_dup_spans",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 5 // anchor width (tokens)
+        val minRun = 4 // runs of ≥ 4 anchors = spans of ≥ 8 tokens
+        val dfCap = 64
+        val ph = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(call_function("graft_shingle_hashes_pos",
+              coalesce(col("text"), lit("")), lit(K))).as(Seq("pos", "h")))
+        val posting = ph.groupBy(col("h"))
+          .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
+          .filter(size(col("ps")).between(2, dfCap))
+        val m = posting
+          .select(explode(flatten(transform(col("ps"), a =>
+            transform(
+              filter(col("ps"), b =>
+                a.getField("doc_id") < b.getField("doc_id")),
+              b => struct(
+                a.getField("doc_id").as("doc_a"),
+                b.getField("doc_id").as("doc_b"),
+                a.getField("pos").as("pos_a"),
+                b.getField("pos").as("pos_b")))))).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            col("p.pos_a").as("pos_a"), col("p.pos_b").as("pos_b"),
+            (col("p.pos_a") - col("p.pos_b")).as("diag"))
+        m.withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+              .orderBy(col("pos_a"))))
+          .groupBy(col("doc_a"), col("doc_b"), col("diag"),
+            (col("pos_a") - col("rn")).as("island"))
+          .agg(min(col("pos_a")).as("sa"), min(col("pos_b")).as("sb"),
+            count(lit(1)).as("run"))
+          .filter(col("run") >= minRun)
+          .select(col("doc_a"), col("doc_b"),
+            col("sa").cast("long").as("start_a"),
+            col("sb").cast("long").as("start_b"),
+            (col("run") + (K - 1)).as("span_tokens"))
+          .orderBy(col("doc_a"), col("doc_b"), col("start_a"),
+            col("start_b"))
+      },
+      Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
+              |hl AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(t) < 5
+              |      THEN [${OracleSql.hash64("array_to_string(t, ' ')")}]
+              |      ELSE list_transform(range(1, len(t) - 3),
+              |        i -> ${OracleSql.hash64("array_to_string(t[i:i+4], ' ')")})
+              |    END AS hs
+              |  FROM toks),
+              |ph AS (
+              |  SELECT doc_id, unnest(hs) AS h, unnest(range(0, len(hs))) AS pos
+              |  FROM hl),
+              |df AS (
+              |  SELECT h FROM ph GROUP BY h
+              |  HAVING count(*) BETWEEN 2 AND 64),
+              |f AS (SELECT p.doc_id, p.h, p.pos FROM ph p JOIN df USING (h)),
+              |m AS (
+              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    x.pos AS pos_a, y.pos AS pos_b, x.pos - y.pos AS diag
+              |  FROM f x JOIN f y ON x.h = y.h AND x.doc_id < y.doc_id),
+              |r AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS rn
+              |  FROM m),
+              |g AS (
+              |  SELECT doc_a, doc_b, min(pos_a) AS sa, min(pos_b) AS sb,
+              |    count(*) AS run
+              |  FROM r GROUP BY doc_a, doc_b, diag, pos_a - rn)
+              |SELECT doc_a, doc_b, CAST(sa AS BIGINT) AS start_a,
+              |  CAST(sb AS BIGINT) AS start_b,
+              |  CAST(run + 4 AS BIGINT) AS span_tokens
+              |FROM g WHERE run >= 4
+              |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)))
 }

@@ -1151,5 +1151,121 @@ object TextAnalysis {
               |SELECT first_shard, n_new_ngrams,
               |  CAST(sum(n_new_ngrams) OVER (ORDER BY first_shard)
               |    AS BIGINT) AS cum_ngrams
-              |FROM agg ORDER BY first_shard""".stripMargin)))
+              |FROM agg ORDER BY first_shard""".stripMargin)),
+
+    // ── Q84: BPE FIRST-MERGE pair counts — the inner step of byte-pair
+    // encoding tokenizer training: for every adjacent character pair,
+    // its corpus-weighted occurrence count (the pair a BPE trainer
+    // would merge first is row 1). The scale trick IS the query shape:
+    // pair counting runs over the VOCABULARY (distinct tokens weighted
+    // by their corpus counts), not the corpus — one corpus-wide
+    // wordcount shuffle (map-side combinable) shrinks trillions of
+    // running tokens to the distinct-token table, and the character
+    // work (transform over substring windows, fully codegen'd) touches
+    // each vocabulary entry once. w sums every in-token occurrence
+    // (the token 'aaa' contributes its count twice to 'aa'), exactly
+    // the Sennrich et al. 2016 counting rule; n_pos counts vocabulary
+    // occurrence positions. Integer counts, (w desc, pair) total order
+    // — nothing float-ranked at the LIMIT boundary.
+    QueryDef("q84_bpe_pairs",
+      (s, dir) => {
+        val wc = Tables.documents(s, dir)
+          .select(toks.as("t")).select(explode(col("t")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        wc.filter(char_length(col("tok")) >= 2)
+          .select(col("c"), explode(transform(
+            sequence(lit(1), char_length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair"))
+          .agg(sum(col("c")).as("w"), count(lit(1)).as("n_pos"))
+          .orderBy(col("w").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(trim(coalesce(text, '')), '\s+'),
+             |    x -> x <> '')) AS tok
+             |  FROM documents),
+             |wc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+             |pr AS (
+             |  SELECT c, unnest(list_transform(range(1, length(tok)),
+             |    i -> substring(tok, i, 2))) AS pair
+             |  FROM wc WHERE length(tok) >= 2)
+             |SELECT pair, CAST(sum(c) AS BIGINT) AS w,
+             |  CAST(count(*) AS BIGINT) AS n_pos
+             |FROM pr GROUP BY pair
+             |ORDER BY w DESC, pair LIMIT 20""".stripMargin)),
+
+    // ── Q85: vocabulary COVERAGE CURVE — for V = 1, 2, 4, …, 64: what
+    // fraction of all running tokens the top-V vocabulary covers. The
+    // diminishing-returns curve behind every vocab-size decision
+    // (q74 fixes a V; this shows what each doubling buys).
+    //
+    // 100 TB shape: the naive form ranks the vocabulary globally
+    // (row_number over |vocab| rows — a single-partition sort over
+    // millions of entries). Instead, the q79 histogram trick applies
+    // to the vocabulary itself: group tokens BY COUNT VALUE into
+    // blocks (distinct count values ≪ vocab size — Zipf packs the
+    // long tail into few values), take the cumulative window over
+    // those blocks (bounded domain, the only sort anywhere), and read
+    // coverage(V) off the block containing rank V: all tokens in a
+    // block are count-ties, so coverage(V) = cum_occ_before +
+    // (V − cum_toks_before)·c exactly — tie order never matters.
+    // Corpus → one wordcount shuffle; everything after runs on
+    // block-sized data and broadcasts.
+    QueryDef("q85_coverage_curve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cumW = Window.orderBy(col("c").desc)
+        val allW = Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        // grand totals ride the same window pass (a global frame over
+        // the block table) — the corpus is scanned exactly ONCE; a
+        // separate totals aggregate would re-derive the wordcount
+        val blocks = Tables.documents(s, dir)
+          .select(toks.as("t")).select(explode(col("t")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("c"))
+          .agg(count(lit(1)).as("n_toks"))
+          .withColumn("occ", col("c") * col("n_toks"))
+          .withColumn("cum_toks", sum(col("n_toks")).over(cumW))
+          .withColumn("cum_occ", sum(col("occ")).over(cumW))
+          .withColumn("nv", max(col("cum_toks")).over(allW))
+          .withColumn("total", max(col("cum_occ")).over(allW))
+        val vs = {
+          import s.implicits._
+          (0 to 6).map(1L << _).toDF("v")
+        }
+        vs.join(broadcast(blocks),
+            col("cum_toks") - col("n_toks") < least(col("v"), col("nv")) &&
+              least(col("v"), col("nv")) <= col("cum_toks"))
+          .withColumn("v_eff", least(col("v"), col("nv")))
+          .select(col("v"),
+            (col("cum_occ") - col("occ")
+              + (col("v_eff") - (col("cum_toks") - col("n_toks")))
+              * col("c")).as("covered"),
+            col("total"),
+            expr("(2 * (cum_occ - occ + (v_eff - (cum_toks - n_toks)) * c)"
+              + " * 1000000 + total) div (2 * total)").as("coverage_ppm"))
+          .orderBy(col("v"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(trim(coalesce(text, '')), '\s+'),
+             |    x -> x <> '')) AS tok
+             |  FROM documents),
+             |wc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+             |rk AS (
+             |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+             |  FROM wc),
+             |cs AS (SELECT r, sum(c) OVER (ORDER BY r) AS cum FROM rk),
+             |tot AS (SELECT sum(c) AS total, count(*) AS nv FROM wc),
+             |vs AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS v)
+             |SELECT CAST(v.v AS BIGINT) AS v,
+             |  CAST(cs.cum AS BIGINT) AS covered,
+             |  CAST(t.total AS BIGINT) AS total,
+             |  CAST((2 * cs.cum * 1000000 + t.total) // (2 * t.total)
+             |    AS BIGINT) AS coverage_ppm
+             |FROM vs v, tot t JOIN cs ON cs.r = least(v.v, t.nv)
+             |ORDER BY v""".stripMargin)))
 }

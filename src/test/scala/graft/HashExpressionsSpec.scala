@@ -144,6 +144,39 @@ class HashExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[Long](1) === Seq(TextKernels.hash64("")))
   }
 
+  test("graft_shingle_hashes_pos: positional, duplicates kept, set view matches graft_shingle_hashes") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val texts = Seq("", "one", "one two", "one two three",
+      "one two three four five six", "a  b\t c   d", "dup dup dup dup",
+      "the quick brown fox jumps over the lazy dog", "x " * 200)
+    def ref(t: String): Seq[Long] = {
+      val tk = TextKernels.tokenize(t)
+      if (tk.length < 3) Seq(TextKernels.hash64(tk.mkString(" ")))
+      else tk.sliding(3).map(w => TextKernels.hash64(w.mkString(" "))).toSeq
+    }
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      val got = texts.zipWithIndex.map(_.swap).toDF("i", "s")
+        .select(col("i"),
+          call_function("graft_shingle_hashes_pos", col("s"), lit(3)).as("hl"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      for ((t, i) <- texts.zipWithIndex) {
+        assert(got(i) === ref(t), s"mode=$mode input='$t'")
+        // one element per start position; the distinct-sorted view is
+        // exactly the set-semantics sibling expression
+        val nTok = TextKernels.tokenize(t).length
+        if (nTok >= 3) assert(got(i).length === nTok - 2, s"input='$t'")
+        assert(got(i).distinct.sorted ===
+          TextKernels.sortedShingleHashes(t, 3).toSeq, s"input='$t'")
+      }
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+    val r = spark.sql(
+      "SELECT graft_shingle_hashes_pos(CAST(NULL AS STRING), 3)").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("graft_minhash_bands / graft_simhash / graft_fingerprint match TextKernels, codegen on and off") {
     import spark.implicits._
     GraftFunctions.ensure(spark)

@@ -334,4 +334,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!exec.contains("Join"),
       s"df is a window, not a groupBy+self-join:\n${exec.take(2500)}")
   }
+
+  test("q83: joinless span mining — posting-list pair expansion, one scan") {
+    val exec = SparkEntry.queries("q83_dup_spans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"),
+      s"pair expansion must be in-plan (posting lists), not a self-join:\n${
+        exec.take(2500)}")
+    assert(exec.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"corpus must be scanned exactly once:\n${exec.take(2500)}")
+    assert(exec.contains("graft_shingle_hashes_pos"),
+      s"anchors must come from the native positional expression:\n${
+        exec.take(2500)}")
+    assert(!exec.contains("ScalaUDF"), s"UDF-free:\n${exec.take(2500)}")
+  }
+
+  test("q84: pair counting runs over the vocabulary — wordcount is partial") {
+    val exec = SparkEntry.queries("q84_bpe_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("partial_count"),
+      s"the corpus wordcount must combine map-side:\n${exec.take(2500)}")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"top-20 must be per-partition top-k, not a global sort:\n${
+        exec.take(2500)}")
+    assert(!exec.contains("Join"), s"joinless:\n${exec.take(2500)}")
+  }
+
+  test("q85: corpus contributes one partial-agg shuffle; blocks broadcast") {
+    val exec = SparkEntry.queries("q85_coverage_curve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"corpus must be scanned exactly once:\n${exec.take(2500)}")
+    assert(exec.contains("partial_count"),
+      s"the wordcount must combine map-side:\n${exec.take(2500)}")
+    assert(!exec.contains("SortMergeJoin"),
+      s"block/total frames must broadcast (tiny by construction):\n${
+        exec.take(2500)}")
+  }
 }
