@@ -398,7 +398,67 @@ object Dedup {
     * keeper-election on top of `comp` (q71 groups members, q73 elects
     * quality keepers).
     */
-  private lazy val multiSignalCompCtes: String =
+  /** q83's exact duplicated-span miner over any (doc_id, text) frame:
+    * positional 5-gram anchors (native graft_shingle_hashes_pos — one
+    * hash per start position, no shingle strings), df-capped
+    * posting-list pair expansion (df=1 anchors can't pair and never
+    * reach a pair row; df > MAX_SPAN_DF anchors are boilerplate whose
+    * pairs the near-dup miners surface), and a gaps-and-islands merge
+    * per (pair, diagonal) recovering every maximal shared span of
+    * ≥ SPAN_K + MIN_SPAN_RUN − 1 = 8 tokens with both start
+    * positions. Factored private[graft] so ScaleGrowthSpec can
+    * measure the cap behavior on controlled corpora.
+    */
+  private[graft] def dupSpansFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = SPAN_K
+    val ph = docs
+      .select(col("doc_id"),
+        posexplode(call_function("graft_shingle_hashes_pos",
+          coalesce(col("text"), lit("")), lit(K))).as(Seq("pos", "h")))
+    val posting = ph.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
+      .filter(size(col("ps")).between(2, MAX_SPAN_DF))
+    val m = posting
+      .select(explode(flatten(transform(col("ps"), a =>
+        transform(
+          filter(col("ps"), b =>
+            a.getField("doc_id") < b.getField("doc_id")),
+          b => struct(
+            a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            a.getField("pos").as("pos_a"),
+            b.getField("pos").as("pos_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.pos_a").as("pos_a"), col("p.pos_b").as("pos_b"),
+        (col("p.pos_a") - col("p.pos_b")).as("diag"))
+    m.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+          .orderBy(col("pos_a"))))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"),
+        (col("pos_a") - col("rn")).as("island"))
+      .agg(min(col("pos_a")).as("sa"), min(col("pos_b")).as("sb"),
+        count(lit(1)).as("run"))
+      .filter(col("run") >= MIN_SPAN_RUN)
+      .select(col("doc_a"), col("doc_b"),
+        col("sa").cast("long").as("start_a"),
+        col("sb").cast("long").as("start_b"),
+        (col("run") + (K - 1)).as("span_tokens"))
+  }
+
+  /** q83 span-miner constants: 5-token anchors, runs of ≥ 4 anchors
+    * (spans ≥ 8 tokens), hot-anchor df cap 64.
+    */
+  private[graft] val SPAN_K = 5
+  private[graft] val MIN_SPAN_RUN = 4
+  private[graft] val MAX_SPAN_DF = 64
+
+  /** The miner-union portion of [[multiSignalCompCtes]] — terminates
+    * in CTE `pairs`. q87 consumes it directly (membership needs no
+    * reachability fixpoint).
+    */
+  private lazy val multiSignalPairsCtes: String =
     s"""${minhashVerifiedCtes("_mh")},
        |${simhashHamCtes("_sh")},
        |${ppjoinVerifiedCtes("_pp")},
@@ -408,7 +468,10 @@ object Dedup {
        |  UNION
        |  SELECT doc_a, doc_b FROM ham_sh WHERE hamming <= 3
        |  UNION
-       |  SELECT doc_a, doc_b FROM verified_pp WHERE 2 * inter >= un),
+       |  SELECT doc_a, doc_b FROM verified_pp WHERE 2 * inter >= un)""".stripMargin
+
+  private lazy val multiSignalCompCtes: String =
+    s"""$multiSignalPairsCtes,
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -1089,6 +1152,9 @@ object Dedup {
               |FROM lab GROUP BY src_lo, src_hi
               |ORDER BY src_lo, src_hi""".stripMargin)),
 
+    // (q83's span miner is the file-level [[dupSpansFrom]], factored
+    // so ScaleGrowthSpec can drive it over controlled corpora.)
+    //
     // ── Q83: exact duplicated-SPAN mining — where q42/q46 say "these
     // docs are near-duplicates", this says WHERE: every maximal run of
     // verbatim-shared tokens (≥ 8 tokens) between a document pair,
@@ -1116,46 +1182,10 @@ object Dedup {
     // posting-list formulation reads the exploded frame once where a
     // self-join would scan and shuffle it twice.
     QueryDef("q83_dup_spans",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val K = 5 // anchor width (tokens)
-        val minRun = 4 // runs of ≥ 4 anchors = spans of ≥ 8 tokens
-        val dfCap = 64
-        val ph = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            posexplode(call_function("graft_shingle_hashes_pos",
-              coalesce(col("text"), lit("")), lit(K))).as(Seq("pos", "h")))
-        val posting = ph.groupBy(col("h"))
-          .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
-          .filter(size(col("ps")).between(2, dfCap))
-        val m = posting
-          .select(explode(flatten(transform(col("ps"), a =>
-            transform(
-              filter(col("ps"), b =>
-                a.getField("doc_id") < b.getField("doc_id")),
-              b => struct(
-                a.getField("doc_id").as("doc_a"),
-                b.getField("doc_id").as("doc_b"),
-                a.getField("pos").as("pos_a"),
-                b.getField("pos").as("pos_b")))))).as("p"))
-          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-            col("p.pos_a").as("pos_a"), col("p.pos_b").as("pos_b"),
-            (col("p.pos_a") - col("p.pos_b")).as("diag"))
-        m.withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-              .orderBy(col("pos_a"))))
-          .groupBy(col("doc_a"), col("doc_b"), col("diag"),
-            (col("pos_a") - col("rn")).as("island"))
-          .agg(min(col("pos_a")).as("sa"), min(col("pos_b")).as("sb"),
-            count(lit(1)).as("run"))
-          .filter(col("run") >= minRun)
-          .select(col("doc_a"), col("doc_b"),
-            col("sa").cast("long").as("start_a"),
-            col("sb").cast("long").as("start_b"),
-            (col("run") + (K - 1)).as("span_tokens"))
-          .orderBy(col("doc_a"), col("doc_b"), col("start_a"),
-            col("start_b"))
-      },
+      (s, dir) => dupSpansFrom(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"),
+          col("start_b")),
       Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id")},
               |hl AS (
               |  SELECT doc_id,
@@ -1188,5 +1218,59 @@ object Dedup {
               |  CAST(sb AS BIGINT) AS start_b,
               |  CAST(run + 4 AS BIGINT) AS span_tokens
               |FROM g WHERE run >= 4
-              |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)))
+              |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)),
+
+    // ── Q87: per-source DUPLICATION RATE — for each source feed, the
+    // fraction of its documents that belong to ANY multi-signal
+    // near-dup component (q71's minhash ∪ simhash ∪ PPJoin pass): the
+    // per-feed redundancy scorecard that decides which feeds get
+    // down-weighted or dropped from the mix. Complements q78 (which
+    // pairs of sources mirror each other) with the per-source rate a
+    // mixing recipe actually consumes.
+    //
+    // 100 TB shape: component MEMBERSHIP needs no reachability
+    // fixpoint — a doc is in some component iff it appears in the
+    // pair list — so this skips connectedComponents entirely (no
+    // O(log n) label-propagation rounds; q71/q73 pay that only
+    // because they need the labels). The membership list is
+    // pair-graph-bounded (orders of magnitude smaller than the
+    // corpus) and BROADCASTS onto a two-column (doc_id, source)
+    // projection — the corpus-sized side is never shuffled for the
+    // label join; totals are one map-side-combined groupBy on the
+    // same projection. dup_ppm is integer half-up — no float rates.
+    QueryDef("q87_source_dup_rate",
+      (s, dir) => {
+        val src = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+        val members = multiSignalPairs(s, dir)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        val dup = src.join(broadcast(members), Seq("doc_id"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_dup0"))
+        src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(broadcast(dup), Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_dup0"), lit(0L)).as("n_dup"),
+            expr("(2 * coalesce(n_dup0, 0) * 1000000 + n_docs)"
+              + " div (2 * n_docs)").as("dup_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $multiSignalPairsCtes,
+              |mem AS (
+              |  SELECT DISTINCT doc_id FROM (
+              |    SELECT doc_a AS doc_id FROM pairs
+              |    UNION ALL SELECT doc_b FROM pairs)),
+              |dup AS (
+              |  SELECT d.source, count(*) AS n_dup
+              |  FROM mem m JOIN documents d ON d.doc_id = m.doc_id
+              |  GROUP BY d.source),
+              |tot AS (
+              |  SELECT source, count(*) AS n_docs
+              |  FROM documents GROUP BY source)
+              |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+              |  CAST(coalesce(u.n_dup, 0) AS BIGINT) AS n_dup,
+              |  CAST((2 * coalesce(u.n_dup, 0) * 1000000 + t.n_docs)
+              |    // (2 * t.n_docs) AS BIGINT) AS dup_ppm
+              |FROM tot t LEFT JOIN dup u USING (source)
+              |ORDER BY t.source""".stripMargin)))
 }

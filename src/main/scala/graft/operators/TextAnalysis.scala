@@ -1267,5 +1267,90 @@ object TextAnalysis {
              |  CAST((2 * cs.cum * 1000000 + t.total) // (2 * t.total)
              |    AS BIGINT) AS coverage_ppm
              |FROM vs v, tot t JOIN cs ON cs.r = least(v.v, t.nv)
-             |ORDER BY v""".stripMargin)))
+             |ORDER BY v""".stripMargin)),
+
+    // ── Q86: per-source length-distribution DRIFT — the exact
+    // Kolmogorov–Smirnov distance between each source's n_chars CDF
+    // and the whole-corpus CDF (in ppm), plus the length where the
+    // gap peaks. The distribution-shift monitor a mixing pipeline
+    // runs per feed: a source whose length profile drifts from the
+    // corpus is re-crawled, truncated, or template-polluted.
+    //
+    // 100 TB shape: ONE corpus-sized stage — the (source, n_chars)
+    // histogram groupBy (map-side combinable). Source totals and the
+    // corpus histogram both derive from that histogram, not from
+    // re-scans; the evaluation grid is sources × distinct values
+    // (bounded domain), its CDFs are windows partitioned by source
+    // over that grid, and the KS sup runs as a plain max aggregate.
+    // All drift arithmetic is DECIMAL(38,0) cross-multiplication —
+    // |cum_s·N − cum_c·n_s|·10⁶ div (n_s·N) — no float CDFs to make
+    // the sup engine-dependent. (Headroom: cum·N·10⁶ ≤ 10³⁸ holds
+    // through corpus sizes of ~10¹⁵ docs.)
+    QueryDef("q86_length_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val dec38 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0)
+        // persisted: srcs/corp/grid all derive from this one histogram
+        // — without the pin each branch re-scans and re-aggregates the
+        // corpus (observed: 4 parquet scans). The histogram is bounded
+        // domain (sources × distinct lengths), so the cache is tiny;
+        // the Verify/Bench harness clearCache()s per query (the q42/q46
+        // signature-table contract).
+        val hist = Tables.documents(s, dir)
+          .groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .persist()
+        val srcs = hist.groupBy(col("source"))
+          .agg(sum(col("c")).as("n_s"))
+        val corp = hist.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+          .withColumn("cum_c", sum(col("cv")).over(Window.orderBy(col("v"))))
+        val tot = corp.agg(sum(col("cv")).as("n"))
+        val grid = srcs.crossJoin(broadcast(corp.select(col("v"), col("cum_c"))))
+          .join(broadcast(hist), Seq("source", "v"), "left")
+          .withColumn("cum_s", sum(coalesce(col("c"), lit(0L)))
+            .over(Window.partitionBy(col("source")).orderBy(col("v"))))
+        val drift = grid.crossJoin(broadcast(tot))
+          .withColumn("gap",
+            abs(col("cum_s").cast(dec38) * col("n")
+              - col("cum_c").cast(dec38) * col("n_s")) * lit(1000000))
+          .withColumn("d_ppm",
+            expr("gap div (CAST(n_s AS DECIMAL(38,0)) * n)").cast("long"))
+        drift
+          .withColumn("mx", max(col("d_ppm"))
+            .over(Window.partitionBy(col("source"))))
+          .filter(col("d_ppm") === col("mx"))
+          .groupBy(col("source"))
+          .agg(first(col("n_s")).as("n_docs"), first(col("mx")).as("ks_ppm"),
+            min(col("v")).as("drift_at"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, n_chars FROM documents),
+             |hist AS (
+             |  SELECT source, n_chars AS v, count(*) AS c
+             |  FROM d GROUP BY source, n_chars),
+             |srcs AS (SELECT source, sum(c) AS n_s FROM hist GROUP BY source),
+             |cv AS (SELECT v, sum(c) AS cv FROM hist GROUP BY v),
+             |corp AS (SELECT v, sum(cv) OVER (ORDER BY v) AS cum_c FROM cv),
+             |tot AS (SELECT sum(cv) AS n FROM cv),
+             |grid AS (
+             |  SELECT s.source, s.n_s, co.v, co.cum_c,
+             |    sum(coalesce(h.c, 0)) OVER (
+             |      PARTITION BY s.source ORDER BY co.v) AS cum_s
+             |  FROM srcs s CROSS JOIN corp co
+             |  LEFT JOIN hist h ON h.source = s.source AND h.v = co.v),
+             |drift AS (
+             |  SELECT g.source, g.n_s, g.v,
+             |    CAST(abs(CAST(g.cum_s AS HUGEINT) * t.n
+             |        - CAST(g.cum_c AS HUGEINT) * g.n_s) * 1000000
+             |      // (CAST(g.n_s AS HUGEINT) * t.n) AS BIGINT) AS d_ppm
+             |  FROM grid g, tot t),
+             |mx AS (
+             |  SELECT *, max(d_ppm) OVER (PARTITION BY source) AS mxv
+             |  FROM drift)
+             |SELECT source, CAST(any_value(n_s) AS BIGINT) AS n_docs,
+             |  CAST(any_value(mxv) AS BIGINT) AS ks_ppm,
+             |  CAST(min(v) AS BIGINT) AS drift_at
+             |FROM mx WHERE d_ppm = mxv
+             |GROUP BY source ORDER BY source""".stripMargin)))
 }

@@ -335,6 +335,33 @@ class PlanSpec extends AnyFunSuite {
       s"df is a window, not a groupBy+self-join:\n${exec.take(2500)}")
   }
 
+  test("q86: all branches read the persisted histogram — no corpus re-scan") {
+    val exec = SparkEntry.queries("q86_length_drift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("InMemoryTableScan"),
+        s"srcs/corp/grid must read the cached histogram:\n${exec.take(2500)}")
+      assert(!exec.contains("SortMergeJoin"),
+        s"grid/label joins are bounded-domain and must broadcast:\n${
+          exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q87: membership list broadcasts; label side prunes to (doc_id, source)") {
+    val exec = SparkEntry.queries("q87_source_dup_rate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("BroadcastHashJoin"),
+        s"members must broadcast onto the (doc_id, source) projection:\n${
+          exec.take(2500)}")
+      val labelScans = exec.linesIterator
+        .filter(l => l.contains("ReadSchema") && !l.contains("text"))
+      assert(labelScans.exists(l =>
+          l.contains("doc_id") && l.contains("source")),
+        s"label side must prune to (doc_id, source):\n${exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
   test("q83: joinless span mining — posting-list pair expansion, one scan") {
     val exec = SparkEntry.queries("q83_dup_spans")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -141,6 +141,32 @@ class ScaleGrowthSpec extends AnyFunSuite {
       s"implausibly sub-linear edge growth: e1=$e1 e5=$e5")
   }
 
+  private def q83Spans(docs: DataFrame): Long = {
+    ensureFns() // dupSpansFrom resolves graft_shingle_hashes_pos
+    countAndRelease(Dedup.dupSpansFrom(docs.select(col("doc_id"), col("text"))))
+  }
+
+  test("q83 span miner grows ~linearly under disjoint 5x growth") {
+    val s1 = q83Spans(replicas(1))
+    val s5 = q83Spans(replicas(5))
+    assert(s1 > 0, "self-similar corpus must yield duplicated spans at 1x")
+    assert(s5 <= s1 * 5 * 3 / 2,
+      s"super-linear span growth: s1=$s1 s5=$s5 (quadratic ≈ ${25 * s1})")
+    assert(s5 >= s1 * 5 / 2,
+      s"implausibly sub-linear span growth: s1=$s1 s5=$s5")
+  }
+
+  test("q83 anchor df cap drops a 200-copy verbatim blob's spans entirely") {
+    // every anchor of the 12-token blob has df = 200 > MAX_SPAN_DF, so
+    // the cap kills the blob BEFORE pair expansion; an uncapped miner
+    // would emit C(200,2) = 19,900 twelve-token span rows
+    val s1 = q83Spans(replicas(1))
+    val sBlob = q83Spans(replicas(1).unionAll(boilerplate))
+    assert(sBlob === s1,
+      s"df cap must contribute 0 spans from the blob: base=$s1 " +
+        s"withBlob=$sBlob")
+  }
+
   test("q76 df-window output is doc-bounded; verbatim duplication saturates dup_ppm") {
     ensureFns()
     // output rows == input docs at 1x and 5x (the window never
