@@ -400,14 +400,15 @@ object Dedup {
     */
   /** q83's exact duplicated-span miner over any (doc_id, text) frame:
     * positional 5-gram anchors (native graft_shingle_hashes_pos — one
-    * hash per start position, no shingle strings), df-capped
-    * posting-list pair expansion (df=1 anchors can't pair and never
-    * reach a pair row; df > MAX_SPAN_DF anchors are boilerplate whose
-    * pairs the near-dup miners surface), and a gaps-and-islands merge
-    * per (pair, diagonal) recovering every maximal shared span of
-    * ≥ SPAN_K + MIN_SPAN_RUN − 1 = 8 tokens with both start
-    * positions. Factored private[graft] so ScaleGrowthSpec can
-    * measure the cap behavior on controlled corpora.
+    * hash per start position, no shingle strings), a df-capped
+    * exchange-reusing anchor self-join (df=1 anchors can't pair and
+    * are dropped before the join; df > MAX_SPAN_DF anchors are
+    * boilerplate whose pairs the near-dup miners surface), and a
+    * gaps-and-islands merge per (pair, diagonal) recovering every
+    * maximal shared span of ≥ SPAN_K + MIN_SPAN_RUN − 1 = 8 tokens
+    * with both start positions. Factored private[graft] so
+    * ScaleGrowthSpec can measure the cap behavior on controlled
+    * corpora.
     */
   private[graft] def dupSpansFrom(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -417,22 +418,25 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(call_function("graft_shingle_hashes_pos",
           coalesce(col("text"), lit("")), lit(K))).as(Seq("pos", "h")))
-    val posting = ph.groupBy(col("h"))
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
-      .filter(size(col("ps")).between(2, MAX_SPAN_DF))
-    val m = posting
-      .select(explode(flatten(transform(col("ps"), a =>
-        transform(
-          filter(col("ps"), b =>
-            a.getField("doc_id") < b.getField("doc_id")),
-          b => struct(
-            a.getField("doc_id").as("doc_a"),
-            b.getField("doc_id").as("doc_b"),
-            a.getField("pos").as("pos_a"),
-            b.getField("pos").as("pos_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.pos_a").as("pos_a"), col("p.pos_b").as("pos_b"),
-        (col("p.pos_a") - col("p.pos_b")).as("diag"))
+    // df cap as a count window over the h partition, then a
+    // SELF-join on h: both join sides derive from the SAME windowed
+    // frame, so its exchange (hash-partitioned AND sorted on h) is
+    // planned once and REUSED — the join adds zero shuffle. Measured
+    // against the collect_list posting-list alternative
+    // (ShuffleBytesSpec): the self-join shuffles ~16% less (the
+    // posting groupBy pays per-hash array serialization through its
+    // partial aggregate) — the opposite of q76's window-vs-join
+    // outcome, because HERE the join probes the window's own output,
+    // not a second corpus scan.
+    val kept = ph
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df").between(2, MAX_SPAN_DF))
+      .select(col("doc_id"), col("pos"), col("h"))
+    val m = kept.as("x").join(kept.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pos").as("pos_a"), col("y.pos").as("pos_b"),
+        (col("x.pos") - col("y.pos")).as("diag"))
     m.withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
           .orderBy(col("pos_a"))))
@@ -1168,19 +1172,21 @@ object Dedup {
     //
     // Pipeline: positional 5-gram hashes via the native
     // graft_shingle_hashes_pos expression (position survives into the
-    // plan, no 5-gram strings materialize) → posting list per anchor
-    // hash (ONE shuffle of (8-byte hash, doc_id, pos) — document text
-    // never shuffles) → df-capped in-bucket pair expansion (the q42
-    // hot-bucket rationale: df=1 anchors can't pair and are dropped
-    // before any pair exists; df > 64 anchors are boilerplate whose
-    // pairs the near-dup miners already surface) → per-(pair, diagonal)
-    // islands: rn by pos_a, group on pos_a - rn, min/count = span.
+    // plan, no 5-gram strings materialize) → ONE shuffle of (8-byte
+    // hash, doc_id, pos) — document text never shuffles — carrying
+    // both the df-cap count window (the q42 hot-bucket rationale:
+    // df=1 anchors can't pair and are dropped before the join;
+    // df > 64 anchors are boilerplate whose pairs the near-dup miners
+    // already surface) and the anchor self-join, whose two sides
+    // REUSE that same exchange (measured in ShuffleBytesSpec: the
+    // join adds no shuffle, and beats a collect_list posting-list
+    // expansion by ~16%) → per-(pair, diagonal) islands: rn by pos_a,
+    // group on pos_a - rn, min/count = span.
     //
-    // 100 TB shape: pair expansion is local to a posting row and
-    // cap²-bounded; the islands window partitions by (doc_a, doc_b,
-    // diag) — thousands of tiny local sorts, never a global one; the
-    // posting-list formulation reads the exploded frame once where a
-    // self-join would scan and shuffle it twice.
+    // 100 TB shape: pair output is df-cap²-bounded per anchor; the
+    // islands window partitions by (doc_a, doc_b, diag) — millions of
+    // tiny local sorts, never a global one; the corpus is scanned
+    // once and only 8-byte-hash anchor rows ever cross the wire.
     QueryDef("q83_dup_spans",
       (s, dir) => dupSpansFrom(
         Tables.documents(s, dir).select(col("doc_id"), col("text")))

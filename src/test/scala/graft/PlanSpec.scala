@@ -362,18 +362,44 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
-  test("q83: joinless span mining — posting-list pair expansion, one scan") {
-    val exec = SparkEntry.queries("q83_dup_spans")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!exec.contains("Join"),
-      s"pair expansion must be in-plan (posting lists), not a self-join:\n${
-        exec.take(2500)}")
-    assert(exec.linesIterator.count(_.contains("Scan parquet")) == 1,
-      s"corpus must be scanned exactly once:\n${exec.take(2500)}")
+  test("q83: anchor self-join reuses one exchange — single scan, no cartesian") {
+    // pin the AT-SCALE shape: with auto-broadcast on, tiny SFs
+    // broadcast one join side (re-deriving its subtree); at 100 TB
+    // neither anchor side broadcasts and the join must fall back to
+    // the reused-exchange co-partitioned plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val exec =
+      try {
+        val df = SparkEntry.queries("q83_dup_spans")(spark, sf)
+        // exchange reuse is decided by AQE at stage materialization —
+        // only the executed (isFinalPlan=true) plan shows it, and only
+        // an action on THIS QueryExecution (collect, not write/count,
+        // which wrap new ones) finalizes it
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // the executed AdaptiveSparkPlan prints Final + Initial sections;
+    // only the Final one is what ran
+    val fin = {
+      val start = exec.indexOf("== Final Plan ==")
+      val end = exec.indexOf("== Initial Plan ==")
+      if (start >= 0 && end > start) exec.substring(start, end)
+      else exec
+    }
+    assert(fin.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"corpus must be scanned exactly once (the join's second side " +
+        s"reuses the windowed anchor exchange):\n${fin.take(6000)}")
+    assert(fin.contains("Reused"),
+      s"the self-join must reuse the df-window's exchange:\n${
+        fin.take(6000)}")
+    assert(!fin.contains("CartesianProduct") &&
+        !fin.contains("BroadcastNestedLoopJoin"),
+      s"pairing must stay an equi-join on the anchor hash:\n${
+        fin.take(6000)}")
     assert(exec.contains("graft_shingle_hashes_pos"),
       s"anchors must come from the native positional expression:\n${
         exec.take(2500)}")
-    assert(!exec.contains("ScalaUDF"), s"UDF-free:\n${exec.take(2500)}")
+    assert(!fin.contains("ScalaUDF"), s"UDF-free:\n${fin.take(2500)}")
   }
 
   test("q84: pair counting runs over the vocabulary — wordcount is partial") {

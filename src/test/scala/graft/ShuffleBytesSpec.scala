@@ -126,6 +126,56 @@ class ShuffleBytesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q83 windowed self-join (reused exchange) shuffles less than posting lists") {
+    graft.plans.GraftFunctions.ensure(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // at 100 TB neither side of the anchor self-join broadcasts;
+    // disable auto-broadcast so the engine path is the at-scale plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val selfJoin = shuffleBytes(graft.operators.Dedup.dupSpansFrom(docs))
+      // alternative: collect_list posting lists per anchor hash with
+      // in-plan pair expansion — one groupBy shuffle, but the partial
+      // aggregate serializes per-hash arrays across the exchange,
+      // which measures HEAVIER than the self-join whose two sides
+      // reuse the df-window's exchange (this assertion is why q83
+      // ships the self-join formulation)
+      val posting = shuffleBytes {
+        val ph = docs.select(col("doc_id"),
+          posexplode(call_function("graft_shingle_hashes_pos",
+            coalesce(col("text"), lit("")), lit(5))).as(Seq("pos", "h")))
+        val post = ph.groupBy(col("h"))
+          .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
+          .filter(size(col("ps")).between(2, 64))
+        val m = post
+          .select(explode(flatten(transform(col("ps"), a =>
+            transform(
+              filter(col("ps"), b =>
+                a.getField("doc_id") < b.getField("doc_id")),
+              b => struct(
+                a.getField("doc_id").as("doc_a"),
+                b.getField("doc_id").as("doc_b"),
+                a.getField("pos").as("pos_a"),
+                b.getField("pos").as("pos_b")))))).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            col("p.pos_a").as("pos_a"), col("p.pos_b").as("pos_b"),
+            (col("p.pos_a") - col("p.pos_b")).as("diag"))
+        m.withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+              .orderBy(col("pos_a"))))
+          .groupBy(col("doc_a"), col("doc_b"), col("diag"),
+            (col("pos_a") - col("rn")).as("island"))
+          .agg(count(lit(1)).as("run"))
+          .filter(col("run") >= 4)
+      }
+      assert(selfJoin > 0, "expected a real exchange in the q83 plan")
+      assert(selfJoin < posting,
+        s"the reused-exchange self-join must shuffle less than posting " +
+          s"lists: selfJoin=$selfJoin posting=$posting")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q80 centroid broadcast shuffles less than the shuffled-join twin") {
     graft.plans.TopK.ensure(spark)
     val broad = shuffleBytes(
