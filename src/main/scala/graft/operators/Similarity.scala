@@ -631,7 +631,85 @@ object Similarity {
               |SELECT bucket, n_vecs, n_majority,
               |  CAST((2 * n_majority * 1000000 + n_vecs)
               |    // (2 * n_vecs) AS BIGINT) AS purity_ppm
-              |FROM agg WHERE n_vecs >= 2 ORDER BY bucket""".stripMargin)))
+              |FROM agg WHERE n_vecs >= 2 ORDER BY bucket""".stripMargin)),
+
+    // ── Q88: label CONFUSION audit — for each label, the nearest
+    // OTHER label by centroid distance (exact integer Σ(cqa−cqb)²
+    // over the q80 quantized centroids): the class-confusability map
+    // that tells a labeling pipeline which label pairs need review —
+    // q80 finds outlier POINTS, q82 suspect REGIONS, this suspect
+    // LABEL PAIRS. Same integer-exactness argument as q80: both
+    // engines agree on round(v·10⁴) and on the half-up integer
+    // centroid, so the nearest-label choice cannot drift on a float
+    // tie.
+    //
+    // 100 TB shape: the ONLY corpus-sized stage is the centroid
+    // build (map-side partial-aggregated, labels×dims output rows);
+    // the centroid self-join and the distance aggregation are
+    // labels²-bounded and broadcast-local; nearest-per-label runs
+    // through the row_number()=1 TopKRewrite into TopKPerKey —
+    // no per-label sort, bounded heaps on both exchange sides.
+    QueryDef("q88_label_confusion",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        val cent = Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("label"), col("dim"),
+            round(col("v").cast("double") * 10000).cast("long").as("q"))
+          .groupBy(col("label"), col("dim"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            expr("((sq + 1000000 * n) * 2 + n) div (2 * n) - 1000000")
+              .as("cq"))
+          // persisted: both self-join sides read this labels×dims
+          // table — unpinned, each side would re-run the corpus-sized
+          // centroid build (the q86 histogram lesson); harness
+          // clearCache()s per query
+          .persist()
+        val pairs = cent.as("a")
+          .join(broadcast(cent.as("b")),
+            col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+          .select(col("a.label").as("la"), col("b.label").as("lb"),
+            ((col("a.cq") - col("b.cq")) * (col("a.cq") - col("b.cq")))
+              .as("sqd"))
+          .groupBy(col("la"), col("lb")).agg(sum(col("sqd")).as("d2"))
+        val sym = pairs
+          .select(col("la").as("label"), col("lb").as("other"), col("d2"))
+          .union(pairs
+            .select(col("lb").as("label"), col("la").as("other"), col("d2")))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("d2").asc, col("other"))
+        sym.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("label"), col("other").as("nearest_label"), col("d2"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH qv AS (
+             |  SELECT vec_id, label,
+             |    generate_subscripts(embedding, 1) - 1 AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+             |      AS BIGINT) AS q
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT label, dim,
+             |    ((sum(q) + 1000000 * count(*)) * 2 + count(*))
+             |      // (2 * count(*)) - 1000000 AS cq
+             |  FROM qv GROUP BY label, dim),
+             |prs AS (
+             |  SELECT a.label AS la, b.label AS lb,
+             |    sum((a.cq - b.cq) * (a.cq - b.cq)) AS d2
+             |  FROM cent a JOIN cent b
+             |    ON a.dim = b.dim AND a.label < b.label
+             |  GROUP BY a.label, b.label),
+             |sym AS (
+             |  SELECT la AS label, lb AS other, d2 FROM prs
+             |  UNION ALL SELECT lb, la, d2 FROM prs),
+             |r AS (
+             |  SELECT label, other, d2, row_number() OVER (
+             |    PARTITION BY label ORDER BY d2, other) AS rn
+             |  FROM sym)
+             |SELECT label, other AS nearest_label, CAST(d2 AS BIGINT) AS d2
+             |FROM r WHERE rn = 1 ORDER BY label""".stripMargin)))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the

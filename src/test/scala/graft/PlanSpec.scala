@@ -335,6 +335,21 @@ class PlanSpec extends AnyFunSuite {
       s"df is a window, not a groupBy+self-join:\n${exec.take(2500)}")
   }
 
+  test("q88: centroid build runs once (persisted); nearest-label via TopKPerKey") {
+    val exec = SparkEntry.queries("q88_label_confusion")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("InMemoryTableScan"),
+        s"both self-join sides must read the persisted centroid table:\n${
+          exec.take(2500)}")
+      assert(exec.contains("TopKPerKey"),
+        s"nearest-per-label must rewrite into the bounded-heap operator:\n${
+          exec.take(2500)}")
+      assert(!exec.contains("SortMergeJoin"),
+        s"the labels×dims self-join must broadcast:\n${exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
   test("q86: all branches read the persisted histogram — no corpus re-scan") {
     val exec = SparkEntry.queries("q86_length_drift")(spark, sf)
       .queryExecution.executedPlan.toString
