@@ -1278,5 +1278,62 @@ object Dedup {
               |  CAST((2 * coalesce(u.n_dup, 0) * 1000000 + t.n_docs)
               |    // (2 * t.n_docs) AS BIGINT) AS dup_ppm
               |FROM tot t LEFT JOIN dup u USING (source)
-              |ORDER BY t.source""".stripMargin)))
+              |ORDER BY t.source""".stripMargin)),
+
+    // ── Q89: LSH RECALL AUDIT — the engine measures its own
+    // approximation: banded-minhash CANDIDATES (q42's generator,
+    // pre-verify) scored against the EXACT J ≥ ½ pair set (q46's
+    // PPJoin, which is recall-complete over its df cap by the prefix-
+    // filter argument). Every LSH deployment owes this number — band
+    // count / rows-per-band choices are recall knobs, and this query
+    // is the production feedback loop that validates them on the real
+    // corpus rather than on the independence assumption.
+    //
+    // 100 TB shape: ONE persisted signature scan feeds both miners
+    // (the q71 sharing), both pair sets are cap-bounded (linear —
+    // ScaleGrowthSpec), and the audit itself is a full-outer join +
+    // count over pair lists orders of magnitude smaller than the
+    // corpus. Ratios are integer half-up ppm.
+    QueryDef("q89_lsh_recall",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val shared = minhashSigs(docs).persist()
+        val cand = minhashCandidates(shared)
+          .select(col("doc_a"), col("doc_b"))
+        val exact = ppjoinPairsFrom(shared.select(col("doc_id"), col("hl")))
+          .select(col("doc_a"), col("doc_b"))
+        exact.withColumn("e", lit(1L))
+          .join(cand.withColumn("c", lit(1L)),
+            Seq("doc_a", "doc_b"), "full_outer")
+          .agg(
+            sum(coalesce(col("e"), lit(0L))).as("n_exact"),
+            sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+            sum(when(col("e").isNotNull && col("c").isNotNull, 1L)
+              .otherwise(0L)).as("n_hit"))
+          .select(col("n_exact"), col("n_cand"), col("n_hit"),
+            expr("(2 * n_hit * 1000000 + n_exact) div (2 * n_exact)")
+              .as("recall_ppm"),
+            expr("(2 * n_hit * 1000000 + n_cand) div (2 * n_cand)")
+              .as("precision_ppm"))
+      },
+      Some(s"""WITH ${minhashVerifiedCtes("_mh")},
+              |${ppjoinVerifiedCtes("_pp")},
+              |ex AS (
+              |  SELECT doc_a, doc_b FROM verified_pp
+              |  WHERE 2 * inter >= un),
+              |cd AS (SELECT doc_a, doc_b FROM cands_mh),
+              |hit AS (
+              |  SELECT count(*) AS n_hit
+              |  FROM ex JOIN cd USING (doc_a, doc_b)),
+              |ne AS (SELECT count(*) AS n_exact FROM ex),
+              |nc AS (SELECT count(*) AS n_cand FROM cd)
+              |SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
+              |  CAST(nc.n_cand AS BIGINT) AS n_cand,
+              |  CAST(hit.n_hit AS BIGINT) AS n_hit,
+              |  CAST((2 * hit.n_hit * 1000000 + ne.n_exact)
+              |    // (2 * ne.n_exact) AS BIGINT) AS recall_ppm,
+              |  CAST((2 * hit.n_hit * 1000000 + nc.n_cand)
+              |    // (2 * nc.n_cand) AS BIGINT) AS precision_ppm
+              |FROM ne, nc, hit""".stripMargin)))
 }
