@@ -1352,5 +1352,84 @@ object TextAnalysis {
              |  CAST(any_value(mxv) AS BIGINT) AS ks_ppm,
              |  CAST(min(v) AS BIGINT) AS drift_at
              |FROM mx WHERE d_ppm = mxv
-             |GROUP BY source ORDER BY source""".stripMargin)))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q90: epoch UPSAMPLING plan — the complement of q65's
+    // down-sampling: give every source an equal token-share target
+    // T = total_tokens div n_sources and materialize per-doc repeat
+    // counts base + Bernoulli(rem/tok_s), where base = T div tok_s
+    // and the Bernoulli draw is the deterministic mix64(doc_id)
+    // threshold (same permutation key as q65/q75 — down-sample,
+    // up-sample, and shard decisions reproduce from one hash). This
+    // is the "repeat small high-quality sources for N epochs" step of
+    // a data recipe, with exact integer arithmetic end to end:
+    // expected planned tokens per source ≈ T with no float weights.
+    //
+    // 100 TB shape: one corpus-sized groupBy for stats (map-side
+    // combinable over a 3-column projection), stats and the 1-row
+    // total broadcast back onto the scan, per-doc repeat columns are
+    // pure projection (DECIMAL(38,0) threshold tests — no UDF), and
+    // the output rolls up per source. factor_ppm goes through
+    // DECIMAL(38,0): 2·T·10⁶ overflows int64 once total tokens pass
+    // ~4.6·10¹² — a 100 TB corpus is past that.
+    QueryDef("q90_epoch_upsample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("nt"))
+        val stats = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok_s"))
+        val tot = stats.agg(sum(col("tok_s")).as("tok_total"),
+          count(lit(1)).as("n_src"))
+        val u = unsignedDec(call_function("graft_mix64", col("doc_id")))
+        docs.join(broadcast(stats), "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("t_tgt", expr("tok_total div n_src"))
+          .withColumn("base", expr("t_tgt div tok_s"))
+          .withColumn("rem", expr("t_tgt % tok_s"))
+          .withColumn("extra",
+            when(u * col("tok_s") < two64 * col("rem"), 1L).otherwise(0L))
+          .groupBy(col("source"))
+          .agg(first(col("n_docs")).as("n_docs"),
+            first(col("tok_s")).as("tok_s"),
+            first(expr("(2 * CAST(t_tgt AS DECIMAL(38,0)) * 1000000"
+              + " + tok_s) div (2 * CAST(tok_s AS DECIMAL(38,0)))"))
+              .as("factor_ppm"),
+            sum(col("base") + col("extra")).as("planned_docs"),
+            sum(col("nt") * (col("base") + col("extra")))
+              .as("planned_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source,
+              |    len(string_split(text, ' ')) AS nt
+              |  FROM documents),
+              |stats AS (
+              |  SELECT source, count(*) AS n_docs, sum(nt) AS tok_s
+              |  FROM base GROUP BY source),
+              |tgt AS (
+              |  SELECT sum(tok_s) // count(*) AS t_tgt FROM stats),
+              |h0 AS (
+              |  SELECT doc_id, source, nt, CAST(doc_id AS HUGEINT) AS z
+              |  FROM base),
+              |${OracleSql.mix64Ctes("doc_id, source, nt", "h0")},
+              |rep AS (
+              |  SELECT d.source, d.nt, s.n_docs, s.tok_s,
+              |    CAST(g.t_tgt // s.tok_s AS BIGINT) AS b,
+              |    CASE WHEN d.m * CAST(s.tok_s AS HUGEINT)
+              |           < CAST(g.t_tgt % s.tok_s AS HUGEINT)
+              |             * ${OracleSql.MOD}
+              |         THEN 1 ELSE 0 END AS extra,
+              |    CAST((2 * CAST(g.t_tgt AS HUGEINT) * 1000000 + s.tok_s)
+              |      // (2 * CAST(s.tok_s AS HUGEINT)) AS BIGINT)
+              |      AS factor_ppm
+              |  FROM mixed d
+              |  JOIN stats s ON s.source = d.source
+              |  CROSS JOIN tgt g)
+              |SELECT source, CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+              |  CAST(any_value(tok_s) AS BIGINT) AS tok_s,
+              |  any_value(factor_ppm) AS factor_ppm,
+              |  CAST(sum(b + extra) AS BIGINT) AS planned_docs,
+              |  CAST(sum(nt * (b + extra)) AS BIGINT) AS planned_tokens
+              |FROM rep GROUP BY source ORDER BY source""".stripMargin)))
 }

@@ -335,6 +335,30 @@ class PlanSpec extends AnyFunSuite {
       s"df is a window, not a groupBy+self-join:\n${exec.take(2500)}")
   }
 
+  test("q89: both miners read one persisted signature scan; no cartesian") {
+    val exec = SparkEntry.queries("q89_lsh_recall")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("InMemoryTableScan"),
+        s"candidate and exact sides must share the signature cache:\n${
+          exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"),
+        s"the audit must stay equi-joined:\n${exec.take(2500)}")
+      assert(!exec.contains("ScalaUDF"), s"UDF-free:\n${exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q90: stats broadcast back onto the scan; repeat columns are projection") {
+    val exec = SparkEntry.queries("q90_epoch_upsample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
+      s"per-source stats must broadcast (corpus never shuffles for them):\n${
+        exec.take(2500)}")
+    assert(!exec.contains("ScalaUDF"),
+      s"threshold tests must be decimal projection, not UDF:\n${
+        exec.take(2500)}")
+  }
+
   test("q88: centroid build runs once (persisted); nearest-label via TopKPerKey") {
     val exec = SparkEntry.queries("q88_label_confusion")(spark, sf)
       .queryExecution.executedPlan.toString
