@@ -197,7 +197,9 @@ class PlanSpec extends AnyFunSuite {
     try {
       for (q <- Seq("q42_minhash_lsh_pairs", "q43_simhash_pairs",
           "q44_fingerprint_groups", "q46_ngram_jaccard_pairs",
-          "q48_contamination_check", "q53_ann_lsh")) {
+          "q48_contamination_check", "q53_ann_lsh", "q83_dup_spans",
+          "q86_length_drift", "q87_source_dup_rate", "q88_label_confusion",
+          "q89_lsh_recall")) {
         val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
         assert(!hasScalaUdf(exec), s"$q: ScalaUDF in plan:\n${exec.toString.take(1500)}")
       }
