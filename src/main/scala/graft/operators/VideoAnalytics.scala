@@ -383,5 +383,79 @@ object VideoAnalytics {
               |  count(DISTINCT frame_id) AS n_frames
               |FROM detections
               |GROUP BY stream_id, day
-              |ORDER BY stream_id, day""".stripMargin)))
+              |ORDER BY stream_id, day""".stripMargin)),
+
+    // ── Q29 (the previously unassigned number): class CO-OCCURRENCE —
+    // which object classes appear together in the same frame more
+    // than their individual frequencies predict (integer lift, the
+    // q59 collocation rationale applied to detections): the
+    // scene-composition signal behind co-occurrence-aware sampling
+    // and anomaly rules ("a boat and a traffic light in one frame").
+    //
+    // 100 TB shape: ONE distinct (frame, class) table (map-side
+    // combinable; persisted — supports, the frame total, and both
+    // self-join sides all read it), a frame-keyed self-join whose
+    // sides reuse that frame (the measured q83 lesson), and a pair
+    // groupBy bounded by 80² classes. Lift in DECIMAL(38,0):
+    // n_ab·n_frames·10⁶ overflows int64 on a 100 TB frame count.
+    QueryDef("q29_class_cooccurrence",
+      (s, dir) => {
+        val fc = detections(s, dir)
+          .filter(col("confidence") >= 0.5)
+          .select(col("frame_id"), col("object_class")).distinct()
+          .persist()
+        val sup = fc.groupBy(col("object_class")).agg(count(lit(1)).as("nc"))
+        val nf = fc.agg(countDistinct(col("frame_id")).as("n_frames"))
+        val pairs = fc.as("a")
+          .join(fc.as("b"),
+            col("a.frame_id") === col("b.frame_id") &&
+              col("a.object_class") < col("b.object_class"))
+          .groupBy(col("a.object_class").as("class_a"),
+            col("b.object_class").as("class_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+        pairs
+          .join(broadcast(sup.select(col("object_class").as("class_a"),
+            col("nc").as("n_a"))), "class_a")
+          .join(broadcast(sup.select(col("object_class").as("class_b"),
+            col("nc").as("n_b"))), "class_b")
+          .crossJoin(broadcast(nf))
+          .select(col("class_a"), col("class_b"), col("n_ab"),
+            col("n_a"), col("n_b"),
+            expr("(2 * CAST(n_ab AS DECIMAL(38,0)) * n_frames * 1000000"
+              + " + CAST(n_a AS DECIMAL(38,0)) * n_b)"
+              + " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b)")
+              .as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("class_a"), col("class_b"))
+          .limit(20)
+      },
+      Some(s"""$detectionsCte,
+              |fc AS (
+              |  SELECT DISTINCT frame_id, object_class
+              |  FROM detections WHERE confidence >= 0.5),
+              |sup AS (
+              |  SELECT object_class, count(*) AS nc
+              |  FROM fc GROUP BY object_class),
+              |nf AS (
+              |  SELECT CAST(count(DISTINCT frame_id) AS HUGEINT) AS n_frames
+              |  FROM fc),
+              |prs AS (
+              |  SELECT a.object_class AS class_a, b.object_class AS class_b,
+              |    count(*) AS n_ab
+              |  FROM fc a JOIN fc b
+              |    ON a.frame_id = b.frame_id
+              |   AND a.object_class < b.object_class
+              |  GROUP BY class_a, class_b
+              |  HAVING count(*) >= 5)
+              |SELECT p.class_a, p.class_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+              |  CAST(sa.nc AS BIGINT) AS n_a, CAST(sb.nc AS BIGINT) AS n_b,
+              |  CAST((2 * CAST(p.n_ab AS HUGEINT) * f.n_frames * 1000000
+              |      + CAST(sa.nc AS HUGEINT) * sb.nc)
+              |    // (2 * CAST(sa.nc AS HUGEINT) * sb.nc) AS BIGINT)
+              |    AS lift_ppm
+              |FROM prs p
+              |JOIN sup sa ON sa.object_class = p.class_a
+              |JOIN sup sb ON sb.object_class = p.class_b
+              |CROSS JOIN nf f
+              |ORDER BY lift_ppm DESC, class_a, class_b LIMIT 20""".stripMargin)))
 }
