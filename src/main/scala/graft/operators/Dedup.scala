@@ -1312,10 +1312,12 @@ object Dedup {
             sum(when(col("e").isNotNull && col("c").isNotNull, 1L)
               .otherwise(0L)).as("n_hit"))
           .select(col("n_exact"), col("n_cand"), col("n_hit"),
-            expr("(2 * n_hit * 1000000 + n_exact) div (2 * n_exact)")
-              .as("recall_ppm"),
-            expr("(2 * n_hit * 1000000 + n_cand) div (2 * n_cand)")
-              .as("precision_ppm"))
+            // nullif-guarded: an empty pair set yields NULL ppm on
+            // BOTH sides (DuckDB's `//` raises on a bare 0 divisor)
+            expr("(2 * n_hit * 1000000 + n_exact)"
+              + " div (2 * nullif(n_exact, 0))").as("recall_ppm"),
+            expr("(2 * n_hit * 1000000 + n_cand)"
+              + " div (2 * nullif(n_cand, 0))").as("precision_ppm"))
       },
       Some(s"""WITH ${minhashVerifiedCtes("_mh")},
               |${ppjoinVerifiedCtes("_pp")},
@@ -1332,8 +1334,8 @@ object Dedup {
               |  CAST(nc.n_cand AS BIGINT) AS n_cand,
               |  CAST(hit.n_hit AS BIGINT) AS n_hit,
               |  CAST((2 * hit.n_hit * 1000000 + ne.n_exact)
-              |    // (2 * ne.n_exact) AS BIGINT) AS recall_ppm,
+              |    // (2 * nullif(ne.n_exact, 0)) AS BIGINT) AS recall_ppm,
               |  CAST((2 * hit.n_hit * 1000000 + nc.n_cand)
-              |    // (2 * nc.n_cand) AS BIGINT) AS precision_ppm
+              |    // (2 * nullif(nc.n_cand, 0)) AS BIGINT) AS precision_ppm
               |FROM ne, nc, hit""".stripMargin)))
 }

@@ -44,6 +44,19 @@ object OracleSql {
     s"""CAST(($u + CAST(9223372036854775808 AS HUGEINT)) % $MOD
        |      - CAST(9223372036854775808 AS HUGEINT) AS BIGINT)""".stripMargin
 
+  /** Plain single-space tokenization — the TextAnalysis.toks
+    * convention: `split(text, ' ')` keeps empty tokens and splits only
+    * on the literal space. DuckDB's `string_split` matches Spark's
+    * `split` exactly for this pattern (both keep empties, both yield
+    * [''] for the empty string). Every oracle whose engine twin
+    * tokenizes via `TextAnalysis.toks` MUST build on this fragment so
+    * the two sides can never drift; the trimmed `\s+` kernel
+    * convention ([[toksCte]]) is a DIFFERENT tokenization used by the
+    * shingle/dedup family (TextKernels.tokenize) — do not mix them
+    * within one query.
+    */
+  val plainSplit = "string_split(text, ' ')"
+
   /** Whitespace tokenization mirroring TextKernels.tokenize
     * (NULL → empty list), as CTE `toks` with token list `t`.
     */

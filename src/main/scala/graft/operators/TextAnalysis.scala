@@ -18,7 +18,13 @@ object TextAnalysis {
 
   /** Tokens = split on single space (documents are space-joined word
     * lists; single-space split is reproducible verbatim in ANSI SQL,
-    * unlike locale/regex-sensitive tokenizers).
+    * unlike locale/regex-sensitive tokenizers). Keeps empty tokens and
+    * splits ONLY on the literal space — the oracle twin is
+    * [[OracleSql.plainSplit]] (`string_split(text, ' ')`), and every
+    * oracle in this file must use that form, never the trimmed `\s+`
+    * kernel convention of [[OracleSql.toksCte]] (TextKernels.tokenize),
+    * or engine/oracle tokenization silently diverges the moment the
+    * testdata gains irregular whitespace.
     */
   private val toks = split(col("text"), " ")
 
@@ -1181,11 +1187,9 @@ object TextAnalysis {
           .orderBy(col("w").desc, col("pair"))
           .limit(20)
       },
-      Some("""WITH tk AS (
-             |  SELECT unnest(list_filter(
-             |    string_split_regex(trim(coalesce(text, '')), '\s+'),
-             |    x -> x <> '')) AS tok
-             |  FROM documents),
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(${OracleSql.plainSplit}) AS tok
+              |  FROM documents),
              |wc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
              |pr AS (
              |  SELECT c, unnest(list_transform(range(1, length(tok)),
@@ -1249,11 +1253,9 @@ object TextAnalysis {
               + " * 1000000 + total) div (2 * total)").as("coverage_ppm"))
           .orderBy(col("v"))
       },
-      Some("""WITH tk AS (
-             |  SELECT unnest(list_filter(
-             |    string_split_regex(trim(coalesce(text, '')), '\s+'),
-             |    x -> x <> '')) AS tok
-             |  FROM documents),
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(${OracleSql.plainSplit}) AS tok
+              |  FROM documents),
              |wc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
              |rk AS (
              |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
