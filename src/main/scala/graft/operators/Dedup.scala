@@ -173,7 +173,7 @@ object Dedup {
     * shingle hashes are computed (and cached) once for both SHINGLE_K
     * miners instead of once per miner.
     */
-  private def ppjoinPairsFrom(harr: org.apache.spark.sql.DataFrame)
+  private[graft] def ppjoinPairsFrom(harr: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val cands = prefixCandidates(harr)
     val ha = harr.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
@@ -260,7 +260,7 @@ object Dedup {
     * table of a production corpus — computed in one documents scan,
     * shared by every miner over it.
     */
-  private def minhashSigs(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def minhashSigs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"),
       call_function("graft_minhash_bands",
@@ -270,7 +270,7 @@ object Dedup {
         coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"))
 
   /** [[minhashPairs]] over an already-persisted signature table. */
-  private def minhashPairsFrom(sigs: org.apache.spark.sql.DataFrame)
+  private[graft] def minhashPairsFrom(sigs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val cands = minhashCandidates(sigs)
     val ha = sigs.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
@@ -375,16 +375,36 @@ object Dedup {
     multiSignalPairsFrom(
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
 
+  /** The (doc_id, bands, hl, sh) signature projection ALL THREE
+    * miners read: [[minhashSigs]]'s minhash bands + sorted k=5
+    * shingle hashes plus the 64-bit k=2 simhash — every signature
+    * family the multi-signal union needs, computed in ONE documents
+    * scan / one codegen pass over text. Persisted once by the caller;
+    * this is the ingest-time signature table of a production corpus.
+    * The sh column adds 8 bytes/doc to the cache.
+    */
+  private def tripleSigs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      call_function("graft_minhash_bands",
+        coalesce(col("text"), lit("")),
+        lit(SHINGLE_K), lit(NUM_HASHES), lit(ROWS_PER_BAND)).as("bands"),
+      call_function("graft_shingle_hashes",
+        coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"),
+      call_function("graft_simhash",
+        coalesce(col("text"), lit("")), lit(2)).as("sh"))
+
   /** [[multiSignalPairs]] over any (doc_id, text) frame. */
   private[graft] def multiSignalPairsFrom(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // ONE signature scan for both SHINGLE_K miners: bands + sorted
-    // shingle hashes computed and cached once; the PPJoin miner reads
-    // the hl projection of the same in-memory table. The simhash
-    // miner shingles at k = 2 (different set) and keeps its own path.
-    val shared = minhashSigs(docs).persist()
+    // ONE signature scan for all three miners: minhash bands, sorted
+    // shingle hashes and simhash computed and cached in one pass over
+    // text; each miner reads its projection of the same in-memory
+    // table — the corpus itself is scanned exactly once.
+    val shared = tripleSigs(docs).persist()
     minhashPairsFrom(shared).select(col("doc_a"), col("doc_b"))
-      .union(simhashPairsFrom(docs).select(col("doc_a"), col("doc_b")))
+      .union(simhashPairsFromSigs(shared.select(col("doc_id"), col("sh")))
+        .select(col("doc_a"), col("doc_b")))
       .union(ppjoinPairsFrom(shared.select(col("doc_id"), col("hl")))
         .select(col("doc_a"), col("doc_b")))
       .distinct()
@@ -496,14 +516,22 @@ object Dedup {
     * entry ScaleGrowthSpec drives with synthetic corpora.
     */
   private[graft] def simhashPairsFrom(docsIn: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    def bandOf(sh: Column, j: Int): Column =
-      shiftrightunsigned(sh, 16 * j).bitwiseAND(lit(65535L))
-    val docs = docsIn
+      : org.apache.spark.sql.DataFrame =
+    simhashPairsFromSigs(docsIn
       .select(col("doc_id"),
         call_function("graft_simhash", coalesce(col("text"), lit("")), lit(2))
           .as("sh"))
-      .persist() // both self-join sides; one UDF pass (see q42 note)
+      .persist()) // both self-join sides; one UDF pass (see q42 note)
+
+  /** [[simhashPairsFrom]]'s banded join over an already-persisted
+    * (doc_id, sh) signature frame — q71/q73 pass a projection of the
+    * shared triple-signature table so the simhash miner reads the one
+    * corpus scan instead of re-hashing text.
+    */
+  private[graft] def simhashPairsFromSigs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def bandOf(sh: Column, j: Int): Column =
+      shiftrightunsigned(sh, 16 * j).bitwiseAND(lit(65535L))
     // bit-slice per band: (sh >>> 16*i) & 0xFFFF
     val sliced = docs.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(i => bandOf(col("sh"), i)): _*))
@@ -629,7 +657,27 @@ object Dedup {
     */
   def connectedComponentsWithRounds(pairs: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val edges = symmetrize(pairs, "a", "b").persist()
+    // Size the per-round exchanges to the EDGE table, not the session
+    // default: near-dup edge lists are linear in corpus size but
+    // orders of magnitude smaller than the corpus (pairs survive
+    // capped candidate generation + verify), so the configured
+    // corpus-scale partition count leaves every CC round scheduling
+    // mostly-empty tasks — at sf0.1 that scheduling overhead WAS the
+    // CC cost (256 edges across 32-partition shuffles, measured ~4×
+    // the data's worth). 50k edges/partition keeps per-task state
+    // tiny at any scale; the cap at the session setting means a
+    // 100 TB run with a billion-edge graph still fans out to the
+    // cluster's full configured parallelism. Same count-then-replan
+    // decision AQE's partition coalescing makes, taken once per CC
+    // invocation on the driver — the count is free, edges are
+    // persisted for the rounds anyway.
+    val nEdges = edges.count()
+    val sessionPartitions = spark.sessionState.conf.numShufflePartitions
+    val ccPartitions =
+      math.min(math.max(1L, nEdges / 50000L), sessionPartitions.toLong).toInt
+    val confKey = "spark.sql.shuffle.partitions"
     // Each generation is cut over to a localCheckpoint: the label
     // table is used on BOTH sides of the compress self-join, so a
     // lineage-carrying plan would grow ~4× per round (persist caches
@@ -638,50 +686,67 @@ object Dedup {
     // algorithm trap. The checkpoint truncates the plan to a leaf,
     // keeping every round's plan constant-sized; blocks of stale
     // generations are reclaimed by the ContextCleaner on GC.
-    var labels: org.apache.spark.sql.DataFrame =
-      edges.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      rounds += 1
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("lbl")), "b")
-        .groupBy(col("a")).agg(min(col("lbl")).as("nbr_lbl"))
-      // HOOK. Carry the previous label through the same join so the
-      // convergence count is a filter on `next`, not a second shuffle
-      // join against the previous generation.
-      // hooked feeds BOTH sides of the compress self-join; persist it
-      // for the round so the hook's edge-join shuffle runs once, not
-      // once per branch (released after `next` materializes).
-      val hooked = labels
-        .join(nbrMin.select(col("a").as("id"), col("nbr_lbl")), Seq("id"), "left")
-        .select(col("id"), col("lbl").as("old_lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist()
-      // Convergence is detected on the HOOK result, before the jump: a
-      // hook-stable labeling is already the all-equal-component-min
-      // fixpoint (were any label above its component min, some node
-      // adjacent to a lower label would still change), so the final
-      // detection round skips the compress shuffle entirely — for the
-      // clique-shaped graphs near-dup mining produces (1-2 rounds)
-      // that is a third of the shuffles.
-      changed = hooked.filter(col("lbl") < col("old_lbl")).count()
-      if (changed > 0) {
+    //
+    // The shuffle-partition override is session-scoped for the loop
+    // (restored in finally): every round's plan is built fresh from
+    // checkpointed leaves inside the loop, so the override applies to
+    // exactly the CC exchanges. Callers running concurrent queries on
+    // the same session during a CC call would see the override; the
+    // engine's harness (and any sane iterative caller) runs queries
+    // sequentially per session.
+    try {
+      spark.conf.set(confKey, ccPartitions.toString)
+      var labels: org.apache.spark.sql.DataFrame =
+        edges.select(col("a").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0) {
+        rounds += 1
+        val nbrMin = edges
+          .join(labels.select(col("id").as("b"), col("lbl")), "b")
+          .groupBy(col("a")).agg(min(col("lbl")).as("nbr_lbl"))
+        // HOOK. Carry the previous label through the same join so the
+        // convergence count is a filter on the hook result, not a
+        // second shuffle join against the previous generation.
+        // hooked feeds BOTH sides of the compress self-join; persist
+        // it so the hook's edge-join shuffle runs once, not once per
+        // branch (released after `next` materializes).
+        val hooked = labels
+          .join(nbrMin.select(col("a").as("id"), col("nbr_lbl")), Seq("id"), "left")
+          .select(col("id"), col("lbl").as("old_lbl"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          .persist()
         // COMPRESS: lbl := lbl(lbl). Left join — a label always names
         // a real node, but the left+coalesce keeps the step total even
-        // on degenerate inputs.
+        // on degenerate inputs. Compress runs in the SAME action that
+        // materializes the hook (the checkpoint computes `hooked` once
+        // en route, filling its cache), so each round costs ONE
+        // compound job plus a cache-only convergence count — the
+        // round-over-round shape that previously took two full jobs
+        // (hook-materialize-and-count, then compress-checkpoint).
         val jumpMap = hooked.select(col("id").as("j_id"), col("lbl").as("j_lbl"))
-        labels = hooked
+        val next = hooked
           .join(jumpMap, hooked("lbl") === jumpMap("j_id"), "left")
           .select(col("id"),
             least(col("lbl"), coalesce(col("j_lbl"), col("lbl"))).as("lbl"))
           .localCheckpoint() // eager: materializes + truncates lineage
+        // Convergence is detected on the HOOK result, before the jump:
+        // a hook-stable labeling is already the all-equal-component-min
+        // fixpoint (were any label above its component min, some node
+        // adjacent to a lower label would still change). At that
+        // fixpoint the jump is the identity, so `next` equals `labels`
+        // and either frame is the answer. Reads the round's cache —
+        // no recompute.
+        changed = hooked.filter(col("lbl") < col("old_lbl")).count()
+        hooked.unpersist()
+        if (changed > 0) labels = next
       }
-      hooked.unpersist()
+      edges.unpersist()
+      (labels, rounds)
+    } finally {
+      spark.conf.set(confKey, sessionPartitions.toString)
     }
-    edges.unpersist()
-    (labels, rounds)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -258,6 +258,40 @@ object VideoAnalytics {
               |WHERE rn = 1
               |ORDER BY stream_id, object_class, det_id""".stripMargin)),
 
+    // ── Q91: bounded top-k WITH ties — the k > 1 generalization of
+    // q72: every detection ranked ≤ 3 by confidence per (stream,
+    // class), written as the standard `rank() <= 3` window idiom.
+    // TopKRewriteRule substitutes the RankTies mode of TopKPerKey:
+    // per-key state is 3 distinct confidence values' tie groups
+    // (output-bounded, ≤ 2 rows + the boundary tie group), bounded on
+    // both sides of one hash exchange, no per-group sort — the
+    // relationalized shape of the reference's NMS confidence ranking
+    // (YOLODetector.java:294 keeps a confidence-ordered candidate
+    // list per class; rank <= k is its "best k candidates" read).
+    // rank()'s numbering is deterministic under ties (tied rows share
+    // a rank, gaps after), so the oracle agrees exactly with no
+    // tiebreak column.
+    QueryDef("q91_rank_topk_ties",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        val w = Window.partitionBy(col("stream_id"), col("object_class"))
+          .orderBy(col("confidence").desc)
+        detections(s, dir)
+          .select(col("stream_id"), col("object_class"), col("det_id"),
+            col("confidence"))
+          .withColumn("rn", rank().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy(col("stream_id"), col("object_class"), col("det_id"))
+      },
+      Some(s"""$detectionsCte
+              |SELECT stream_id, object_class, det_id, confidence, rn FROM (
+              |  SELECT stream_id, object_class, det_id, confidence,
+              |    rank() OVER (PARTITION BY stream_id, object_class
+              |                 ORDER BY confidence DESC) AS rn
+              |  FROM detections)
+              |WHERE rn <= 3
+              |ORDER BY stream_id, object_class, det_id""".stripMargin)),
+
     // ── Q16: per-class histogram (ref metric: detections by class).
     // confidence values are exact 2-decimal rationals (k/100), so the
     // mean is summed as int64 centi-units and rounded half-up to 4

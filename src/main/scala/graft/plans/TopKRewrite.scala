@@ -4,28 +4,28 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Optimizer rewrite: `Filter(row_number() <= k)` directly over a
-  * single-row_number Window becomes [[TopKPerKeyNode]] — users write
-  * the standard window top-k idiom and the engine substitutes the
-  * bounded-heap operator (capped shuffle, no per-group sort; see
-  * TopKPerKey.scala).
+/** Optimizer rewrite: `Filter(rankingFn() <= k)` directly over a
+  * single-ranking-function Window becomes [[TopKPerKeyNode]] — users
+  * write the standard window top-k idiom and the engine substitutes
+  * the bounded-state operator (capped shuffle, no per-group sort; see
+  * TopKPerKey.scala). All three ranking functions rewrite, each into
+  * its own [[TopKRankMode]]:
+  *
+  *  - `row_number() <= k` → RowNum (exact k, k-bounded heap);
+  *  - `rank() <= k` → RankTies (≤ k−1 rows + the boundary tie group,
+  *    state = k distinct order-values' tie groups);
+  *  - `dense_rank() <= k` → DenseRankTies (top k value classes).
   *
   * Soundness: row_number's semantics over a NON-total order are
   * nondeterministic in Spark (tie order depends on partition-sort
   * internals); the rewrite preserves every deterministic outcome and
   * picks among tied rows exactly as arbitrarily as the window would.
-  * Conjunctive residue (rn <= k AND p) keeps `p` as a Filter above
-  * the rewritten node. Bounds handled: rn <= k, rn < k, rn = 1.
-  *
-  * `rank() = 1` / `dense_rank() = 1` — the other common top-1 idiom —
-  * also rewrite, into the operator's keep-ties mode: at rank 1 both
-  * functions select exactly the rows TIED for the best order value
-  * per key (they only diverge past the first tie group), so the
-  * result is deterministic under any order and the bounded state is
-  * the tie group itself (= the output). Bounds past 1 deliberately do
-  * NOT rewrite: `rank() <= k` admits more than k rows on ties and
-  * `dense_rank() <= k` admits whole value classes — neither is
-  * expressible with a k-bounded heap.
+  * rank()/dense_rank() are deterministic under ANY order (tied rows
+  * share a rank, so the kept set and the emitted rank are unique) and
+  * the operator reproduces their exact numbering — rank() with gaps
+  * after ties, dense_rank() without. Conjunctive residue
+  * (rn <= k AND p) keeps `p` as a Filter above the rewritten node.
+  * Bounds handled: rn <= k, rn < k, rn = 1.
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
@@ -55,31 +55,46 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
           case RowNumber() | Rank(_) | DenseRank(_) => true
           case _ => false
         }) =>
-      val keepTies = !rankFn.isInstanceOf[RowNumber]
+      val mode = rankFn match {
+        case RowNumber() => TopKRankMode.RowNum
+        case Rank(_)     => TopKRankMode.RankTies
+        case _           => TopKRankMode.DenseRankTies
+      }
       val conjuncts = splitConj(cond)
       val bounds = conjuncts.flatMap(c => boundOf(c, a.exprId).map(c -> _))
       bounds match {
-        // rank()/dense_rank() rewrite at k = 1 only (see scaladoc)
-        case Seq((matched, k)) if k >= 1 && (!keepTies || k == 1) =>
+        case Seq((matched, k)) if k >= 1 =>
           val rank = a.toAttribute.asInstanceOf[AttributeReference]
           // Spark's InferWindowGroupLimit may already have inserted a
           // per-partition group limit below the Window; our partial
           // exec IS that limit, so drop the redundant node. Sound to
-          // strip when the limit keeps a superset of our output: any
-          // rank-like limit with l >= k covers the row_number case
-          // (row_number <= k implies rank <= k <= l), but the
-          // keep-ties case needs a tie-keeping limit function — a
-          // RowNumber group limit may cut tied rows.
+          // strip only when the limit keeps a superset of our output:
+          //  - RowNum target (row_number <= k): any limit fn with
+          //    l >= k covers it (dense_rank <= rank <= row_number, so
+          //    row_number <= k implies every fn <= k <= l);
+          //  - RankTies target (rank <= k): Rank or DenseRank limits
+          //    with l >= k cover it (dense_rank <= rank), a RowNumber
+          //    limit may cut tied rows;
+          //  - DenseRankTies target (dense_rank <= k): only a
+          //    DenseRank limit with l >= k covers it (a row in the
+          //    k-th value class can carry arbitrarily large rank).
           val input = child match {
             case WindowGroupLimit(p2, o2, limitFn, l, grandchild)
               if p2 == part && o2 == order && l >= k &&
-                (!keepTies || (limitFn match {
-                  case Rank(_) | DenseRank(_) => true
-                  case _ => false
-                })) => grandchild
+                (mode match {
+                  case TopKRankMode.RowNum => true
+                  case TopKRankMode.RankTies => limitFn match {
+                    case Rank(_) | DenseRank(_) => true
+                    case _ => false
+                  }
+                  case TopKRankMode.DenseRankTies => limitFn match {
+                    case DenseRank(_) => true
+                    case _ => false
+                  }
+                }) => grandchild
             case other => other
           }
-          val topk = TopKPerKeyNode(part, order, k, rank, input, keepTies)
+          val topk = TopKPerKeyNode(part, order, k, rank, input, mode)
           val residue = conjuncts.filterNot(_ eq matched)
           if (residue.isEmpty) topk
           else Filter(residue.reduce(And), topk)

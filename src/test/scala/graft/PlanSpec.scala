@@ -122,6 +122,19 @@ class PlanSpec extends AnyFunSuite {
       s"the rank() window must be rewritten away:\n${opt.toString.take(1500)}")
   }
 
+  test("q91: rank()<=3 rewrites into RankTies TopKPerKey at k=3 (no Window executed)") {
+    val opt = SparkEntry.queries("q91_rank_topk_ties")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(opt.exists {
+      case n: graft.plans.TopKPerKeyNode =>
+        n.mode == graft.plans.TopKRankMode.RankTies && n.k == 3
+      case _ => false
+    }, opt.toString.take(1500))
+    assert(!opt.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+      s"the rank() window must be rewritten away:\n${opt.toString.take(1500)}")
+  }
+
   test("q46: hot-shingle prune is a broadcast anti-join; no cartesian anywhere") {
     val p = plan("q46_ngram_jaccard_pairs")
     assert(p.contains("LeftAnti"), p.take(1500))

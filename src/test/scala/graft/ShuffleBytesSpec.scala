@@ -80,20 +80,29 @@ class ShuffleBytesSpec extends AnyFunSuite {
         Seq(("l_extendedprice", false), ("l_orderkey", true)), k = 3))
     // The uncapped alternative: every row of a key crosses the
     // exchange, then a per-group sort. Two guards keep it uncapped:
-    // rank() <= 3 (TopKRewriteRule rewrites rank() only at k = 1,
-    // the keep-ties argmax shape), and Spark's
-    // own InferWindowGroupLimit excluded — otherwise 3.5+ inserts a
+    // TopKRewriteRule removed from the session for the measurement
+    // (it now rewrites ALL THREE ranking functions at any k — there
+    // is no longer a window idiom it leaves alone), and Spark's own
+    // InferWindowGroupLimit excluded — otherwise 3.5+ inserts a
     // partial group limit below the exchange, which is precisely the
     // optimization whose absence this baseline represents.
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+    val exp = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    val savedRules = exp.extraOptimizations
+    exp.extraOptimizations =
+      savedRules.filterNot(_ == graft.plans.TopKRewriteRule)
     val windowed =
       try shuffleBytes(
         rows.withColumn("rn", rank().over(
             Window.partitionBy(col("l_returnflag"))
               .orderBy(col("l_extendedprice").desc, col("l_orderkey"))))
           .filter(col("rn") <= 3))
-      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+      finally {
+        exp.extraOptimizations = savedRules
+        spark.conf.unset("spark.sql.optimizer.excludedRules")
+      }
     assert(topk > 0)
     assert(topk < windowed,
       s"bounded-heap top-k must cap the exchange: topk=$topk window=$windowed")

@@ -223,16 +223,81 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
-  test("rank() <= k for k > 1 does NOT rewrite (ties overflow a k-bounded heap)") {
+  /** Driver-side rank()-semantics reference: per key, every row with
+    * fewer than k strictly-better scores, emitted with rank = 1 +
+    * strictly-better count (desc order, no tiebreak → real tie groups).
+    */
+  private def rankLeKRef(rows: Array[(String, Double, Long)], k: Int) =
+    rows.groupBy(_._1).toSeq.flatMap { case (key, rs) =>
+      rs.flatMap { case (_, s, id) =>
+        val better = rs.count(_._2 > s)
+        if (better < k) Some(Seq[Any](key, s, id, better + 1)) else None
+      }
+    }.sortBy(_.toString()).toSeq
+
+  test("rank() <= k for k > 1 rewrites into RankTies mode: boundary tie group kept, rank gaps exact") {
     TopK.ensure(spark)
+    val df = data
     val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
-    val q = data.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    val q = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
     val opt = q.queryExecution.optimizedPlan
-    assert(!opt.exists(_.isInstanceOf[graft.plans.TopKPerKeyNode]),
-      opt.toString.take(1500))
-    assert(opt.exists(_.isInstanceOf[
+    assert(opt.collectFirst {
+      case n: graft.plans.TopKPerKeyNode => n.mode
+    } === Some(graft.plans.TopKRankMode.RankTies), opt.toString.take(1500))
+    assert(!opt.exists(_.isInstanceOf[
         org.apache.spark.sql.catalyst.plans.logical.Window]),
-      opt.toString.take(1500))
+      s"window must be rewritten away:\n${opt.toString.take(1500)}")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val ref = rankLeKRef(rows, 3)
+    assert(ref.length > ref.map(_.head).distinct.length * 3,
+      "test data must have ties so rank<=3 keeps more than 3 rows somewhere")
+    val got = q.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(got === ref)
+  }
+
+  test("dense_rank() <= k for k > 1 rewrites into DenseRankTies mode: top k value classes") {
+    TopK.ensure(spark)
+    val df = data
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
+    val q = df.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 2)
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collectFirst {
+      case n: graft.plans.TopKPerKeyNode => n.mode
+    } === Some(graft.plans.TopKRankMode.DenseRankTies), opt.toString.take(1500))
+    val ref = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (key, rs) =>
+        val classes = rs.map(_._2).distinct.sorted(Ordering[Double].reverse)
+        val top = classes.take(2).zipWithIndex.toMap
+        rs.flatMap { case (_, s, id) =>
+          top.get(s).map(i => Seq[Any](key, s, id, i + 1))
+        }
+      }.sortBy(_.toString()).toSeq
+    val got = q.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(got === ref)
+  }
+
+  test("rank() <= k survives the sort fallback with exact rank numbering") {
+    import spark.implicits._
+    TopK.ensure(spark)
+    // 2,000 distinct keys vs a 50-key bound → external-sort path on
+    // both execs; 7 score values per key → multi-row tie groups around
+    // the k = 3 boundary
+    val df = spark.range(0, 20000).map { i =>
+      (s"key_${i % 2000}", (i % 7).toDouble, i)
+    }.toDF("k", "score", "id").repartition(5)
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
+    val q = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    assert(q.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[graft.plans.TopKPerKeyNode]))
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "50")
+    try {
+      val got = q.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+      val ref = rankLeKRef(df.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))), 3)
+      assert(got === ref)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
   }
 
   test("keep-ties survives the sort fallback (key cardinality above the map bound)") {
