@@ -53,10 +53,10 @@ object Dedup {
     * ScaleGrowthSpec measures.
     *
     * Cache contract: expects `sigs` already persisted by the caller
-    * (it is consumed by the hot-bucket agg and both join sides);
-    * callers outside Bench/Verify (which clearCache per pass) must
-    * `spark.catalog.clearCache()` (or unpersist their sigs frame) when
-    * done — the same caller-side contract connectedComponents documents.
+    * (it is consumed by the hot-bucket agg and both join sides). The
+    * engine's entry points persist via CacheLifecycle.autoRelease, so
+    * the cache releases itself after the first consuming action — no
+    * caller-side clearCache is owed (CacheLifecycleSpec proves it).
     */
   private[graft] def minhashCandidates(sigs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -110,11 +110,10 @@ object Dedup {
     * pairs. The df cap bounds join output at MAX_DF · posting-rows —
     * linear in corpus size (same argument as q42's bucket cap).
     *
-    * Cache contract: persists its internal posting table `pre` for the
-    * duration of the returned plan (consumed three times); callers
-    * outside Bench/Verify (which clearCache per pass) must
-    * `spark.catalog.clearCache()` when done — the same caller-side
-    * contract connectedComponents documents.
+    * Cache contract: persists its internal posting table `pre` for
+    * the duration of the returned plan (consumed three times) via
+    * CacheLifecycle.autoRelease — the cache releases itself after the
+    * first consuming action, no caller-side clearCache is owed.
     */
   private[graft] def prefixCandidates(harr: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -125,7 +124,7 @@ object Dedup {
       posexplode(expr("slice(hl, 1, size(hl) div 2 + 1)"))
         .as(Seq("p0", "h")))
       .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("h"))
-      .persist()
+      .transform(graft.plans.CacheLifecycle.autoRelease)
     val hot = pre.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MAX_DF).select(col("h"))
     val pruned = pre.join(broadcast(hot), Seq("h"), "left_anti")
@@ -165,7 +164,7 @@ object Dedup {
   private def ppjoinPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    ppjoinPairsFrom(sortedShingleHashes(docs).persist())
+    ppjoinPairsFrom(sortedShingleHashes(docs).transform(graft.plans.CacheLifecycle.autoRelease))
   }
 
   /** [[ppjoinPairs]] over an already-persisted (doc_id, hl) index —
@@ -249,7 +248,7 @@ object Dedup {
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    minhashPairsFrom(minhashSigs(docs).persist())
+    minhashPairsFrom(minhashSigs(docs).transform(graft.plans.CacheLifecycle.autoRelease))
   }
 
   /** The (doc_id, bands, hl) signature projection both SHINGLE_K
@@ -401,7 +400,7 @@ object Dedup {
     // shingle hashes and simhash computed and cached in one pass over
     // text; each miner reads its projection of the same in-memory
     // table — the corpus itself is scanned exactly once.
-    val shared = tripleSigs(docs).persist()
+    val shared = tripleSigs(docs).transform(graft.plans.CacheLifecycle.autoRelease)
     minhashPairsFrom(shared).select(col("doc_a"), col("doc_b"))
       .union(simhashPairsFromSigs(shared.select(col("doc_id"), col("sh")))
         .select(col("doc_a"), col("doc_b")))
@@ -521,7 +520,7 @@ object Dedup {
       .select(col("doc_id"),
         call_function("graft_simhash", coalesce(col("text"), lit("")), lit(2))
           .as("sh"))
-      .persist()) // both self-join sides; one UDF pass (see q42 note)
+      .transform(graft.plans.CacheLifecycle.autoRelease)) // both self-join sides; one UDF pass (see q42 note)
 
   /** [[simhashPairsFrom]]'s banded join over an already-persisted
     * (doc_id, sh) signature frame — q71/q73 pass a projection of the
@@ -1363,7 +1362,7 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val shared = minhashSigs(docs).persist()
+        val shared = minhashSigs(docs).transform(graft.plans.CacheLifecycle.autoRelease)
         val cand = minhashCandidates(shared)
           .select(col("doc_a"), col("doc_b"))
         val exact = ppjoinPairsFrom(shared.select(col("doc_id"), col("hl")))

@@ -303,7 +303,7 @@ object Similarity {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"), bucket.as("bucket"),
             VectorKernels.norm(col("embedding")).as("nrm"))
-          .persist() // both self-join sides; one bucket-UDF pass
+          .transform(graft.plans.CacheLifecycle.autoRelease) // both self-join sides; one bucket-UDF pass
 
         val sliced = e.select(col("vec_id"), col("embedding"), col("bucket"),
           col("nrm"),
@@ -661,11 +661,10 @@ object Similarity {
           .select(col("label"), col("dim"),
             expr("((sq + 1000000 * n) * 2 + n) div (2 * n) - 1000000")
               .as("cq"))
-          // persisted: both self-join sides read this labels×dims
-          // table — unpinned, each side would re-run the corpus-sized
-          // centroid build (the q86 histogram lesson); harness
-          // clearCache()s per query
-          .persist()
+          // persisted (auto-released): both self-join sides read this
+          // labels×dims table — unpinned, each side would re-run the
+          // corpus-sized centroid build (the q86 histogram lesson)
+          .transform(graft.plans.CacheLifecycle.autoRelease)
         val pairs = cent.as("a")
           .join(broadcast(cent.as("b")),
             col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))

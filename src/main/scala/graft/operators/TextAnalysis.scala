@@ -101,10 +101,9 @@ object TextAnalysis {
     * Cache contract (shared with minhashCandidates/prefixCandidates):
     * persists the shingled docs for the duration of the returned plan —
     * the test and train branches would otherwise each recompute the
-    * shingle construction over the full scan. Callers that consume the
-    * result outside Bench/Verify (which clearCache per pass) must run
-    * `spark.catalog.clearCache()` (or unpersist via the catalog) once
-    * done — the same caller-side contract connectedComponents documents.
+    * shingle construction over the full scan. Persisted via
+    * CacheLifecycle.autoRelease: the cache releases itself after the
+    * first consuming action, no caller-side clearCache is owed.
     */
   private[graft] def contaminationProbe(docsIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -115,7 +114,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         call_function("graft_shingle_hashes",
           coalesce(col("text"), lit("")), lit(5)).as("sh"))
-      .persist()
+      .transform(graft.plans.CacheLifecycle.autoRelease)
     val test = docs.filter(col("source") === "src0")
       .select(col("doc_id"), explode(col("sh")).as("s"))
     val train = docs.filter(col("source") =!= "src0")
@@ -665,7 +664,7 @@ object TextAnalysis {
           .select(toks.as("t"))
           .select(explode(bigramsOfT).as("bg"))
           .select(col("bg"), hash64C(col("bg")).as("hb"))
-          .persist()
+          .transform(graft.plans.CacheLifecycle.autoRelease)
         val sketch = occ.agg(cms(col("hb")).as("sk"))
         val top = occ.groupBy(col("bg"))
           .agg(count(lit(1)).as("exact_count"), first(col("hb")).as("hb"))
@@ -871,7 +870,7 @@ object TextAnalysis {
           .select(col("source"), explode(col("t")).as("tok"))
           .groupBy(col("source"), col("tok"))
           .agg(count(lit(1)).as("tf"))
-          .persist() // three downstream aggregation branches
+          .transform(graft.plans.CacheLifecycle.autoRelease) // three downstream aggregation branches
         val srcTot = st.groupBy(col("source")).agg(sum(col("tf")).as("tok_s"))
         val corpusTf = st.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
         val total = st.agg(sum(col("tf")).as("n_tok"))
@@ -1293,16 +1292,15 @@ object TextAnalysis {
         import org.apache.spark.sql.expressions.Window
         val dec38 = org.apache.spark.sql.types.DataTypes
           .createDecimalType(38, 0)
-        // persisted: srcs/corp/grid all derive from this one histogram
-        // — without the pin each branch re-scans and re-aggregates the
-        // corpus (observed: 4 parquet scans). The histogram is bounded
-        // domain (sources × distinct lengths), so the cache is tiny;
-        // the Verify/Bench harness clearCache()s per query (the q42/q46
-        // signature-table contract).
+        // persisted (auto-released): srcs/corp/grid all derive from
+        // this one histogram — without the pin each branch re-scans and
+        // re-aggregates the corpus (observed: 4 parquet scans). The
+        // histogram is bounded domain (sources × distinct lengths), so
+        // the cache is tiny.
         val hist = Tables.documents(s, dir)
           .groupBy(col("source"), col("n_chars").as("v"))
           .agg(count(lit(1)).as("c"))
-          .persist()
+          .transform(graft.plans.CacheLifecycle.autoRelease)
         val srcs = hist.groupBy(col("source"))
           .agg(sum(col("c")).as("n_s"))
         val corp = hist.groupBy(col("v")).agg(sum(col("c")).as("cv"))

@@ -437,7 +437,7 @@ object VideoAnalytics {
         val fc = detections(s, dir)
           .filter(col("confidence") >= 0.5)
           .select(col("frame_id"), col("object_class")).distinct()
-          .persist()
+          .transform(graft.plans.CacheLifecycle.autoRelease)
         val sup = fc.groupBy(col("object_class")).agg(count(lit(1)).as("nc"))
         val nf = fc.agg(countDistinct(col("frame_id")).as("n_frames"))
         val pairs = fc.as("a")

@@ -1,0 +1,97 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Engine-owned cache lifecycle for the intermediate tables the
+  * operator library persists (signature tables, posting indexes,
+  * histograms, centroid tables): `autoRelease(df)` persists `df` and
+  * unpersists it automatically after the first completed action that
+  * read the cache — so library callers no longer own a
+  * caller-must-clearCache contract, and a one-action consumer (the
+  * overwhelmingly common shape: every `queries()` entry is consumed
+  * by exactly one write/collect) leaves ZERO cache entries behind.
+  *
+  * Mechanism: a per-session QueryExecutionListener walks each
+  * completed action's physical plan (descending into AQE subplans and
+  * into the cached plans of in-memory scans — nested caches release
+  * together) collecting the cache-builder identity of every cache
+  * entry the action consumed (GraftSqlBridge.consumedCacheBuilders);
+  * tracked frames whose builder appears are unpersisted. The builder
+  * is the stable identity of a cache entry across plan copies, which
+  * makes the match exact — unrelated caches (a user's own persists,
+  * the connected-components edge table) are never touched.
+  *
+  * Semantics under multiple actions: the FIRST consuming action
+  * releases the cache, so a second action on the same returned frame
+  * recomputes — correct, just uncached. That is the right trade for
+  * these generators: their caches exist to share ONE pass across the
+  * branches of ONE query plan, not to serve repeated actions. Callers
+  * that want repeat-action caching should persist the RESULT
+  * themselves, not the engine's intermediates.
+  *
+  * Iterative callers stay safe by construction: connectedComponents'
+  * internal actions fire the listener, but its edge table and label
+  * generations are managed manually (persist/unpersist in-loop) and
+  * never tracked here — only the upstream signature caches release
+  * when the first CC action materializes the edge table through them,
+  * which is exactly when they stop being needed.
+  *
+  * Listener events are delivered asynchronously (Spark's listener
+  * bus), so release happens shortly after the action returns; a
+  * racing second action at worst recomputes. The registry holds
+  * strong references until release; an entry whose frame is never
+  * executed holds only the unmaterialized plan (persist is lazy — no
+  * blocks exist to leak).
+  */
+object CacheLifecycle {
+
+  private val sessions =
+    new ConcurrentHashMap[SparkSession, ConcurrentHashMap[AnyRef, DataFrame]]()
+
+  /** Persist `df` and release its cache after the first completed
+    * action that reads it. Returns `df` for chaining (fits
+    * `.transform(CacheLifecycle.autoRelease)`).
+    */
+  def autoRelease(df: DataFrame): DataFrame = {
+    df.persist()
+    val spark = df.sparkSession
+    val registry = sessions.computeIfAbsent(spark, s => {
+      s.listenerManager.register(new ReleaseListener(s))
+      new ConcurrentHashMap[AnyRef, DataFrame]()
+    })
+    GraftSqlBridge.cacheBuilderOf(df).foreach(b => registry.put(b, df))
+    df
+  }
+
+  private final class ReleaseListener(spark: SparkSession)
+      extends QueryExecutionListener {
+    private def release(qe: QueryExecution): Unit = {
+      val registry = sessions.get(spark)
+      if (registry != null && !registry.isEmpty) {
+        // executedPlan can throw for a query that failed analysis;
+        // nothing was consumed in that case
+        val used =
+          try GraftSqlBridge.consumedCacheBuilders(qe)
+          catch { case _: Throwable => new java.util.HashSet[AnyRef]() }
+        if (!used.isEmpty) {
+          val it = registry.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (used.contains(e.getKey)) {
+              it.remove()
+              e.getValue.unpersist(blocking = false)
+            }
+          }
+        }
+      }
+    }
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = release(qe)
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = release(qe)
+  }
+}

@@ -16,4 +16,46 @@ object GraftSqlBridge {
     */
   def pageSizeBytes: Long =
     org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+
+  /** The cache-registry builder behind a persisted Dataset, if any
+    * (`CacheManager.lookupCachedData` and `CachedRDDBuilder` are
+    * `private[sql]`, hence the AnyRef view). The builder is the stable
+    * identity of one cache entry — the same object appears in every
+    * InMemoryTableScanExec that reads the entry, so plan-walking a
+    * completed query for builders tells exactly which cache entries it
+    * consumed (graft.plans.CacheLifecycle).
+    */
+  def cacheBuilderOf(df: Dataset[_]): Option[AnyRef] = {
+    val d = df.asInstanceOf[classic.Dataset[_]]
+    d.sparkSession.sharedState.cacheManager.lookupCachedData(d)
+      .map(_.cachedRepresentation.cacheBuilder)
+  }
+
+  /** Builders (as [[cacheBuilderOf]] identities) of every cache entry
+    * `qe`'s executed plan reads — descends into AQE subplans and into
+    * the cached plans of in-memory scans, so a cache built over
+    * another cache reports both.
+    */
+  def consumedCacheBuilders(qe: execution.QueryExecution): java.util.HashSet[AnyRef] = {
+    val out = new java.util.HashSet[AnyRef]()
+    def walk(plan: execution.SparkPlan): Unit =
+      plan.foreach {
+        case s: execution.columnar.InMemoryTableScanExec =>
+          if (out.add(s.relation.cacheBuilder)) walk(s.relation.cachedPlan)
+        case a: execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        // AQE replaces materialized stages with leaf QueryStageExec
+        // nodes (Shuffle/Broadcast/TableCache); the real subtree —
+        // where the in-memory scans live — is behind `.plan`.
+        case q: execution.adaptive.QueryStageExec => walk(q.plan)
+        case r: execution.exchange.ReusedExchangeExec => walk(r.child)
+        case _ => ()
+      }
+    walk(qe.executedPlan)
+    out
+  }
+
+  /** True iff the session's SQL cache registry has no entries. */
+  def sqlCacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }
