@@ -12,12 +12,38 @@ object Verify {
       case Array(sf, out, f) => (sf, out, f.split(",").toSeq)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_AQE sweeps the adaptive-execution axis (Spark 4
+    // defaults AQE + skew-join ON, so the unset default already runs
+    // adaptively):
+    //   "0"     — AQE fully off: every exchange static, the plan
+    //             exactly as written;
+    //   "force" — AQE with aggressively small advisory/skew thresholds
+    //             (64 KiB), so even sf0.01 exchanges actually coalesce
+    //             and skewed joins actually split — the runtime
+    //             re-planning a 100x deployment exercises on real
+    //             skew (relevant to the salted join q25, every banded
+    //             self-join, and the cached-plan shapes).
+    // Results must be identical across all three — the verify-skill
+    // parity gate sweeps them.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_AQE") match {
+      case Some("0") =>
+        builder.config("spark.sql.adaptive.enabled", "false")
+      case Some("force") =>
+        builder
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+          .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+          .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+          .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+          .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1024")
+      case _ => ()
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
