@@ -1431,5 +1431,165 @@ object TextAnalysis {
               |  any_value(factor_ppm) AS factor_ppm,
               |  CAST(sum(b + extra) AS BIGINT) AS planned_docs,
               |  CAST(sum(nt * (b + extra)) AS BIGINT) AS planned_tokens
-              |FROM rep GROUP BY source ORDER BY source""".stripMargin)))
+              |FROM rep GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q92: per-source BIT-SURPRISAL — the CCNet-style LM-quality
+    // proxy (Wenzek et al. 2020 filter web text by LM perplexity): each
+    // token's surprisal under the corpus unigram model, in EXACT whole
+    // bits — floor(log2 total) − floor(log2 c) via length(bin(n)), so
+    // both engines compute identical integers (no libm ln whose last
+    // ulp differs across engines). Production swaps the unigram model
+    // for a real LM; the 100 TB shape is what this query pins: ONE
+    // corpus-sized (source, token) histogram groupBy (map-side
+    // combinable), from which the vocabulary counts, grand total, and
+    // per-source sums ALL derive — the corpus is never re-scanned, and
+    // the per-token surprisal join is a broadcast of the vocab-sized
+    // bits table back onto the bounded-domain histogram.
+    QueryDef("q92_bit_surprisal",
+      (s, dir) => {
+        val hist = Tables.documents(s, dir)
+          .select(col("source"), explode(toks).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c_st"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val wc = hist.groupBy(col("tok")).agg(sum(col("c_st")).as("c"))
+        val tot = wc.agg(sum(col("c")).as("total"))
+        val bits = wc.crossJoin(broadcast(tot))
+          .select(col("tok"),
+            (char_length(bin(col("total")))
+              - char_length(bin(col("c")))).cast("long").as("bits"))
+        hist.join(broadcast(bits), "tok")
+          .groupBy(col("source"))
+          .agg(sum(col("c_st")).as("n_tokens"),
+            sum(col("c_st") * col("bits")).as("sum_bits"))
+          .withColumn("avg_bits_ppm",
+            expr("(2 * CAST(sum_bits AS DECIMAL(38,0)) * 1000000 + n_tokens)"
+              + " div (2 * CAST(n_tokens AS DECIMAL(38,0)))"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT source, unnest(${OracleSql.plainSplit}) AS tok
+              |  FROM documents),
+             |hist AS (
+             |  SELECT source, tok, count(*) AS c_st
+             |  FROM tk GROUP BY source, tok),
+             |wc AS (SELECT tok, sum(c_st) AS c FROM hist GROUP BY tok),
+             |tot AS (SELECT sum(c) AS total FROM wc),
+             |bits AS (
+             |  SELECT tok,
+             |    CAST(length(bin(t.total)) - length(bin(c)) AS BIGINT) AS bits
+             |  FROM wc, tot t)
+             |SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+             |  CAST(sum(c_st * bits) AS BIGINT) AS sum_bits,
+             |  CAST((2 * CAST(sum(c_st * bits) AS HUGEINT) * 1000000
+             |        + sum(c_st))
+             |    // (2 * CAST(sum(c_st) AS HUGEINT)) AS BIGINT)
+             |    AS avg_bits_ppm
+             |FROM hist JOIN bits USING (tok)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q93: per-source token-distribution DIVERGENCE — exact total-
+    // variation distance ½·Σ|p_s(t) − p(t)| between each source's
+    // unigram distribution and the corpus's, in ppm. The mixture-drift
+    // monitor run per feed (q86 watches length profiles; this watches
+    // WHAT the source says): a source whose token distribution walks
+    // away from the corpus signals template pollution, language drift,
+    // or a crawler change. TV rather than KL on purpose — it needs no
+    // logs, so DECIMAL(38,0) cross-multiplication |c_st·N − c_t·n_s|
+    // makes both engines bit-identical (the q86 arithmetic applied to
+    // token space; headroom c_t·n_s·10⁶ ≤ 10³⁸ holds past 10¹³-token
+    // corpora per source).
+    //
+    // 100 TB shape: ONE corpus-sized (source, token) histogram stage;
+    // the evaluation grid is sources × vocabulary (bounded domain —
+    // absent tokens must still contribute |0 − c_t·n_s|, hence the
+    // grid, built as a broadcast cross join of two histogram
+    // derivatives, left-joined back to the histogram).
+    QueryDef("q93_source_divergence",
+      (s, dir) => {
+        val dec38 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0)
+        val hist = Tables.documents(s, dir)
+          .select(col("source"), explode(toks).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c_st"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val wc = hist.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+        val srcs = hist.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+        val tot = wc.agg(sum(col("c_t")).as("n"))
+        srcs.crossJoin(broadcast(wc))
+          .join(hist, Seq("source", "tok"), "left")
+          .na.fill(0, Seq("c_st"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("n_s"),
+            abs(col("c_st").cast(dec38) * col("n")
+              - col("c_t").cast(dec38) * col("n_s")).as("d"),
+            col("n"))
+          .groupBy(col("source"))
+          .agg(first(col("n_s")).as("n_tokens"), sum(col("d")).as("sd"),
+            first(col("n")).as("n"))
+          .withColumn("tv_ppm",
+            expr("(2 * sd * 1000000 + 2 * CAST(n_tokens AS DECIMAL(38,0)) * n)"
+              + " div (2 * 2 * CAST(n_tokens AS DECIMAL(38,0)) * n)"))
+          .select(col("source"), col("n_tokens"), col("tv_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT source, unnest(${OracleSql.plainSplit}) AS tok
+              |  FROM documents),
+             |hist AS (
+             |  SELECT source, tok, count(*) AS c_st
+             |  FROM tk GROUP BY source, tok),
+             |wc AS (SELECT tok, sum(c_st) AS c_t FROM hist GROUP BY tok),
+             |srcs AS (SELECT source, sum(c_st) AS n_s FROM hist GROUP BY source),
+             |tot AS (SELECT sum(c_t) AS n FROM wc),
+             |grid AS (
+             |  SELECT s.source, s.n_s, w.tok, w.c_t,
+             |    coalesce(h.c_st, 0) AS c_st, t.n
+             |  FROM srcs s CROSS JOIN wc w CROSS JOIN tot t
+             |  LEFT JOIN hist h ON h.source = s.source AND h.tok = w.tok)
+             |SELECT source, CAST(any_value(n_s) AS BIGINT) AS n_tokens,
+             |  CAST((2 * sum(abs(CAST(c_st AS HUGEINT) * n
+             |          - CAST(c_t AS HUGEINT) * n_s)) * 1000000
+             |        + 2 * CAST(any_value(n_s) AS HUGEINT) * any_value(n))
+             |    // (2 * 2 * CAST(any_value(n_s) AS HUGEINT) * any_value(n))
+             |    AS BIGINT) AS tv_ppm
+             |FROM grid GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q94: TOP TOKENS PER SOURCE with tie-keeping — every token in
+    // the top-3 distinct count values per source (`dense_rank() <= 3`),
+    // the per-feed vocabulary fingerprint a corpus dashboard shows.
+    // Deliberately written as the window-rank idiom so the TopKRewrite
+    // optimizer rule replaces the per-source sort with the bounded-heap
+    // TopKPerKey physical operator in dense_rank keep-ties mode — the
+    // driver-facing twin of q91's rank() mode. 100 TB shape: after the
+    // one corpus-sized histogram stage, the rank runs on the bounded
+    // (source × vocab) domain with a 3-value heap per source — no full
+    // per-partition sort, output bounded by ties.
+    QueryDef("q94_top_tokens_ties",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.TopK.ensure(s)
+        Tables.documents(s, dir)
+          .select(col("source"), explode(toks).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rk", dense_rank().over(
+            Window.partitionBy(col("source")).orderBy(col("c").desc)))
+          .filter(col("rk") <= 3)
+          .orderBy(col("source"), col("rk"), col("tok"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT source, unnest(${OracleSql.plainSplit}) AS tok
+              |  FROM documents),
+             |hist AS (
+             |  SELECT source, tok, count(*) AS c
+             |  FROM tk GROUP BY source, tok),
+             |rk AS (
+             |  SELECT source, tok, CAST(c AS BIGINT) AS c,
+             |    CAST(dense_rank() OVER (PARTITION BY source
+             |      ORDER BY c DESC) AS INTEGER) AS rk
+             |  FROM hist)
+             |SELECT source, tok, c, rk FROM rk WHERE rk <= 3
+             |ORDER BY source, rk, tok""".stripMargin)))
 }
