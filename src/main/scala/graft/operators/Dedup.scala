@@ -382,7 +382,7 @@ object Dedup {
     * this is the ingest-time signature table of a production corpus.
     * The sh column adds 8 bytes/doc to the cache.
     */
-  private def tripleSigs(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def tripleSigs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"),
       call_function("graft_minhash_bands",
@@ -654,7 +654,8 @@ object Dedup {
     * Returns (labels, rounds) — rounds includes the final fixpoint-
     * detection round that changes nothing.
     */
-  def connectedComponentsWithRounds(pairs: org.apache.spark.sql.DataFrame)
+  def connectedComponentsWithRounds(pairs: org.apache.spark.sql.DataFrame,
+      localSolveMaxEdges: Long = 50000L)
       : (org.apache.spark.sql.DataFrame, Int) = {
     val spark = pairs.sparkSession
     val edges = symmetrize(pairs, "a", "b").persist()
@@ -676,6 +677,62 @@ object Dedup {
     val sessionPartitions = spark.sessionState.conf.numShufflePartitions
     val ccPartitions =
       math.min(math.max(1L, nEdges / 50000L), sessionPartitions.toLong).toInt
+    // SMALL-GRAPH FAST PATH: when the whole edge list fits ONE
+    // partition by the sizing rule above, the iterative loop's
+    // per-round scheduling (2 Spark jobs × O(log n) rounds over a
+    // 1-partition shuffle) is pure overhead — measured ~1.8 s for a
+    // 256-edge graph at sf0.1, nearly all of it job latency, not
+    // data. Solve it instead as ONE single-task union-find over the
+    // repartitioned edge RDD (mapPartitions — an executor task, NOT a
+    // driver collect; ≤ localSolveMaxEdges edges by construction, the
+    // same bound that makes one partition acceptable). Same unique
+    // fixpoint: every node labeled with its component min. The
+    // iterative O(log n) path below is untouched and remains the
+    // at-scale route — a billion-edge graph has ccPartitions > 1 and
+    // never enters here. ConnectedComponentsSpec forces the iterative
+    // path with localSolveMaxEdges = 0 to keep measuring round counts.
+    if (nEdges <= localSolveMaxEdges && nEdges <= Int.MaxValue.toLong) {
+      val dt = edges.schema.head.dataType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt, nullable = false),
+        org.apache.spark.sql.types.StructField("lbl", dt, nullable = false)))
+      val labels = edges.repartition(1)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Any, Any]()
+          def find(x: Any): Any = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x
+            while (parent.get(c) != r) {
+              val n = parent.get(c); parent.put(c, r); c = n
+            }
+            r
+          }
+          it.foreach { row =>
+            val a = row.get(0); val b = row.get(1)
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent.put(ra, rb)
+          }
+          // component min per root, then one row per node
+          val minOf = new java.util.HashMap[Any, Any]()
+          val keys = parent.keySet().toArray
+          keys.foreach { k =>
+            val r = find(k)
+            val cur = minOf.get(r)
+            if (cur == null ||
+                k.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
+              minOf.put(r, k)
+          }
+          keys.iterator.map { k =>
+            org.apache.spark.sql.Row(k, minOf.get(find(k)))
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+        .localCheckpoint() // eager: materialize before edges unpersist
+      edges.unpersist()
+      return (labels, 1)
+    }
     val confKey = "spark.sql.shuffle.partitions"
     // Each generation is cut over to a localCheckpoint: the label
     // table is used on BOTH sides of the compress self-join, so a

@@ -32,12 +32,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  /** Drives the ITERATIVE hook+compress path (localSolveMaxEdges = 0
+    * disables the small-graph single-task union-find fast path) so the
+    * round-count assertions measure the at-scale algorithm.
+    */
   private def run(pairs: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (df, rounds) = Dedup.connectedComponentsWithRounds(
+      pairs.toDF("doc_a", "doc_b"), localSolveMaxEdges = 0L)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache() // per the operator's cache contract
+    (got, rounds)
+  }
+
+  /** The default small-graph fast path (single-task union-find). */
+  private def runLocal(pairs: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
     import spark.implicits._
     val (df, rounds) = Dedup.connectedComponentsWithRounds(
       pairs.toDF("doc_a", "doc_b"))
     val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    spark.catalog.clearCache() // per the operator's cache contract
+    spark.catalog.clearCache()
     (got, rounds)
   }
 
@@ -76,5 +90,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val (got, rounds) = run(clique)
     assert(got === (1L to 8L).map(_ -> 1L).toMap)
     assert(rounds <= 3)
+  }
+
+  test("small-graph fast path: single-task union-find equals the iterative labels in one round") {
+    val clique = for {
+      a <- 100L to 104L; b <- (a + 1) to 104L
+    } yield (a, b)
+    val chain = (200L until 216L).map(i => (i, i + 1))
+    val pairs = clique ++ chain ++ Seq((500L, 501L))
+    val (local, localRounds) = runLocal(pairs)
+    val (iter, _) = run(pairs)
+    assert(local === iter, "fast-path labels must equal the iterative fixpoint")
+    assert(local === refComponents(pairs))
+    assert(localRounds === 1, "the fast path is a single job, reported as one round")
+  }
+
+  test("fast-path threshold: graphs past localSolveMaxEdges take the iterative path") {
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    import spark.implicits._
+    val (_, rounds) = Dedup.connectedComponentsWithRounds(
+      chain.toDF("doc_a", "doc_b"), localSolveMaxEdges = 10L)
+    spark.catalog.clearCache()
+    assert(rounds > 1, "63 edges > 10 must run the iterative rounds")
   }
 }
