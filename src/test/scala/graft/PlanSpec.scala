@@ -478,4 +478,48 @@ class PlanSpec extends AnyFunSuite {
       s"block/total frames must broadcast (tiny by construction):\n${
         exec.take(2500)}")
   }
+
+  // NOTE on counting scans under persist(): InMemoryTableScan's
+  // toString prints its CACHED plan, whose description contains the
+  // underlying "Scan parquet" line — so a plan whose every branch
+  // reads the cache still shows one "Scan parquet" PER cache read.
+  // The single-corpus-scan property is therefore asserted as "every
+  // corpus-consuming branch is an InMemoryTableScan of the one
+  // histogram" rather than by counting scan lines.
+  test("q92: all three branches read the cached histogram; bits table broadcasts back") {
+    val exec = SparkEntry.queries("q92_bit_surprisal")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"hist join side, wc and the grand total must all read the " +
+          s"cached histogram:\n${exec.take(2500)}")
+      assert(exec.contains("BroadcastHashJoin") &&
+          !exec.contains("SortMergeJoin"),
+        s"the vocab-sized bits table must broadcast onto the histogram:\n${
+          exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q93: the sources×vocab grid derives from the cached histogram, no cartesian blowup") {
+    val exec = SparkEntry.queries("q93_source_divergence")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
+        s"wc/srcs/tot/hist must all derive from the cached histogram:\n${
+          exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"),
+        s"the grid cross joins must broadcast (vocab and totals are " +
+          s"bounded):\n${exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q94: dense_rank <= 3 runs through TopKPerKey over one corpus scan") {
+    val exec = SparkEntry.queries("q94_top_tokens_ties")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("TopKPerKey"),
+      s"the window-rank idiom must rewrite to the bounded operator:\n${
+        exec.take(2500)}")
+    assert(exec.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"corpus must be scanned exactly once:\n${exec.take(2500)}")
+  }
 }
