@@ -708,7 +708,98 @@ object Similarity {
              |    PARTITION BY label ORDER BY d2, other) AS rn
              |  FROM sym)
              |SELECT label, other AS nearest_label, CAST(d2 AS BIGINT) AS d2
-             |FROM r WHERE rn = 1 ORDER BY label""".stripMargin)))
+             |FROM r WHERE rn = 1 ORDER BY label""".stripMargin)),
+
+    // ── Q95: IVF-ANN RECALL AUDIT — q55's 2-probe IVF top-10 scored
+    // against q50's exact brute-force top-10: recall@10 in integer
+    // ppm. The embedding-side twin of q89 (the engine measuring its
+    // own approximation): the nProbe-sizing feedback loop a vector
+    // pipeline runs before trusting its index, in-plan. Both the
+    // exact branch and the ANN re-rank read ONE shared persisted
+    // scored projection (vec_id, label, cos_raw — 20 bytes/row, far
+    // smaller than the vectors); the corpus is touched once more only
+    // for the centroid train pass (inevitable — that IS the index
+    // build). Rankings are deterministic on both sides (cos_raw is
+    // bit-identical by the left-assoc FP convention; vec_id breaks
+    // ties), and the ppm division is nullif-guarded on both engines
+    // (q89's degenerate-corpus rule).
+    QueryDef("q95_ann_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cosQ = VectorKernels.dotConst(col("embedding"), queryVec) /
+          (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qNorm2)))
+        val scored = e.select(col("vec_id"), col("label"), cosQ.as("cos_raw"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val exact = scored
+          .orderBy(col("cos_raw").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"))
+        val ann = scored
+          .join(broadcast(ivfProbes(e, queryVec, 2)), Seq("label"),
+            "left_semi")
+          .orderBy(col("cos_raw").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"))
+        exact.withColumn("x", lit(1L))
+          .join(ann.withColumn("a", lit(1L)), Seq("vec_id"), "full_outer")
+          .agg(
+            sum(coalesce(col("x"), lit(0L))).as("n_exact"),
+            sum(coalesce(col("a"), lit(0L))).as("n_ann"),
+            sum(when(col("x").isNotNull && col("a").isNotNull, 1L)
+              .otherwise(0L)).as("n_hit"))
+          .select(col("n_exact"), col("n_ann"), col("n_hit"),
+            expr("(2 * n_hit * 1000000 + n_exact)"
+              + " div (2 * nullif(n_exact, 0))").as("recall_ppm"))
+      },
+      Some {
+        val centDot = (0 until DIM).map(i =>
+          s"centroid[${i + 1}] * ${f(queryVec(i))}").mkString(" + ")
+        val centNorm2 = (0 until DIM).map(i =>
+          s"centroid[${i + 1}] * centroid[${i + 1}]").mkString(" + ")
+        s"""WITH cent AS (
+           |  SELECT label,
+           |    list(CAST(((sq + 1000000 * n) * 2 + n) // (2 * n) - 1000000
+           |           AS DOUBLE) / 10000.0 ORDER BY dim) AS centroid
+           |  FROM (
+           |    SELECT label, dim, sum(q) AS sq, count(*) AS n
+           |    FROM (
+           |      SELECT label,
+           |        generate_subscripts(embedding, 1) - 1 AS dim,
+           |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+           |          AS BIGINT) AS q
+           |      FROM embeddings)
+           |    GROUP BY label, dim)
+           |  GROUP BY label),
+           |probes AS (
+           |  SELECT label FROM (
+           |    SELECT label,
+           |      CASE WHEN ($centNorm2) = 0 THEN 0.0
+           |           ELSE ($centDot) / sqrt(($centNorm2) * ${f(qNorm2)})
+           |      END AS sc
+           |    FROM cent)
+           |  ORDER BY sc DESC, CAST(label AS VARCHAR) LIMIT 2),
+           |scored AS (
+           |  SELECT vec_id, label,
+           |    (${dotConstSql("embedding")})
+           |      / (sqrt(${dotSql("embedding", "embedding")})
+           |         * sqrt(${f(qNorm2)})) AS cos_raw
+           |  FROM embeddings),
+           |ex AS (
+           |  SELECT vec_id FROM scored
+           |  ORDER BY cos_raw DESC, vec_id LIMIT 10),
+           |ann AS (
+           |  SELECT vec_id FROM scored
+           |  WHERE label IN (SELECT label FROM probes)
+           |  ORDER BY cos_raw DESC, vec_id LIMIT 10),
+           |hit AS (
+           |  SELECT count(*) AS n_hit FROM ex JOIN ann USING (vec_id)),
+           |ne AS (SELECT count(*) AS n_exact FROM ex),
+           |na AS (SELECT count(*) AS n_ann FROM ann)
+           |SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
+           |  CAST(na.n_ann AS BIGINT) AS n_ann,
+           |  CAST(hit.n_hit AS BIGINT) AS n_hit,
+           |  CAST((2 * hit.n_hit * 1000000 + ne.n_exact)
+           |    // (2 * nullif(ne.n_exact, 0)) AS BIGINT) AS recall_ppm
+           |FROM ne, na, hit""".stripMargin
+      }))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the
@@ -725,10 +816,27 @@ object Similarity {
   def ivfTopK(e: org.apache.spark.sql.DataFrame, q: Seq[Double],
       nProbe: Int, k: Int): org.apache.spark.sql.DataFrame = {
     val qn2 = q.map(x => x * x).sum
-    // train: per-label mean vector (K rows, K = #labels). Same exact
-    // 1e-4 quantization as q52: a raw avg(double) is partition-order
-    // dependent, which would make the probe choice (and thus the whole
-    // result) flicker across runs/engines when two cells score close.
+    val cos = VectorKernels.dotConst(col("embedding"), q) /
+      (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qn2)))
+    e.join(broadcast(ivfProbes(e, q, nProbe)), Seq("label"), "left_semi")
+      .select(col("vec_id"), col("label"), cos.as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cos_raw").as("cosine"))
+  }
+
+  /** The train + probe-selection half of [[ivfTopK]], factored so q95
+    * can probe the same cells over its shared scored projection:
+    * per-label mean centroids (exact 1e-4 quantization — q52's
+    * rationale: a raw avg(double) is partition-order dependent and a
+    * near-tie probe choice would flicker across runs/engines), then
+    * the nProbe labels nearest the query, ranked in-plan through a
+    * TakeOrderedAndProject over K rows. The returned frame is the
+    * broadcast-ready semi-join build side.
+    */
+  private[graft] def ivfProbes(e: org.apache.spark.sql.DataFrame,
+      q: Seq[Double], nProbe: Int): org.apache.spark.sql.DataFrame = {
+    val qn2 = q.map(x => x * x).sum
     val cent = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("label"), col("dim"),
@@ -743,14 +851,11 @@ object Similarity {
         .as("pairs"))
       .select(col("label"),
         transform(col("pairs"), p => p.getField("cv")).as("centroid"))
-    // probe selection, in-plan: cosine(centroid, q) per label, top
-    // nProbe by (score desc, label-string) — K rows through a
-    // TakeOrderedAndProject, then the winners broadcast back as a
-    // semi-join build side. na (= centroid·centroid) instead of
-    // graft_norm so the score is dot / sqrt(na · qn2) — the oracle's
-    // association, one sqrt over the product.
+    // na (= centroid·centroid) instead of graft_norm so the score is
+    // dot / sqrt(na · qn2) — the oracle's association, one sqrt over
+    // the product.
     val na = VectorKernels.dot(col("centroid"), col("centroid"))
-    val probeLabels = cent
+    cent
       .select(col("label"),
         when(na === 0.0, lit(0.0))
           .otherwise(VectorKernels.dotConst(col("centroid"), q)
@@ -758,12 +863,5 @@ object Similarity {
       .orderBy(col("sc").desc, col("label").cast("string"))
       .limit(nProbe)
       .select(col("label"))
-    val cos = VectorKernels.dotConst(col("embedding"), q) /
-      (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qn2)))
-    e.join(broadcast(probeLabels), Seq("label"), "left_semi")
-      .select(col("vec_id"), col("label"), cos.as("cos_raw"))
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-      .limit(k)
-      .select(col("vec_id"), col("label"), col("cos_raw").as("cosine"))
   }
 }
