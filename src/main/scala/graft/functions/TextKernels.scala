@@ -143,6 +143,15 @@ object TextKernels {
       rowsPerBand: Int): Array[Long] =
     lshBands(minhash(shingles(text, k), numHashes), rowsPerBand)
 
+  /** Fused text → raw minhash signature (no banding) — the estimator
+    * form: component-wise match fraction between two signatures is the
+    * unbiased MinHash estimate of the texts' shingle-set Jaccard.
+    * Identical slots to [[minhashBands]]'s input (q97 calibrates the
+    * very signatures q42's LSH banding is built from).
+    */
+  def minhashSig(text: String, k: Int, numHashes: Int): Array[Long] =
+    minhash(shingles(text, k), numHashes)
+
   /** LSH band keys of a minhash signature: hash each band of `rowsPerBand`
     * consecutive signature slots; docs sharing any band key are candidate
     * near-duplicates (join on (bandIdx, bandHash)).

@@ -409,6 +409,49 @@ object Dedup {
       .distinct()
   }
 
+  /** q99's prefix-containment miner over any (doc_id, text) frame:
+    * verified (doc_a, doc_b, nt_a, nt_b) pairs where doc_a's full
+    * token sequence is a strict prefix of doc_b's. Anchor index =
+    * hash of the first min(nt, 8) tokens (the container side emits
+    * one anchor per prefix length l ≤ 8 — bounded 8 anchors/doc);
+    * hot anchors (> MAX_BUCKET container rows — boilerplate openers)
+    * are dropped before the equi-join, bounding candidates exactly
+    * like q42's bucket cap; the exact string-prefix verify joins
+    * text onto candidate ids only. Unordered output (callers sort).
+    */
+  private[graft] def prefixContainmentFrom(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), col("text"),
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long").as("nt"))
+    val t = split(coalesce(col("text"), lit("")), " ")
+    def anchor(l: org.apache.spark.sql.Column) =
+      call_function("graft_hash64",
+        array_join(slice(t, lit(1), l), " "))
+    val contained = docs.select(col("doc_id").as("doc_a"),
+      col("nt").as("nt_a"), least(col("nt"), lit(8)).as("l"),
+      anchor(least(col("nt"), lit(8))).as("h"))
+    val container = docs
+      .select(col("doc_id").as("doc_b"), col("nt").as("nt_b"),
+        explode(sequence(lit(1), least(col("nt"), lit(8)))).as("l"),
+        col("text"))
+      .select(col("doc_b"), col("nt_b"), col("l"), anchor(col("l")).as("h"))
+    val hot = container.groupBy(col("l"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > MAX_BUCKET).select(col("l"), col("h"))
+    val cand = contained
+      .join(container.join(broadcast(hot), Seq("l", "h"), "left_anti"),
+        Seq("l", "h"))
+      .filter(col("nt_a") < col("nt_b"))
+      .select(col("doc_a"), col("doc_b"), col("nt_a"), col("nt_b"))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .filter(startswith(col("text_b"), concat(col("text_a"), lit(" "))))
+      .select(col("doc_a"), col("doc_b"), col("nt_a"), col("nt_b"))
+  }
+
   /** Oracle CTE chain replaying [[multiSignalPairs]] and the q63
     * recursive reachability fixpoint: all three miner chains
     * (suffixed _mh/_sh/_pp), UNION (set semantics = the engine's
@@ -1458,5 +1501,185 @@ object Dedup {
               |    // (2 * nullif(ne.n_exact, 0)) AS BIGINT) AS recall_ppm,
               |  CAST((2 * hit.n_hit * 1000000 + nc.n_cand)
               |    // (2 * nullif(nc.n_cand, 0)) AS BIGINT) AS precision_ppm
-              |FROM ne, nc, hit""".stripMargin)))
+              |FROM ne, nc, hit""".stripMargin)),
+
+    // ── Q96: DUP-CLUSTER STORAGE-SAVINGS report — the number a dedup
+    // pass is run FOR: per cluster size, how many clusters exist, how
+    // many docs they hold, and how many bytes deleting everything but
+    // the best member reclaims. Keeper = q73's quality convention
+    // (longest text), so kept bytes per cluster is simply
+    // max(n_chars) — the report needs no keeper election, just two
+    // cascading aggregations over the q71 component labels.
+    //
+    // 100 TB shape: the CC label table is bounded by the pair graph
+    // (docs in no near-dup pair never enter it); it joins onto a
+    // 2-column (doc_id, n_chars) projection — text never leaves the
+    // parquet reader — then collapses to one row per component and
+    // again to one row per distinct cluster SIZE (dozens of rows).
+    // Both aggs are map-side combinable; everything downstream of the
+    // miners is integer arithmetic on (count, sum, max).
+    QueryDef("q96_dup_cluster_stats",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+        val per = connectedComponents(multiSignalPairs(s, dir))
+          .join(docs, col("id") === col("doc_id"))
+          .groupBy(col("lbl"))
+          .agg(count(lit(1)).as("sz"),
+            sum(col("n_chars")).as("bytes"),
+            max(col("n_chars")).as("kept"))
+        per.groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz")).as("n_docs"),
+            (sum(col("sz")) - count(lit(1))).as("n_removable"),
+            sum(col("bytes") - col("kept")).as("bytes_removable"))
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE $multiSignalCompCtes,
+              |per AS (
+              |  SELECT c.keeper AS lbl, count(*) AS sz,
+              |    sum(d.n_chars) AS bytes, max(d.n_chars) AS kept
+              |  FROM comp c JOIN documents d ON d.doc_id = c.id
+              |  GROUP BY c.keeper)
+              |SELECT sz AS cluster_size,
+              |  CAST(count(*) AS BIGINT) AS n_clusters,
+              |  CAST(sum(sz) AS BIGINT) AS n_docs,
+              |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removable,
+              |  CAST(sum(bytes - kept) AS BIGINT) AS bytes_removable
+              |FROM per GROUP BY sz ORDER BY sz""".stripMargin)),
+
+    // ── Q97: MINHASH ESTIMATOR CALIBRATION — q89 audits the BANDING
+    // (which pairs the LSH buckets surface); this audits the
+    // SIGNATURES the bands are built from: for every surviving LSH
+    // candidate pair, the component-wise signature agreement m/128 —
+    // the unbiased MinHash Jaccard estimate — against the exact
+    // shingle-set Jaccard, per pair in exact ppm. The per-pair error
+    // is the number that sizes NUM_HASHES (σ ≈ √(J(1−J)/128) ≈ 4%):
+    // a fatter-than-binomial error tail means a broken hash family,
+    // caught here before it silently misroutes the q42 verify
+    // threshold. Native graft_minhash_sig exposes the raw slots the
+    // banded expression folds away; signature agreement is an integer
+    // zip (no FP), exact Jaccard reuses the sorted-merge overlap
+    // kernel with no threshold.
+    //
+    // 100 TB shape: ONE signature scan feeds candidate generation AND
+    // both per-pair estimate columns (sig + hl ride the same cached
+    // projection, the q42 ingest-time-signature-table shape);
+    // candidates stay capped/linear, and the estimate join touches
+    // 8-byte arrays only — text is read once, never shuffled.
+    QueryDef("q97_minhash_calibration",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val sigs = docs.select(col("doc_id"),
+          call_function("graft_minhash_sig",
+            coalesce(col("text"), lit("")),
+            lit(SHINGLE_K), lit(NUM_HASHES)).as("sig"),
+          call_function("graft_minhash_bands",
+            coalesce(col("text"), lit("")),
+            lit(SHINGLE_K), lit(NUM_HASHES), lit(ROWS_PER_BAND)).as("bands"),
+          call_function("graft_shingle_hashes",
+            coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val cand = minhashCandidates(sigs)
+        val sa = sigs.select(col("doc_id").as("doc_a"),
+          col("sig").as("sig_a"), col("hl").as("hl_a"))
+        val sb = sigs.select(col("doc_id").as("doc_b"),
+          col("sig").as("sig_b"), col("hl").as("hl_b"))
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            aggregate(
+              zip_with(col("sig_a"), col("sig_b"),
+                (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, e) => acc + e).as("m"),
+            expr("CAST(graft_sorted_overlap(hl_a, hl_b, 0) AS BIGINT)")
+              .as("inter"),
+            (size(col("hl_a")) + size(col("hl_b"))).cast("long").as("sz"))
+          .select(col("doc_a"), col("doc_b"),
+            expr(s"(2 * m * 1000000 + $NUM_HASHES)"
+              + s" div (2 * $NUM_HASHES)").as("est_ppm"),
+            expr("(2 * inter * 1000000 + (sz - inter))"
+              + " div (2 * (sz - inter))").as("exact_ppm"))
+          .select(col("doc_a"), col("doc_b"), col("est_ppm"),
+            col("exact_ppm"),
+            abs(col("est_ppm") - col("exact_ppm")).as("err_ppm"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH ${minhashVerifiedCtes("_mh")},
+              |est AS (
+              |  SELECT c.doc_a, c.doc_b,
+              |    sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS mm
+              |  FROM cands_mh c
+              |  JOIN sig_mh a ON a.doc_id = c.doc_a
+              |  JOIN sig_mh b ON b.doc_id = c.doc_b AND b.i = a.i
+              |  GROUP BY c.doc_a, c.doc_b)
+              |SELECT v.doc_a, v.doc_b,
+              |  CAST((2 * e.mm * 1000000 + $NUM_HASHES)
+              |    // (2 * $NUM_HASHES) AS BIGINT) AS est_ppm,
+              |  CAST((2 * v.inter * 1000000 + v.un)
+              |    // (2 * v.un) AS BIGINT) AS exact_ppm,
+              |  abs(CAST((2 * e.mm * 1000000 + $NUM_HASHES)
+              |        // (2 * $NUM_HASHES) AS BIGINT)
+              |    - CAST((2 * v.inter * 1000000 + v.un)
+              |        // (2 * v.un) AS BIGINT)) AS err_ppm
+              |FROM verified_mh v JOIN est e
+              |  ON e.doc_a = v.doc_a AND e.doc_b = v.doc_b
+              |ORDER BY v.doc_a, v.doc_b""".stripMargin)),
+
+    // ── Q99: PREFIX-CONTAINMENT dedup — truncation duplicates: doc A
+    // whose full token sequence is a strict prefix of doc B (the same
+    // article scraped twice, one cut short). Jaccard-family miners
+    // systematically MISS these (a short prefix of a long doc has low
+    // Jaccard; q42/q46 never see the pair), so a production pass runs
+    // this as its own miner. Candidates: every doc indexes the hash
+    // of its first min(nt, 8) tokens; the container side emits one
+    // anchor per prefix length l = 1..min(nt, 8) (a bounded 8 anchors
+    // per doc), equi-join on (l, anchor), verify by the exact
+    // string-prefix test (texts are space-joined tokens, so token-
+    // prefix ⟺ starts_with(b.text, a.text || ' ')).
+    //
+    // 100 TB shape: the anchor index is ≤ 8 × 12 bytes per doc; a
+    // hot-anchor cap (> MAX_BUCKET container rows per (l, anchor)
+    // bucket — boilerplate openers) bounds the equi-join output
+    // exactly like q42's bucket cap, keeping candidates linear; the
+    // verify joins text onto CANDIDATE ids only (2-column
+    // projections, pair-bounded) — full texts never self-join. The
+    // oracle replays anchors + cap + verify (the q42 precedent).
+    QueryDef("q99_prefix_containment",
+      (s, dir) => prefixContainmentFrom(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text,
+              |    len(string_split(coalesce(text, ''), ' ')) AS nt
+              |  FROM documents),
+              |containr AS (
+              |  SELECT doc_id AS doc_b, nt AS nt_b, CAST(l.range AS INT) AS l,
+              |    ${OracleSql.hash64(
+                     "array_to_string(string_split(coalesce(text, ''), ' ')" +
+                     "[1:CAST(l.range AS INT)], ' ')")} AS h
+              |  FROM t, range(1, 9) l WHERE l.range <= least(nt, 8)),
+              |hot AS (
+              |  SELECT l, h FROM containr GROUP BY l, h
+              |  HAVING count(*) > $MAX_BUCKET),
+              |bs AS (
+              |  SELECT * FROM containr c WHERE NOT EXISTS (
+              |    SELECT 1 FROM hot WHERE hot.l = c.l AND hot.h = c.h)),
+              |contained AS (
+              |  SELECT doc_id AS doc_a, nt AS nt_a,
+              |    CAST(least(nt, 8) AS INT) AS l,
+              |    ${OracleSql.hash64(
+                     "array_to_string(string_split(coalesce(text, ''), ' ')" +
+                     "[1:CAST(least(nt, 8) AS INT)], ' ')")} AS h
+              |  FROM t),
+              |cand AS (
+              |  SELECT a.doc_a, b.doc_b, a.nt_a, b.nt_b
+              |  FROM contained a JOIN bs b ON a.l = b.l AND a.h = b.h
+              |   AND a.nt_a < b.nt_b)
+              |SELECT c.doc_a, c.doc_b, c.nt_a, c.nt_b
+              |FROM cand c
+              |JOIN documents da ON da.doc_id = c.doc_a
+              |JOIN documents db ON db.doc_id = c.doc_b
+              |WHERE starts_with(db.text, da.text || ' ')
+              |ORDER BY c.doc_a, c.doc_b""".stripMargin)))
 }

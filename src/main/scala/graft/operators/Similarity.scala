@@ -799,7 +799,81 @@ object Similarity {
            |  CAST((2 * hit.n_hit * 1000000 + ne.n_exact)
            |    // (2 * nullif(ne.n_exact, 0)) AS BIGINT) AS recall_ppm
            |FROM ne, na, hit""".stripMargin
-      }))
+      }),
+
+    // ── Q98: one k-means LLOYD ITERATION — the training step of the
+    // IVF index q55/q95 probe (their cells come from a clustering;
+    // this query IS that clustering's inner loop): assign every
+    // vector to its nearest seed centroid (seeds = vec_id < 8,
+    // deterministic), then recompute per-cluster means and report the
+    // per-cluster inertia (within-cluster sum of squared distances) —
+    // the convergence number an iterative driver would loop on.
+    // All distances in the exact 1e-4-quantized integer domain (q52's
+    // rationale) so the argmin — and therefore every downstream count
+    // — cannot flicker on FP ties; ties break toward the lower cid
+    // via lexicographic struct ordering.
+    //
+    // 100 TB shape: ONE corpus scan, no corpus-side join — the 8-seed
+    // codebook folds to a single array row (seed scan prunes on
+    // vec_id < 8 at the parquet reader) and cross-broadcasts onto the
+    // scan; assignment is a per-row array fold (min over 8 integer
+    // distances); the only exchange carries (cid, dim, partial n/sq/
+    // wcss) triples — 512 rows per map task after partial agg, never
+    // a vector. This is the canonical distributed-Lloyd round: at
+    // k=65536 the codebook broadcast is ~16 MB and the shape holds.
+    QueryDef("q98_lloyd_step",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 10000).cast("long")).as("qa"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(struct(col("vec_id").as("cid"), col("qa").as("cq")).as("c"))
+          .agg(array_sort(collect_list(col("c"))).as("cents"))
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("qa"),
+            array_min(transform(col("cents"), c => struct(
+              aggregate(
+                zip_with(col("qa"), c.getField("cq"),
+                  (x, y) => (x - y) * (x - y)),
+                lit(0L), (acc, e) => acc + e).as("d2"),
+              c.getField("cid").as("cid")))).as("m"))
+        assigned
+          .select(col("m.cid").as("cid"), col("m.d2").as("d2"),
+            posexplode(col("qa")).as(Seq("dim", "q")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+            sum(col("d2")).as("wcss"))
+          .select(col("cid"), col("dim"), col("n"),
+            expr("CAST(((sq + 1000000 * n) * 2 + n) div (2 * n) - 1000000"
+              + " AS DOUBLE) / 10000.0").as("centroid_v"),
+            col("wcss"))
+          .orderBy(col("cid"), col("dim"))
+      },
+      Some("""WITH qv AS (
+             |  SELECT vec_id,
+             |    generate_subscripts(embedding, 1) - 1 AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+             |      AS BIGINT) AS q
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT vec_id AS cid, dim, q AS cq FROM qv WHERE vec_id < 8),
+             |d AS (
+             |  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS d2
+             |  FROM qv v JOIN cent c USING (dim)
+             |  GROUP BY v.vec_id, c.cid),
+             |a AS (
+             |  SELECT vec_id, cid, d2, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             |  FROM d),
+             |asg AS (SELECT vec_id, cid, d2 FROM a WHERE rn = 1)
+             |SELECT s.cid, v.dim, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(((sum(v.q) + 1000000 * count(*)) * 2 + count(*))
+             |    // (2 * count(*)) - 1000000 AS DOUBLE) / 10000.0
+             |    AS centroid_v,
+             |  CAST(sum(s.d2) AS BIGINT) AS wcss
+             |FROM asg s JOIN qv v USING (vec_id)
+             |GROUP BY s.cid, v.dim ORDER BY s.cid, v.dim""".stripMargin)))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the

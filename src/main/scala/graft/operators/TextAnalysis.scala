@@ -148,6 +148,34 @@ object TextAnalysis {
           " div (2 * n_shingles) AS BIGINT)").as("dup_ppm"))
   }
 
+  /** q90's per-doc upsampling plan, shared with q100's manifest: one
+    * row per document carrying the per-source stats (n_docs, tok_s),
+    * the equal-token-share target t_tgt, and the doc's repeat count
+    * base + extra (deterministic mix64(doc_id) Bernoulli — the same
+    * permutation key as q65/q75, so down-sample, up-sample, shard,
+    * and schedule decisions all reproduce from one hash). Stats and
+    * the 1-row total broadcast back onto the scan; the repeat columns
+    * are pure projection.
+    */
+  private def upsamplePlan(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("nt"))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok_s"))
+    val tot = stats.agg(sum(col("tok_s")).as("tok_total"),
+      count(lit(1)).as("n_src"))
+    val u = unsignedDec(call_function("graft_mix64", col("doc_id")))
+    docs.join(broadcast(stats), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("t_tgt", expr("tok_total div n_src"))
+      .withColumn("base", expr("t_tgt div tok_s"))
+      .withColumn("rem", expr("t_tgt % tok_s"))
+      .withColumn("extra",
+        when(u * col("tok_s") < two64 * col("rem"), 1L).otherwise(0L))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Q30: token statistics per document (token counting op):
@@ -1373,22 +1401,8 @@ object TextAnalysis {
     // DECIMAL(38,0): 2·T·10⁶ overflows int64 once total tokens pass
     // ~4.6·10¹² — a 100 TB corpus is past that.
     QueryDef("q90_epoch_upsample",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            size(toks).cast("long").as("nt"))
-        val stats = docs.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok_s"))
-        val tot = stats.agg(sum(col("tok_s")).as("tok_total"),
-          count(lit(1)).as("n_src"))
-        val u = unsignedDec(call_function("graft_mix64", col("doc_id")))
-        docs.join(broadcast(stats), "source")
-          .crossJoin(broadcast(tot))
-          .withColumn("t_tgt", expr("tok_total div n_src"))
-          .withColumn("base", expr("t_tgt div tok_s"))
-          .withColumn("rem", expr("t_tgt % tok_s"))
-          .withColumn("extra",
-            when(u * col("tok_s") < two64 * col("rem"), 1L).otherwise(0L))
+      (s, dir) =>
+        upsamplePlan(s, dir)
           .groupBy(col("source"))
           .agg(first(col("n_docs")).as("n_docs"),
             first(col("tok_s")).as("tok_s"),
@@ -1398,8 +1412,7 @@ object TextAnalysis {
             sum(col("base") + col("extra")).as("planned_docs"),
             sum(col("nt") * (col("base") + col("extra")))
               .as("planned_tokens"))
-          .orderBy(col("source"))
-      },
+          .orderBy(col("source")),
       Some(s"""WITH base AS (
               |  SELECT doc_id, source,
               |    len(string_split(text, ' ')) AS nt
@@ -1591,5 +1604,92 @@ object TextAnalysis {
              |      ORDER BY c DESC) AS INTEGER) AS rk
              |  FROM hist)
              |SELECT source, tok, c, rk FROM rk WHERE rk <= 3
-             |ORDER BY source, rk, tok""".stripMargin)))
+             |ORDER BY source, rk, tok""".stripMargin)),
+
+    // ── Q100: TRAINING-ORDER MANIFEST head — the data-loader view of
+    // the whole recipe: q90's per-doc repeat counts exploded into
+    // (doc, epoch, repeat) instances, each given the deterministic
+    // permutation key mix64(doc_id·P₁ + epoch·P₂ + rep), and the
+    // first 10 scheduled docs of each of 2 epochs emitted with their
+    // global positions. One hash family drives sharding (q75),
+    // down-sampling (q65), up-sampling (q90), and now the order
+    // batches are actually served in — the property that makes a run
+    // resumable from any step without a stored shuffle file.
+    //
+    // 100 TB shape: the manifest is corpus × reps rows, but the HEAD
+    // never materializes it — the row_number() ≤ 10 filter rewrites
+    // into the bounded TopKPerKey heap (10 rows per epoch on EACH
+    // side of the exchange), so peeking at any epoch's start costs
+    // one scan plus a 20-row shuffle. (Writing the full manifest
+    // would instead range-partition on (epoch, key) — the keys are
+    // uniform, so ranges split evenly by construction.) Key
+    // arithmetic wraps mod 2⁶⁴ identically in both engines (Java
+    // long wrap ≡ the oracle's HUGEINT residues).
+    QueryDef("q100_train_manifest",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        import org.apache.spark.sql.expressions.Window
+        val inst = upsamplePlan(s, dir)
+          .select(col("doc_id"), col("source"),
+            (col("base") + col("extra")).as("reps"))
+          .filter(col("reps") > 0)
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(0L), col("reps") - 1)).as("rep"))
+          .select(col("doc_id"), col("source"), col("rep"),
+            explode(sequence(lit(0L), lit(1L))).as("epoch"))
+        val u = unsignedDec(call_function("graft_mix64",
+          col("doc_id") * lit(2097169L) + col("epoch") * lit(524309L)
+            + col("rep")))
+        inst.withColumn("u", u)
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("epoch"))
+              .orderBy(col("u"), col("doc_id"), col("rep"))).cast("long"))
+          .filter(col("pos") <= 10)
+          .select(col("epoch"), col("pos"), col("doc_id"), col("source"))
+          .orderBy(col("epoch"), col("pos"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source,
+              |    len(string_split(text, ' ')) AS nt
+              |  FROM documents),
+              |stats AS (
+              |  SELECT source, sum(nt) AS tok_s FROM base GROUP BY source),
+              |tgt AS (
+              |  SELECT sum(tok_s) // count(*) AS t_tgt FROM stats),
+              |h0 AS (
+              |  SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS z
+              |  FROM base),
+              |${OracleSql.mix64Ctes("doc_id, source", "h0")},
+              |rep AS (
+              |  SELECT d.doc_id, d.source,
+              |    CAST(g.t_tgt // s.tok_s AS BIGINT)
+              |      + CASE WHEN d.m * CAST(s.tok_s AS HUGEINT)
+              |               < CAST(g.t_tgt % s.tok_s AS HUGEINT)
+              |                 * ${OracleSql.MOD}
+              |             THEN 1 ELSE 0 END AS reps
+              |  FROM mixed d
+              |  JOIN stats s ON s.source = d.source
+              |  CROSS JOIN tgt g),
+              |inst0 AS (
+              |  SELECT doc_id, source,
+              |    CAST(unnest(range(0, reps)) AS BIGINT) AS rep
+              |  FROM rep),
+              |inst AS (
+              |  SELECT doc_id, source, rep,
+              |    CAST(unnest(range(0, 2)) AS BIGINT) AS epoch
+              |  FROM inst0),
+              |k0 AS (
+              |  SELECT doc_id, source, rep, epoch,
+              |    (CAST(doc_id AS HUGEINT) * 2097169
+              |      + CAST(epoch AS HUGEINT) * 524309
+              |      + CAST(rep AS HUGEINT)) % ${OracleSql.MOD} AS z
+              |  FROM inst),
+              |${OracleSql.mix64Ctes("doc_id, source, rep, epoch", "k0", "_k")},
+              |ranked AS (
+              |  SELECT epoch, doc_id, source,
+              |    CAST(row_number() OVER (PARTITION BY epoch
+              |      ORDER BY m, doc_id, rep) AS BIGINT) AS pos
+              |  FROM mixed_k)
+              |SELECT epoch, pos, doc_id, source
+              |FROM ranked WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin)))
 }

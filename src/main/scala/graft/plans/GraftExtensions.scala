@@ -77,6 +77,11 @@ object GraftFunctions {
         litInt(args(1), "graft_minhash_bands"),
         litInt(args(2), "graft_minhash_bands"),
         litInt(args(3), "graft_minhash_bands"))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => MinhashSig(args(0),
+        litInt(args(1), "graft_minhash_sig"),
+        litInt(args(2), "graft_minhash_sig"))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0),

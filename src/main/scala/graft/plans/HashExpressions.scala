@@ -315,6 +315,46 @@ case class MinhashBands(child: Expression, k: Int, numHashes: Int,
   override def prettyName: String = "graft_minhash_bands"
 }
 
+/** Fused text → RAW minhash signature (TextKernels.minhashSig) — the
+  * un-banded form of [[MinhashBands]], for estimator calibration
+  * (q97): component-wise signature agreement is the unbiased MinHash
+  * Jaccard estimate, so the audit needs the 128 slots themselves, not
+  * the band hashes. Same codegen static-call pattern and rationale.
+  */
+case class MinhashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 && numHashes >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig needs positive (k, numHashes), got ($k, $numHashes)")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig needs string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      graft.functions.TextKernels.minhashSig(
+        a.asInstanceOf[UTF8String].toString, k, numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.TextKernels
+         |    .minhashSig($a.toString(), $k, $numHashes));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_sig"
+}
+
 /** 64-bit SimHash over word k-shingles (TextKernels.simhash) — the
   * q43/q63/q68 near-dup key, as a codegen static-call expression
   * (same pattern/rationale as [[ShingleHashes]]).

@@ -188,13 +188,20 @@ class HashExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = texts.zipWithIndex.map(_.swap).toDF("i", "s")
         .select(col("i"),
           call_function("graft_minhash_bands", col("s"), lit(3), lit(128), lit(8)).as("mb"),
+          call_function("graft_minhash_sig", col("s"), lit(3), lit(128)).as("ms"),
           call_function("graft_simhash", col("s"), lit(2)).as("sh"),
           call_function("graft_fingerprint", col("s"), lit(8)).as("fp"))
         .collect().map(r => r.getInt(0) ->
-          ((r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap
+          ((r.getSeq[Long](1), r.getSeq[Long](2), r.getLong(3), r.getLong(4)))).toMap
       for ((t, i) <- texts.zipWithIndex) {
-        val (mb, sh, fp) = got(i)
+        val (mb, ms, sh, fp) = got(i)
         assert(mb === TextKernels.minhashBands(t, 3, 128, 8).toSeq, s"mode=$mode bands '$t'")
+        assert(ms === TextKernels.minhashSig(t, 3, 128).toSeq, s"mode=$mode sig '$t'")
+        // the banded expression is EXACTLY the banding of the raw
+        // signature — q97's calibration audits the very slots q42's
+        // LSH keys are built from
+        assert(TextKernels.lshBands(ms.toArray, 8).toSeq === mb,
+          s"mode=$mode sig/bands coherence '$t'")
         assert(sh === TextKernels.simhash(t, 2), s"mode=$mode simhash '$t'")
         assert(fp === TextKernels.fingerprint(t, 8), s"mode=$mode fingerprint '$t'")
       }

@@ -212,7 +212,8 @@ class PlanSpec extends AnyFunSuite {
           "q44_fingerprint_groups", "q46_ngram_jaccard_pairs",
           "q48_contamination_check", "q53_ann_lsh", "q83_dup_spans",
           "q86_length_drift", "q87_source_dup_rate", "q88_label_confusion",
-          "q89_lsh_recall")) {
+          "q89_lsh_recall", "q97_minhash_calibration",
+          "q99_prefix_containment")) {
         val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
         assert(!hasScalaUdf(exec), s"$q: ScalaUDF in plan:\n${exec.toString.take(1500)}")
       }
@@ -521,5 +522,59 @@ class PlanSpec extends AnyFunSuite {
         exec.take(2500)}")
     assert(exec.linesIterator.count(_.contains("Scan parquet")) == 1,
       s"corpus must be scanned exactly once:\n${exec.take(2500)}")
+  }
+
+  test("q96: savings report never reads text outside the miners' signature scan") {
+    val exec = SparkEntry.queries("q96_dup_cluster_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+      // the stats branch joins components onto a (doc_id, n_chars)
+      // projection — some scan must read exactly that, text-free
+      val reads = exec.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(reads.exists(r => r.contains("n_chars") && !r.contains("text")),
+        reads.mkString("\n"))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q97: one cached signature table feeds candidates and both estimate sides") {
+    val exec = SparkEntry.queries("q97_minhash_calibration")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"candidate generation and both sig/hl join sides must read the " +
+          s"one cached signature scan:\n${exec.take(2500)}")
+      assert(exec.contains("graft_minhash_sig"),
+        "raw signature must come from the native expression")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q98: Lloyd step = one corpus scan + pruned seed scan + partial agg") {
+    val exec = SparkEntry.queries("q98_lloyd_step")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("SortMergeJoin"),
+      s"the codebook must broadcast, never shuffle the corpus:\n${exec.take(2000)}")
+    // seed scan prunes at the reader: vec_id < 8 reaches PushedFilters
+    assert(exec.contains("LessThan(vec_id,8)"),
+      s"seed predicate must push down:\n${exec.take(2500)}")
+    val aggs = exec.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2,
+      s"per-(cid,dim) stats must partial-aggregate map-side:\n${exec.take(2000)}")
+  }
+
+  test("q99: containment anchors equi-join; hot-anchor cap is a broadcast anti-join") {
+    val exec = SparkEntry.queries("q99_prefix_containment")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the hot-anchor cap must broadcast:\n${exec.take(2000)}")
+  }
+
+  test("q100: manifest head runs through the bounded TopKPerKey heap") {
+    val exec = SparkEntry.queries("q100_train_manifest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("TopKPerKey"),
+      s"row_number <= 10 must rewrite to the bounded operator — the " +
+        s"manifest must never globally sort:\n${exec.take(2500)}")
   }
 }

@@ -123,6 +123,41 @@ class ScaleGrowthSpec extends AnyFunSuite {
         s"base=$c1 withBlob=$cBlob")
   }
 
+  test("q99 containment pairs grow ~linearly under disjoint 5x growth") {
+    ensureFns() // anchors resolve graft_hash64
+    def pairs(docs: DataFrame): Long =
+      countAndRelease(Dedup.prefixContainmentFrom(
+        docs.select(col("doc_id"), col("text"))))
+    val c1 = pairs(replicas(1))
+    val c5 = pairs(replicas(5))
+    assert(c1 > 0, "corpus truncation duplicates must surface at 1x")
+    assert(c5 <= c1 * 5 * 3 / 2,
+      s"super-linear containment growth: c1=$c1 c5=$c5")
+    assert(c5 >= c1 * 5 / 2, s"implausibly sub-linear growth: c1=$c1 c5=$c5")
+  }
+
+  test("q99 hot-anchor cap drops a 200-doc shared-opener blob entirely") {
+    // 200 docs that are cumulative prefixes of one long synthetic
+    // sequence: every pair is a true containment (~19900 pairs), but
+    // all of them share the l=8 anchor, whose bucket (200 > cap 100)
+    // is boilerplate by the df argument — the cap must drop the blob
+    // without touching the rest of the corpus
+    ensureFns()
+    import spark.implicits._
+    val toks = (0 until 220).map(i => s"zp$i")
+    val blob = (0 until 200).map(i =>
+      (800000L + i, "srcP", toks.take(9 + i).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def pairs(docs: DataFrame): Long =
+      countAndRelease(Dedup.prefixContainmentFrom(
+        docs.select(col("doc_id"), col("text"))))
+    val base = pairs(replicas(1))
+    val withBlob = pairs(replicas(1).unionAll(blob))
+    assert(withBlob == base,
+      s"blob must contribute 0 pairs through the cap: base=$base " +
+        s"withBlob=$withBlob")
+  }
+
   test("q71 multi-signal VERIFIED edge list grows ~linearly under disjoint 5x growth") {
     // the full union — all three miners through their verify stages,
     // shared signature table, distinct-ed — is the edge list every CC
