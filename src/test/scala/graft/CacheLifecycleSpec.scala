@@ -39,12 +39,15 @@ class CacheLifecycleSpec extends AnyFunSuite {
   // (source×token tf table), q86 (pinned length histogram), q53
   // (LSH bucket table), q88 (centroid table), q29 (distinct
   // frame-class frame), q89 (shared signature scan), q71 (triple
-  // signature table + CC-internal actions).
+  // signature table + CC-internal actions), q96 (triple signature
+  // table through the savings report), q97 (sig+bands+hl calibration
+  // signature table).
   for (q <- Seq("q42_minhash_lsh_pairs", "q46_ngram_jaccard_pairs",
       "q48_contamination_check", "q66_distinctive_terms",
       "q86_length_drift", "q53_ann_lsh", "q88_label_confusion",
       "q29_class_cooccurrence", "q89_lsh_recall",
-      "q71_multi_signal_components"))
+      "q71_multi_signal_components", "q96_dup_cluster_stats",
+      "q97_minhash_calibration"))
     test(s"$q releases every engine cache after one action, no clearCache") {
       spark.catalog.clearCache() // clean slate from other suites
       val n = SparkEntry.queries(q)(spark, sf).count()
