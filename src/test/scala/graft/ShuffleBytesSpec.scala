@@ -214,4 +214,34 @@ class ShuffleBytesSpec extends AnyFunSuite {
       s"centroid broadcast must keep the expansion off the wire: " +
         s"broadcast=$broad shuffled=$shuffled")
   }
+
+  test("q98 Lloyd fold shuffles less than the per-dim join formulation") {
+    // q98's assignment is a per-row array fold against the broadcast
+    // folded codebook, so its ONE exchange carries (cid, dim) partial
+    // aggregates. The oracle-shaped twin — explode to (vec, dim, q),
+    // join seeds per dim, re-aggregate per (vec, cid) — puts the
+    // 64×8-expanded distance grid through the wire instead; at k
+    // centroids the gap grows as k·dims. This is the measured form of
+    // the q98/KMeans 100 TB claim.
+    val fold = shuffleBytes(SparkEntry.queries("q98_lloyd_step")(spark, sf))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def qv = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        round(col("v").cast("double") * 10000).cast("long").as("q"))
+    val cent = qv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("dim"), col("q").as("cq"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined =
+      try shuffleBytes(qv.join(cent, Seq("dim"))
+        .select(col("vec_id"), col("cid"),
+          ((col("q") - col("cq")) * (col("q") - col("cq"))).as("sqd"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("sqd")).as("d2")))
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(fold > 0)
+    assert(fold < joined,
+      s"array-fold assignment must keep the k-way distance grid off " +
+        s"the wire: fold=$fold joined=$joined")
+  }
 }
