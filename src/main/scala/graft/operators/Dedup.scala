@@ -432,11 +432,16 @@ object Dedup {
     val contained = docs.select(col("doc_id").as("doc_a"),
       col("nt").as("nt_a"), least(col("nt"), lit(8)).as("l"),
       anchor(least(col("nt"), lit(8))).as("h"))
+    // persisted: the anchor pass (tokenize + up to 8 prefix hashes
+    // per doc) feeds BOTH the hot-bucket agg and the anti-join probe
+    // side — the minhashCandidates cache contract, owned here via
+    // autoRelease; the cached frame is 4 small columns × ≤ 8 rows/doc
     val container = docs
       .select(col("doc_id").as("doc_b"), col("nt").as("nt_b"),
         explode(sequence(lit(1), least(col("nt"), lit(8)))).as("l"),
         col("text"))
       .select(col("doc_b"), col("nt_b"), col("l"), anchor(col("l")).as("h"))
+      .transform(graft.plans.CacheLifecycle.autoRelease)
     val hot = container.groupBy(col("l"), col("h"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > MAX_BUCKET).select(col("l"), col("h"))
@@ -1571,15 +1576,20 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
+        // ONE 128-slot mixing pass per doc: bands derive from the
+        // stored sig via the cheap banding step (graft_lsh_bands),
+        // never by re-shingling text through graft_minhash_bands —
+        // exactly how an ingest-time signature store works (bands are
+        // an index OVER the signature column, not a second signature)
         val sigs = docs.select(col("doc_id"),
           call_function("graft_minhash_sig",
             coalesce(col("text"), lit("")),
             lit(SHINGLE_K), lit(NUM_HASHES)).as("sig"),
-          call_function("graft_minhash_bands",
-            coalesce(col("text"), lit("")),
-            lit(SHINGLE_K), lit(NUM_HASHES), lit(ROWS_PER_BAND)).as("bands"),
           call_function("graft_shingle_hashes",
             coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"))
+          .select(col("doc_id"), col("sig"),
+            call_function("graft_lsh_bands", col("sig"),
+              lit(ROWS_PER_BAND)).as("bands"), col("hl"))
           .transform(graft.plans.CacheLifecycle.autoRelease)
         val cand = minhashCandidates(sigs)
         val sa = sigs.select(col("doc_id").as("doc_a"),

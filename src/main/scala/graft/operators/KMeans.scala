@@ -31,25 +31,25 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** Quantized-vector projection: (id, qa array<long>) at 1e-4. */
-  private def quantized(e: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[graft] def quantized(e: DataFrame, idCol: String, vecCol: String): DataFrame =
     e.select(col(idCol).as("id"),
       transform(col(vecCol), x => round(x.cast("double") * 10000)
         .cast("long")).as("qa"))
 
   /** Squared L2 distance between two quantized arrays, exact int64. */
-  private def dist2(a: Column, b: Column): Column =
+  private[graft] def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, e) => acc + e)
 
   /** One-row frame holding the sorted (cid, cq) codebook array. */
-  private def fold(cents: DataFrame): DataFrame =
+  private[graft] def fold(cents: DataFrame): DataFrame =
     cents.select(struct(col("cid"), col("cq")).as("c"))
       .agg(array_sort(collect_list(col("c"))).as("cents"))
 
   /** Nearest-centroid id + distance for every row of `q` against the
     * folded codebook: (id, qa, cid, d2).
     */
-  private def assignAgainst(q: DataFrame, folded: DataFrame): DataFrame =
+  private[graft] def assignAgainst(q: DataFrame, folded: DataFrame): DataFrame =
     q.crossJoin(broadcast(folded))
       .select(col("id"), col("qa"),
         array_min(transform(col("cents"), c => struct(
@@ -89,7 +89,11 @@ object KMeans {
         .groupBy(col("cid"))
         .agg(first(col("n")).as("n"), first(col("wcss")).as("wcss"),
           array_sort(collect_list(struct(col("dim"),
-            // exact half-up integer mean, shifted positive (q52)
+            // exact half-up integer mean, shifted positive (q52's
+            // formula; the 2e7 shift guards |v| up to 2000 where
+            // q52/q98's corpus-bounded 1e6 guards |v| <= 100 — any
+            // sufficient shift yields the identical quotient, since
+            // 2·S·n is an exact multiple of the 2·n divisor)
             expr("((sv + 20000000 * n) * 2 + n) div (2 * n) - 20000000")
               .as("cv")))).as("d"))
         .select(col("cid"), transform(col("d"), p => p.getField("cv")).as("cq"),

@@ -820,26 +820,19 @@ object Similarity {
     // distances); the only exchange carries (cid, dim, partial n/sq/
     // wcss) triples — 512 rows per map task after partial agg, never
     // a vector. This is the canonical distributed-Lloyd round: at
-    // k=65536 the codebook broadcast is ~16 MB and the shape holds.
+    // k=65536 the codebook broadcast is 65536 × 64 dims × 8 B ≈ 34 MB
+    // and the shape holds. Quantization / distance / codebook fold /
+    // argmin are the SHARED KMeans helpers — the iterated trainer
+    // (operators/KMeans.fit) and this audited single step can never
+    // drift apart on tie-breaks or rounding.
     QueryDef("q98_lloyd_step",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-          .select(col("vec_id"),
-            transform(col("embedding"),
-              x => round(x.cast("double") * 10000).cast("long")).as("qa"))
-        val cents = emb.filter(col("vec_id") < 8)
-          .select(struct(col("vec_id").as("cid"), col("qa").as("cq")).as("c"))
-          .agg(array_sort(collect_list(col("c"))).as("cents"))
-        val assigned = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("qa"),
-            array_min(transform(col("cents"), c => struct(
-              aggregate(
-                zip_with(col("qa"), c.getField("cq"),
-                  (x, y) => (x - y) * (x - y)),
-                lit(0L), (acc, e) => acc + e).as("d2"),
-              c.getField("cid").as("cid")))).as("m"))
-        assigned
-          .select(col("m.cid").as("cid"), col("m.d2").as("d2"),
+        val q = KMeans.quantized(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        val seeds = q.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("qa").as("cq"))
+        KMeans.assignAgainst(q, KMeans.fold(seeds))
+          .select(col("cid"), col("d2"),
             posexplode(col("qa")).as(Seq("dim", "q")))
           .groupBy(col("cid"), col("dim"))
           .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),

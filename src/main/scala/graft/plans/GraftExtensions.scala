@@ -82,6 +82,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinhashSig(args(0),
         litInt(args(1), "graft_minhash_sig"),
         litInt(args(2), "graft_minhash_sig"))),
+    (FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[LshBandsOf].getName, "graft_lsh_bands"),
+      (args: Seq[Expression]) => LshBandsOf(args(0),
+        litInt(args(1), "graft_lsh_bands"))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0),

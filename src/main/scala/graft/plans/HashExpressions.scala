@@ -355,6 +355,49 @@ case class MinhashSig(child: Expression, k: Int, numHashes: Int)
   override def prettyName: String = "graft_minhash_sig"
 }
 
+/** LSH band keys of an ALREADY-COMPUTED minhash signature column
+  * (TextKernels.lshBands) — the banding step alone, so a query that
+  * needs both the raw signature and its bands (q97) runs the heavy
+  * 128-slot mixing loop ONCE and derives the bands from the stored
+  * sig, instead of re-shingling and re-mixing the text a second time
+  * through [[MinhashBands]]. Same codegen static-call pattern.
+  */
+case class LshBandsOf(child: Expression, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if rowsPerBand >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bands needs rowsPerBand >= 1, got $rowsPerBand")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bands needs array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      graft.functions.TextKernels.lshBands(arr, rowsPerBand))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.TextKernels
+         |    .lshBands($a.toLongArray(), $rowsPerBand));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandsOf =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lsh_bands"
+}
+
 /** 64-bit SimHash over word k-shingles (TextKernels.simhash) — the
   * q43/q63/q68 near-dup key, as a codegen static-call expression
   * (same pattern/rationale as [[ShingleHashes]]).

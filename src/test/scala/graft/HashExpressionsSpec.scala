@@ -189,17 +189,23 @@ class HashExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(col("i"),
           call_function("graft_minhash_bands", col("s"), lit(3), lit(128), lit(8)).as("mb"),
           call_function("graft_minhash_sig", col("s"), lit(3), lit(128)).as("ms"),
+          call_function("graft_lsh_bands",
+            call_function("graft_minhash_sig", col("s"), lit(3), lit(128)),
+            lit(8)).as("lb"),
           call_function("graft_simhash", col("s"), lit(2)).as("sh"),
           call_function("graft_fingerprint", col("s"), lit(8)).as("fp"))
         .collect().map(r => r.getInt(0) ->
-          ((r.getSeq[Long](1), r.getSeq[Long](2), r.getLong(3), r.getLong(4)))).toMap
+          ((r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3),
+            r.getLong(4), r.getLong(5)))).toMap
       for ((t, i) <- texts.zipWithIndex) {
-        val (mb, ms, sh, fp) = got(i)
+        val (mb, ms, lb, sh, fp) = got(i)
         assert(mb === TextKernels.minhashBands(t, 3, 128, 8).toSeq, s"mode=$mode bands '$t'")
         assert(ms === TextKernels.minhashSig(t, 3, 128).toSeq, s"mode=$mode sig '$t'")
-        // the banded expression is EXACTLY the banding of the raw
-        // signature — q97's calibration audits the very slots q42's
-        // LSH keys are built from
+        // banding the stored signature — natively (graft_lsh_bands,
+        // q97's one-mixing-pass path) and via the kernel — is EXACTLY
+        // the banded expression: q97's calibration audits the very
+        // slots q42's LSH keys are built from
+        assert(lb === mb, s"mode=$mode graft_lsh_bands '$t'")
         assert(TextKernels.lshBands(ms.toArray, 8).toSeq === mb,
           s"mode=$mode sig/bands coherence '$t'")
         assert(sh === TextKernels.simhash(t, 2), s"mode=$mode simhash '$t'")
