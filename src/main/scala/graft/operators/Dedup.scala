@@ -1691,5 +1691,118 @@ object Dedup {
               |JOIN documents da ON da.doc_id = c.doc_a
               |JOIN documents db ON db.doc_id = c.doc_b
               |WHERE starts_with(db.text, da.text || ' ')
-              |ORDER BY c.doc_a, c.doc_b""".stripMargin)))
+              |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
+
+    // ── Q103: CONTENT-DEFINED CHUNKING dedup report — the rolling-hash
+    // chunker of storage dedup (Muthitacharoen et al. 2001 LBFS;
+    // FastCDC) applied to token streams: an anchor (positional 5-gram,
+    // the q83 `graft_shingle_hashes_pos` machinery) opens a new chunk
+    // whenever mix64(anchor) ≡ 0 (mod 16) — boundaries are CONTENT
+    // positions, so a shared passage chunks identically in every doc
+    // that contains it regardless of its offset (the property a
+    // fixed-width chunker lacks, and why CDC catches the shifted
+    // duplication that whole-doc hashing misses). Expected chunk
+    // length = 16 anchors (~20 tokens). Per source: chunk count, the
+    // chunks belonging to a corpus-wide duplicate signature group, and
+    // the dup rate in half-up ppm — the bytes-on-disk savings a
+    // chunk-level store would realize, per feed.
+    //
+    // Chunk identity is ORDER-SENSITIVE and exact-integer: signature
+    // = Σ (relpos+1)·u mod 2⁶⁴ over the chunk's anchor hashes u
+    // (relpos = pos − min pos), computed from groupBy sums as
+    // Σ pos·u − (min−1)·Σ u in DECIMAL(38,0) — no float, no
+    // partition-order dependence, replayed verbatim in HUGEINT by the
+    // oracle. Paired with the anchor count so two chunks only ever
+    // merge on (signature, length).
+    //
+    // 100 TB shape: one corpus scan; the boundary flag and running
+    // chunk index are a PER-DOC window (hash-partitioned by doc_id —
+    // local sorts only, no global ordering anywhere); the signature
+    // groupBy is chunk-count-sized (≈ corpus/16 anchors) and map-side
+    // combinable; the duplicate-signature set is dedup-bounded (≪
+    // chunk count, the q87 membership argument) and BROADCASTS back
+    // onto the chunk table — the corpus never shuffles a second time.
+    QueryDef("q103_cdc_chunks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val dec20 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(20, 0)
+        val dec38 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0)
+        val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+          .cast(dec38)
+        val m = call_function("graft_mix64", col("h"))
+        val ph = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            posexplode(call_function("graft_shingle_hashes_pos",
+              coalesce(col("text"), lit("")), lit(SPAN_K)))
+              .as(Seq("pos", "h")))
+          .select(col("doc_id"), col("source"), col("pos"),
+            (m.cast(dec20) + when(m < 0, two64).otherwise(lit(0)))
+              .as("u"),
+            when(pmod(m, lit(16L)) === 0, 1L).otherwise(0L).as("b"))
+        val chunks = ph
+          .withColumn("chunk", sum(col("b")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+          .groupBy(col("doc_id"), col("source"), col("chunk"))
+          .agg(count(lit(1)).as("n_anchors"),
+            sum(col("pos").cast(dec20) * col("u")).as("sum_pu"),
+            sum(col("u")).as("sum_u"), min(col("pos")).as("minp"))
+          .select(col("doc_id"), col("source"), col("n_anchors"),
+            ((col("sum_pu")
+              - (col("minp") - 1).cast(dec38) * col("sum_u")) % two64)
+              .as("sig"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val dup = chunks.groupBy(col("sig"), col("n_anchors"))
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+          .select(col("sig"), col("n_anchors"), lit(1).as("isdup"))
+        chunks.join(broadcast(dup), Seq("sig", "n_anchors"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("isdup").isNotNull, 1L).otherwise(0L))
+              .as("n_dup"))
+          .select(col("source"), col("n_chunks"), col("n_dup"),
+            expr("(2 * n_dup * 1000000 + n_chunks) div (2 * n_chunks)")
+              .as("dup_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id, source")},
+              |hl AS (
+              |  SELECT doc_id, source,
+              |    CASE WHEN len(t) < $SPAN_K
+              |      THEN [${OracleSql.hash64("array_to_string(t, ' ')")}]
+              |      ELSE list_transform(range(1, len(t) - ${SPAN_K - 2}),
+              |        i -> ${OracleSql.hash64(
+                       s"array_to_string(t[i:i+${SPAN_K - 1}], ' ')")})
+              |    END AS hs
+              |  FROM toks),
+              |ph AS (
+              |  SELECT doc_id, source, unnest(hs) AS z,
+              |    unnest(range(0, len(hs))) AS pos
+              |  FROM hl),
+              |${OracleSql.mix64Ctes("doc_id, source, pos", "ph")},
+              |fl AS (
+              |  SELECT doc_id, source, pos, m AS u,
+              |    CASE WHEN m % 16 = 0 THEN 1 ELSE 0 END AS b
+              |  FROM mixed),
+              |ck AS (
+              |  SELECT doc_id, source, pos, u,
+              |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+              |  FROM fl),
+              |chunks AS (
+              |  SELECT doc_id, source, chunk, count(*) AS n_anchors,
+              |    (sum(pos * u) - (min(pos) - 1) * sum(u))
+              |      % ${OracleSql.MOD} AS sig
+              |  FROM ck GROUP BY doc_id, source, chunk),
+              |dup AS (
+              |  SELECT sig, n_anchors FROM chunks
+              |  GROUP BY sig, n_anchors HAVING count(*) >= 2)
+              |SELECT source, count(*) AS n_chunks,
+              |  CAST(sum(CASE WHEN d.sig IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_dup,
+              |  CAST((2 * sum(CASE WHEN d.sig IS NOT NULL THEN 1 ELSE 0 END)
+              |        * 1000000 + count(*))
+              |    // (2 * count(*)) AS BIGINT) AS dup_ppm
+              |FROM chunks c LEFT JOIN dup d USING (sig, n_anchors)
+              |GROUP BY source ORDER BY source""".stripMargin)))
 }

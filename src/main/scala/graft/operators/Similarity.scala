@@ -866,7 +866,181 @@ object Similarity {
              |    AS centroid_v,
              |  CAST(sum(s.d2) AS BIGINT) AS wcss
              |FROM asg s JOIN qv v USING (vec_id)
-             |GROUP BY s.cid, v.dim ORDER BY s.cid, v.dim""".stripMargin)))
+             |GROUP BY s.cid, v.dim ORDER BY s.cid, v.dim""".stripMargin)),
+
+    // ── Q104: PRODUCT QUANTIZATION + asymmetric-distance recall audit
+    // (Jégou et al. 2011) — the billion-scale ANN compression the IVF
+    // family (q55/q95/q98) pairs with in production: split each vector
+    // into 2 subspaces of 32 dims, train an 8-codeword codebook per
+    // subspace (one audited Lloyd step from the vec_id<8 seeds — the
+    // SAME shared KMeans kernels as q98, integer-mean refined
+    // codewords so the codebooks are replayable), code every vector as
+    // (c0, c1) — 6 bits standing in for 512 B — then rank by ADC:
+    // approx distance = table[c0] + table[c1] from per-query distance
+    // tables over the codewords. Scored per query against the exact
+    // integer top-10, recall@10 in half-up ppm — the q89/q95 audit
+    // mechanism applied to the compression (low recall at this toy
+    // code size is the honest, deterministic answer; the number IS the
+    // code-budget feedback).
+    //
+    // 100 TB shape: both codebooks fold to ONE broadcast row each, so
+    // coding is a per-row array argmin in a single corpus pass (no
+    // join, no shuffle — the corpus never moves to be coded); the ADC
+    // candidate ranking touches only (id, c0, c1) — 3 integers/row,
+    // never the vector — cross-broadcast against the 5-query × 8-entry
+    // distance tables; both top-10s run through row_number ≤ 10 →
+    // the bounded TopKPerKey heap (no global sort). The exact branch
+    // alongside is the audit's ground truth, deliberately paid.
+    QueryDef("q104_pq_adc",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s) // both top-10s use the rewrite
+        val half = DIM / 2
+        val q = KMeans.quantized(Tables.embeddings(s, dir),
+            "vec_id", "embedding")
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        // one Lloyd step from the vec_id<8 seeds over one subspace:
+        // (cid, cq) refined codebook with q98's half-up integer means
+        def refined(subQ: org.apache.spark.sql.DataFrame) =
+          KMeans.assignAgainst(subQ, KMeans.fold(
+              subQ.filter(col("id") < 8)
+                .select(col("id").as("cid"), col("qa").as("cq"))))
+            .select(col("cid"), posexplode(col("qa")).as(Seq("dim", "qv")))
+            .groupBy(col("cid"), col("dim"))
+            .agg(count(lit(1)).as("n"), sum(col("qv")).as("sq"))
+            .select(col("cid"), col("dim"),
+              expr("((sq + 1000000 * n) * 2 + n) div (2 * n) - 1000000")
+                .as("cq1"))
+            .groupBy(col("cid"))
+            .agg(array_sort(collect_list(struct(col("dim"), col("cq1"))))
+              .as("pairs"))
+            .select(col("cid"),
+              transform(col("pairs"), p => p.getField("cq1")).as("cq"))
+        def sub(i: Int) = q.select(col("id"),
+          slice(col("qa"), i * half + 1, half).as("qa"))
+        val cb0 = KMeans.fold(refined(sub(0)))
+          .select(col("cents").as("cents0"))
+        val cb1 = KMeans.fold(refined(sub(1)))
+          .select(col("cents").as("cents1"))
+        def amin(sv: Column, cents: Column) =
+          array_min(transform(cents, c => struct(
+            KMeans.dist2(sv, c.getField("cq")).as("d2"),
+            c.getField("cid").as("cid"))))
+        val codes = q
+          .select(col("id"), slice(col("qa"), 1, half).as("s0"),
+            slice(col("qa"), half + 1, half).as("s1"))
+          .crossJoin(broadcast(cb0)).crossJoin(broadcast(cb1))
+          .select(col("id"),
+            amin(col("s0"), col("cents0")).getField("cid").as("c0"),
+            amin(col("s1"), col("cents1")).getField("cid").as("c1"))
+        // per-query ADC tables: the folded cents array is sorted by
+        // cid and cids are dense 0..7, so element cid+1 IS codeword cid
+        val qrows = q.filter(col("id") < 5)
+          .select(col("id").as("qid"), col("qa").as("qq"))
+          .crossJoin(broadcast(cb0)).crossJoin(broadcast(cb1))
+          .select(col("qid"), col("qq"),
+            transform(col("cents0"), c => KMeans.dist2(
+              slice(col("qq"), 1, half), c.getField("cq"))).as("td0"),
+            transform(col("cents1"), c => KMeans.dist2(
+              slice(col("qq"), half + 1, half), c.getField("cq")))
+              .as("td1"))
+        val approx = codes
+          .crossJoin(broadcast(
+            qrows.select(col("qid"), col("td0"), col("td1"))))
+          .filter(col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            (element_at(col("td0"), col("c0").cast("int") + 1)
+              + element_at(col("td1"), col("c1").cast("int") + 1))
+              .as("ad2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("ad2"), col("id"))))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("id"), lit(1).as("ishit"))
+        val exact = q
+          .crossJoin(broadcast(qrows.select(col("qid"), col("qq"))))
+          .filter(col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            KMeans.dist2(col("qa"), col("qq")).as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("id"))
+        exact.join(broadcast(approx), Seq("qid", "id"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("ishit").isNotNull, 1L).otherwise(0L))
+              .as("n_hit"))
+          .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
+            expr("(2 * n_hit * 1000000 + n_exact) div (2 * n_exact)")
+              .as("recall_ppm"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+             |      AS BIGINT) AS q
+             |  FROM embeddings),
+             |sv AS (SELECT vec_id, dim // 32 AS s, dim % 32 AS sd, q
+             |  FROM qv),
+             |cent AS (SELECT vec_id AS cid, s, sd, q AS cq FROM sv
+             |  WHERE vec_id < 8),
+             |d AS (
+             |  SELECT v.vec_id, v.s, c.cid,
+             |    sum((v.q - c.cq) * (v.q - c.cq)) AS d2
+             |  FROM sv v JOIN cent c ON v.s = c.s AND v.sd = c.sd
+             |  GROUP BY v.vec_id, v.s, c.cid),
+             |a AS (
+             |  SELECT vec_id, s, cid, row_number() OVER (
+             |    PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM d),
+             |asg AS (SELECT vec_id, s, cid FROM a WHERE rn = 1),
+             |ref AS (
+             |  SELECT g.s, g.cid, v.sd,
+             |    ((sum(v.q) + 1000000 * count(*)) * 2 + count(*))
+             |      // (2 * count(*)) - 1000000 AS cq
+             |  FROM asg g JOIN sv v ON v.vec_id = g.vec_id AND v.s = g.s
+             |  GROUP BY g.s, g.cid, v.sd),
+             |d2r AS (
+             |  SELECT v.vec_id, v.s, r.cid,
+             |    sum((v.q - r.cq) * (v.q - r.cq)) AS d2
+             |  FROM sv v JOIN ref r ON v.s = r.s AND v.sd = r.sd
+             |  GROUP BY v.vec_id, v.s, r.cid),
+             |a2 AS (
+             |  SELECT vec_id, s, cid, row_number() OVER (
+             |    PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM d2r),
+             |codes AS (SELECT vec_id, s, cid FROM a2 WHERE rn = 1),
+             |td AS (
+             |  SELECT qy.vec_id AS qid, r.s, r.cid,
+             |    sum((qy.q - r.cq) * (qy.q - r.cq)) AS d2
+             |  FROM sv qy JOIN ref r ON qy.s = r.s AND qy.sd = r.sd
+             |  WHERE qy.vec_id < 5
+             |  GROUP BY qy.vec_id, r.s, r.cid),
+             |ad AS (
+             |  SELECT t.qid, c.vec_id, sum(t.d2) AS ad2
+             |  FROM codes c JOIN td t ON t.s = c.s AND t.cid = c.cid
+             |  WHERE c.vec_id <> t.qid
+             |  GROUP BY t.qid, c.vec_id),
+             |ar AS (
+             |  SELECT qid, vec_id, row_number() OVER (
+             |    PARTITION BY qid ORDER BY ad2, vec_id) AS rn FROM ad),
+             |a10 AS (SELECT qid, vec_id FROM ar WHERE rn <= 10),
+             |ed AS (
+             |  SELECT qy.vec_id AS qid, v.vec_id,
+             |    sum((v.q - qy.q) * (v.q - qy.q)) AS d2
+             |  FROM sv v JOIN sv qy ON v.s = qy.s AND v.sd = qy.sd
+             |  WHERE qy.vec_id < 5 AND v.vec_id <> qy.vec_id
+             |  GROUP BY qy.vec_id, v.vec_id),
+             |er AS (
+             |  SELECT qid, vec_id, row_number() OVER (
+             |    PARTITION BY qid ORDER BY d2, vec_id) AS rn FROM ed),
+             |e10 AS (SELECT qid, vec_id FROM er WHERE rn <= 10)
+             |SELECT e.qid AS query_id, CAST(count(*) AS BIGINT) AS n_exact,
+             |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_hit,
+             |  CAST((2 * sum(CASE WHEN a.vec_id IS NOT NULL
+             |          THEN 1 ELSE 0 END) * 1000000 + count(*))
+             |    // (2 * count(*)) AS BIGINT) AS recall_ppm
+             |FROM e10 e
+             |LEFT JOIN a10 a ON a.qid = e.qid AND a.vec_id = e.vec_id
+             |GROUP BY e.qid ORDER BY query_id""".stripMargin)))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the

@@ -53,6 +53,26 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)))
   }
 
+  /** Adjacent-token trigrams of a pre-materialized token-array column
+    * `t` — the [[bigramsOfT]] zip extended one tail further. Trigrams
+    * (not unigrams/bigrams) are the sketch domain of q101/q102 on
+    * purpose: the synthetic corpus draws from a ~30-word vocabulary,
+    * so only the 3-gram space (~27 k keys) is large enough for
+    * cardinality estimation and membership filtering to measure
+    * anything (unigram sets are near-identical across every source).
+    */
+  private val trigramsOfT = {
+    val t = col("t")
+    when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(zip_with(
+        zip_with(
+          slice(t, lit(1), size(t) - 2),
+          slice(t, lit(2), size(t) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(t, lit(3), size(t) - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+  }
+
   /** TextKernels.hash64 / mix64∘hash64 as NATIVE expressions
     * (graft.plans.HashExpressions, registered by Tables.documents) —
     * join/sketch base keys (q48/q58) and uniform hashes for
@@ -1691,5 +1711,194 @@ object TextAnalysis {
               |      ORDER BY m, doc_id, rep) AS BIGINT) AS pos
               |  FROM mixed_k)
               |SELECT epoch, pos, doc_id, source
-              |FROM ranked WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin)))
+              |FROM ranked WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin)),
+
+    // ── Q101: per-source HYPERLOGLOG distinct-trigram estimate —
+    // the third sketch family (KMV q49 = order statistics, CMS q58 =
+    // frequency, HLL = bit patterns; Flajolet et al. 2007), done
+    // INTEGER-EXACT so both engines produce the identical estimate:
+    // register j = top 8 bits of mix64(hash64(trigram)), rho = leading-
+    // zero rank of the low 56 bits via the q92 whole-bit trick
+    // (57 − bitlen(w), bitlen = length(bin(w))), and the harmonic mean
+    // Σ 2^−Mj is scaled by 2⁵⁷ into the integer T = Σ 2^(57−Mj) so the
+    // raw estimator E = α·m²·2⁵⁷/T becomes one exact integer division
+    // (α = 0.7213/(1+1.079/m) kept as the exact rational 923264/1285395
+    // for m = 256; numerator literal = 923264·65536·2⁵⁷). Production
+    // HLL adds linear counting below 2.5 m — that needs ln(), so this
+    // audit emits the raw regime plus `regs_hit` (m − V), letting the
+    // consumer see when the small-range correction would apply.
+    //
+    // 100 TB shape: registers are max-merged — the groupBy(source, j)
+    // partial-aggregates map-side, so a source's entire trigram stream
+    // collapses to ≤ 256 rows per partition before the exchange
+    // (exactly the property that makes HLL THE cardinality sketch at
+    // scale; countDistinct shuffles every distinct value). The exact
+    // count computed alongside is the audit's ground truth and the
+    // only corpus-sized shuffle; a production profile drops it.
+    QueryDef("q101_hll_distinct",
+      (s, dir) => {
+        val dec38 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0)
+        val hist = Tables.documents(s, dir)
+          .select(col("source"), toks.as("t"))
+          .select(col("source"), explode(trigramsOfT).as("tg"))
+          .distinct()
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val ex = hist.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+        val regs = hist
+          .select(col("source"), mixedHashC(col("tg")).as("h"))
+          .select(col("source"),
+            shiftrightunsigned(col("h"), 56).as("j"),
+            col("h").bitwiseAND(lit(0xFFFFFFFFFFFFFFL)).as("w"))
+          .select(col("source"), col("j"),
+            when(col("w") === 0, lit(57))
+              .otherwise(lit(57) - char_length(bin(col("w")))).as("rho"))
+          .groupBy(col("source"), col("j"))
+          .agg(max(col("rho")).as("rho"))
+        val sk = regs.groupBy(col("source"))
+          .agg(count(lit(1)).as("regs_hit"),
+            sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - rho)"
+              + " AS DECIMAL(38,0))")).as("t_hit"))
+        val two57 = lit(new java.math.BigDecimal("144115188075855872"))
+          .cast(dec38)
+        ex.join(sk, Seq("source"))
+          .select(col("source"), col("n_exact"), col("regs_hit"),
+            (col("t_hit")
+              + (lit(256L) - col("regs_hit")).cast(dec38) * two57)
+              .as("t_total"))
+          .select(col("source"), col("n_exact"), col("regs_hit"),
+            expr("CAST(8719981936880320237155647488 AS DECIMAL(38,0))"
+              + " div (1285395 * t_total)").as("est_hll"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT source, ${OracleSql.plainSplit} AS t FROM documents),
+              |tg0 AS (
+              |  SELECT source, unnest(list_transform(range(1, len(t) - 1),
+              |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tg
+              |  FROM tk WHERE len(t) >= 3),
+              |hist AS (SELECT DISTINCT source, tg FROM tg0),
+              |h0 AS (SELECT source, tg, ${OracleSql.hash64("tg")} AS z
+              |  FROM hist),
+              |${OracleSql.mix64Ctes("source, tg", "h0")},
+              |reg AS (
+              |  SELECT source, m // CAST(72057594037927936 AS HUGEINT) AS j,
+              |    CAST(m % CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS w
+              |  FROM mixed),
+              |mr AS (
+              |  SELECT source, j,
+              |    max(CASE WHEN w = 0 THEN 57
+              |        ELSE 57 - length(bin(w)) END) AS rho
+              |  FROM reg GROUP BY source, j),
+              |agg AS (
+              |  SELECT source, count(*) AS regs_hit,
+              |    sum(CAST(1 AS HUGEINT) << (57 - rho)) AS t_hit
+              |  FROM mr GROUP BY source),
+              |ex AS (SELECT source, count(*) AS n_exact
+              |  FROM hist GROUP BY source)
+              |SELECT e.source, CAST(e.n_exact AS BIGINT) AS n_exact,
+              |  CAST(a.regs_hit AS BIGINT) AS regs_hit,
+              |  CAST(CAST(8719981936880320237155647488 AS HUGEINT)
+              |    // (1285395 * (a.t_hit
+              |        + (256 - a.regs_hit) * (CAST(1 AS HUGEINT) << 57)))
+              |    AS BIGINT) AS est_hll
+              |FROM ex e JOIN agg a ON e.source = a.source
+              |ORDER BY e.source""".stripMargin)),
+
+    // ── Q102: BLOOM-FILTER JOIN-PREFILTER audit — the runtime-filter
+    // pattern every 100 TB join planner leans on (Spark's own
+    // row-level runtime filtering, Bloom 1970): build a 65536-bit / 2-
+    // hash bloom over the 'en' corpus's distinct trigram set, probe
+    // every other language's trigrams through it, and score the filter
+    // against the exact semi-join it stands in for (hits vs true
+    // members vs false positives, fp rate in half-up ppm over the
+    // non-member probes). The two bit positions are disjoint fields of
+    // ONE mix64 draw (low 16 bits / bits 20-35) — one hash evaluation,
+    // two probes, the standard double-hashing economy.
+    //
+    // Relationalized exactly: the bloom's bit array IS the distinct
+    // set of build-side positions (≤ 65536 rows regardless of corpus
+    // size — the collapse that makes the filter broadcastable at any
+    // scale), membership = BOTH positions present, expressed as two
+    // broadcast left joins against that position set. A probe-side
+    // token therefore never shuffles: the bloom test is map-side, and
+    // only the per-language counters aggregate. The exact-membership
+    // join alongside is the audit's ground truth — the expensive path
+    // the bloom exists to avoid shipping every probe through.
+    QueryDef("q102_bloom_prefilter",
+      (s, dir) => {
+        val dt = Tables.documents(s, dir)
+          .select(col("lang"), toks.as("t"))
+          .select(col("lang"), explode(trigramsOfT).as("tg"))
+          .distinct()
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val pos = dt
+          .select(col("lang"), col("tg"), mixedHashC(col("tg")).as("h"))
+          .select(col("lang"), col("tg"),
+            col("h").bitwiseAND(lit(65535L)).as("p1"),
+            shiftrightunsigned(col("h"), 20).bitwiseAND(lit(65535L))
+              .as("p2"))
+        val bpos = pos.filter(col("lang") === "en")
+          .select(explode(array(col("p1"), col("p2"))).as("p"))
+          .distinct()
+        val btok = dt.filter(col("lang") === "en")
+          .select(col("tg").as("tg_en"))
+        pos.filter(col("lang") =!= "en")
+          .join(broadcast(bpos.select(col("p").as("b1"))),
+            col("p1") === col("b1"), "left")
+          .join(broadcast(bpos.select(col("p").as("b2"))),
+            col("p2") === col("b2"), "left")
+          .join(btok, col("tg") === col("tg_en"), "left")
+          .select(col("lang"),
+            when(col("b1").isNotNull && col("b2").isNotNull, 1L)
+              .otherwise(0L).as("hit"),
+            when(col("tg_en").isNotNull, 1L).otherwise(0L).as("tru"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_probe"), sum(col("hit")).as("n_hits"),
+            sum(col("tru")).as("n_true"))
+          .select(col("lang"), col("n_probe"), col("n_hits"),
+            col("n_true"), (col("n_hits") - col("n_true")).as("n_fp"),
+            expr("(2 * (n_hits - n_true) * 1000000 + (n_probe - n_true))"
+              + " div (2 * nullif(n_probe - n_true, 0))").as("fp_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT lang, ${OracleSql.plainSplit} AS t FROM documents),
+              |tg0 AS (
+              |  SELECT lang, unnest(list_transform(range(1, len(t) - 1),
+              |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tg
+              |  FROM tk WHERE len(t) >= 3),
+              |dt AS (SELECT DISTINCT lang, tg FROM tg0),
+              |h0 AS (SELECT lang, tg, ${OracleSql.hash64("tg")} AS z
+              |  FROM dt),
+              |${OracleSql.mix64Ctes("lang, tg", "h0")},
+              |pos AS (
+              |  SELECT lang, tg,
+              |    CAST(m % 65536 AS BIGINT) AS p1,
+              |    CAST((m // 1048576) % 65536 AS BIGINT) AS p2
+              |  FROM mixed),
+              |bpos AS (
+              |  SELECT DISTINCT p FROM (
+              |    SELECT p1 AS p FROM pos WHERE lang = 'en'
+              |    UNION ALL SELECT p2 FROM pos WHERE lang = 'en')),
+              |btok AS (SELECT tg FROM dt WHERE lang = 'en'),
+              |probe AS (
+              |  SELECT p.lang,
+              |    CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+              |      THEN 1 ELSE 0 END AS hit,
+              |    CASE WHEN bt.tg IS NOT NULL THEN 1 ELSE 0 END AS tru
+              |  FROM pos p
+              |  LEFT JOIN bpos b1 ON p.p1 = b1.p
+              |  LEFT JOIN bpos b2 ON p.p2 = b2.p
+              |  LEFT JOIN btok bt ON p.tg = bt.tg
+              |  WHERE p.lang <> 'en')
+              |SELECT lang, count(*) AS n_probe,
+              |  CAST(sum(hit) AS BIGINT) AS n_hits,
+              |  CAST(sum(tru) AS BIGINT) AS n_true,
+              |  CAST(sum(hit) - sum(tru) AS BIGINT) AS n_fp,
+              |  CAST((2 * (sum(hit) - sum(tru)) * 1000000
+              |        + (count(*) - sum(tru)))
+              |    // (2 * nullif(count(*) - sum(tru), 0)) AS BIGINT)
+              |    AS fp_ppm
+              |FROM probe GROUP BY lang ORDER BY lang""".stripMargin)))
 }

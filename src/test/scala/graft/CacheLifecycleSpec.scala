@@ -41,13 +41,15 @@ class CacheLifecycleSpec extends AnyFunSuite {
   // frame-class frame), q89 (shared signature scan), q71 (triple
   // signature table + CC-internal actions), q96 (triple signature
   // table through the savings report), q97 (sig+bands+hl calibration
-  // signature table).
+  // signature table), q101/q102 (distinct-trigram pass), q103
+  // (chunk signature table).
   for (q <- Seq("q42_minhash_lsh_pairs", "q46_ngram_jaccard_pairs",
       "q48_contamination_check", "q66_distinctive_terms",
       "q86_length_drift", "q53_ann_lsh", "q88_label_confusion",
       "q29_class_cooccurrence", "q89_lsh_recall",
       "q71_multi_signal_components", "q96_dup_cluster_stats",
-      "q97_minhash_calibration"))
+      "q97_minhash_calibration", "q101_hll_distinct",
+      "q102_bloom_prefilter", "q103_cdc_chunks", "q104_pq_adc"))
     test(s"$q releases every engine cache after one action, no clearCache") {
       spark.catalog.clearCache() // clean slate from other suites
       val n = SparkEntry.queries(q)(spark, sf).count()

@@ -577,4 +577,67 @@ class PlanSpec extends AnyFunSuite {
       s"row_number <= 10 must rewrite to the bounded operator — the " +
         s"manifest must never globally sort:\n${exec.take(2500)}")
   }
+
+  test("q101: HLL register fold partial-aggregates; both branches read the cached trigram set") {
+    val exec = SparkEntry.queries("q101_hll_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      // the whole point of the sketch: max(rho) per (source, register)
+      // combines map-side, so ≤ 256 rows/source cross the exchange
+      assert(exec.linesIterator.count(_.contains("HashAggregate")) >= 2,
+        s"register fold must partial-aggregate before the shuffle:\n${
+          exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"exact count and register fold must share the one cached " +
+          s"distinct-trigram pass:\n${exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q102: bloom position set broadcasts; the probe side never shuffles for the filter") {
+    val exec = SparkEntry.queries("q102_bloom_prefilter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+        s"both position probes must be broadcast joins (the ≤ 65536-row " +
+          s"bit set IS the bloom):\n${exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"build positions, exact membership and probes must all derive " +
+          s"from the one cached distinct (lang, trigram) pass:\n${
+            exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q104: both top-10s run through TopKPerKey; codebooks broadcast, corpus never shuffles to be coded") {
+    val exec = SparkEntry.queries("q104_pq_adc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("TopKPerKey")) >= 2,
+        s"both the ADC and exact row_number <= 10 rankings must use the " +
+          s"bounded heap:\n${exec.take(2500)}")
+      assert(!exec.contains("SortMergeJoin") &&
+          !exec.contains("CartesianProduct"),
+        s"codebooks and query tables are broadcast-only:\n${exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"subspace training, coding, queries and the exact branch must " +
+          s"all read the one cached quantized corpus:\n${exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q103: chunk window is per-doc (no single-partition sort); dup set broadcasts back") {
+    val exec = SparkEntry.queries("q103_cdc_chunks")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("Window"), exec.take(2000))
+      assert(!exec.contains("Exchange SinglePartition"),
+        s"the running boundary count must partition by doc_id — a " +
+          s"global-order window would serialize the corpus:\n${
+            exec.take(2500)}")
+      assert(exec.contains("BroadcastHashJoin"),
+        s"the duplicate-signature membership set must broadcast onto " +
+          s"the chunk table:\n${exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
 }

@@ -66,4 +66,46 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(got(base + 0L) !== 0L)
     assert(batch.values.toSeq.contains(7L))
   }
+
+  test("windowed streaming HLL equals the batch sketch over the same rows") {
+    import spark.implicits._
+    val hll = udaf(graft.functions.HllSketchAgg(8))
+
+    val base = 1699999980000L
+    val rows = (0 until 600).map { i =>
+      val winIdx = i % 2
+      val ts = base + winIdx * 60000L + (i / 2 % 50) * 1000L
+      val user = TextKernels.mix64(
+        if (winIdx == 0) (i / 2 % 120).toLong else (i % 7).toLong)
+      (new java.sql.Timestamp(ts), user)
+    }
+
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    val streamed = input.toDF().toDF("ts", "uhash")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(hll(col("uhash")).as("est"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("hll_stream").outputMode("complete").start()
+    try {
+      rows.grouped(200).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark.sql("SELECT window.start, est FROM hll_stream")
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+
+    val batch = rows.toDF("ts", "uhash")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(hll(col("uhash")).as("est"))
+      .select(col("window.start"), col("est"))
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+
+    // register state merged across three micro-batches by the state
+    // store must land exactly where one batch pass lands
+    assert(got === batch)
+    assert(got.size === 2)
+    assert(got.values.forall(_ > 0L))
+  }
 }
