@@ -525,6 +525,48 @@ object Dedup {
   private[graft] val MIN_SPAN_RUN = 4
   private[graft] val MAX_SPAN_DF = 64
 
+  /** q103's chunk table over (doc_id, source, text): content-defined
+    * chunk boundaries (mix64 of the positional [[SPAN_K]]-gram anchor
+    * ≡ 0 mod 16 opens a chunk) and order-sensitive exact-integer chunk
+    * signatures Σ (relpos+1)·u mod 2⁶⁴, derived from groupBy sums as
+    * Σ pos·u − (min−1)·Σ u in DECIMAL(38,0). Returns
+    * (doc_id, source, n_anchors, sig) — one row per chunk, UNCACHED
+    * (q103 persists under the cache-lifecycle contract). Boundaries
+    * are content positions, so a shared passage chunks identically in
+    * every doc containing it regardless of offset — the
+    * shift-invariance QueriesSpec asserts directly.
+    */
+  private[graft] def cdcChunksFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec20 = org.apache.spark.sql.types.DataTypes
+      .createDecimalType(20, 0)
+    val dec38 = org.apache.spark.sql.types.DataTypes
+      .createDecimalType(38, 0)
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+      .cast(dec38)
+    val m = call_function("graft_mix64", col("h"))
+    docs
+      .select(col("doc_id"), col("source"),
+        posexplode(call_function("graft_shingle_hashes_pos",
+          coalesce(col("text"), lit("")), lit(SPAN_K)))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        (m.cast(dec20) + when(m < 0, two64).otherwise(lit(0))).as("u"),
+        when(pmod(m, lit(16L)) === 0, 1L).otherwise(0L).as("b"))
+      .withColumn("chunk", sum(col("b")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(col("pos").cast(dec20) * col("u")).as("sum_pu"),
+        sum(col("u")).as("sum_u"), min(col("pos")).as("minp"))
+      .select(col("doc_id"), col("source"), col("chunk"),
+        col("n_anchors"),
+        ((col("sum_pu")
+          - (col("minp") - 1).cast(dec38) * col("sum_u")) % two64)
+          .as("sig"))
+  }
+
   /** The miner-union portion of [[multiSignalCompCtes]] — terminates
     * in CTE `pairs`. q87 consumes it directly (membership needs no
     * reachability fixpoint).
@@ -1724,34 +1766,8 @@ object Dedup {
     // onto the chunk table — the corpus never shuffles a second time.
     QueryDef("q103_cdc_chunks",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val dec20 = org.apache.spark.sql.types.DataTypes
-          .createDecimalType(20, 0)
-        val dec38 = org.apache.spark.sql.types.DataTypes
-          .createDecimalType(38, 0)
-        val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
-          .cast(dec38)
-        val m = call_function("graft_mix64", col("h"))
-        val ph = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            posexplode(call_function("graft_shingle_hashes_pos",
-              coalesce(col("text"), lit("")), lit(SPAN_K)))
-              .as(Seq("pos", "h")))
-          .select(col("doc_id"), col("source"), col("pos"),
-            (m.cast(dec20) + when(m < 0, two64).otherwise(lit(0)))
-              .as("u"),
-            when(pmod(m, lit(16L)) === 0, 1L).otherwise(0L).as("b"))
-        val chunks = ph
-          .withColumn("chunk", sum(col("b")).over(
-            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-          .groupBy(col("doc_id"), col("source"), col("chunk"))
-          .agg(count(lit(1)).as("n_anchors"),
-            sum(col("pos").cast(dec20) * col("u")).as("sum_pu"),
-            sum(col("u")).as("sum_u"), min(col("pos")).as("minp"))
-          .select(col("doc_id"), col("source"), col("n_anchors"),
-            ((col("sum_pu")
-              - (col("minp") - 1).cast(dec38) * col("sum_u")) % two64)
-              .as("sig"))
+        val chunks = cdcChunksFrom(Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("text")))
           .transform(graft.plans.CacheLifecycle.autoRelease)
         val dup = chunks.groupBy(col("sig"), col("n_anchors"))
           .agg(count(lit(1)).as("c")).filter(col("c") >= 2)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational surface: scan → filter/project (pushdown), hash
@@ -583,5 +584,116 @@ object Relational {
              |LEFT JOIN tv USING (user_id)
              |LEFT JOIN tc USING (user_id)
              |LEFT JOIN tp USING (user_id)
-             |ORDER BY u.user_id""".stripMargin)))
+             |ORDER BY u.user_id""".stripMargin)),
+
+    // ── Q105: ACQUISITION-COHORT RETENTION — the product-analytics
+    // staple (complements q70's funnel and q36's sessions): users
+    // cohorted by their FIRST event's type (deterministic first =
+    // row_number over (ts, event_id) — ts alone can tie), then weekly
+    // active retention per cohort: distinct (user, weeks-since-first)
+    // grid → n_active / cohort size in half-up ppm. Day and week
+    // indexes are exact integer epoch arithmetic (epoch_ms div
+    // 86400000, delta div 7) — no date-truncation function whose
+    // week-start convention could differ between engines.
+    //
+    // 100 TB shape: ONE shuffle by user_id serves everything — both
+    // windows (first-event rank, min day) share the partition, and the
+    // cohort-label join probes the same exchange's output (the q83
+    // exchange-reuse argument); the distinct grid is users × weeks
+    // (bounded), and the cohort-size join is a broadcast of one row
+    // per cohort.
+    QueryDef("q105_retention_cohorts",
+      (s, dir) => {
+        val wU = Window.partitionBy(col("user_id"))
+        val f = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts"), expr("unix_millis(ts) div 86400000").as("day"))
+          .withColumn("day0", min(col("day")).over(wU))
+          .withColumn("rn", row_number().over(
+            wU.orderBy(col("ts"), col("event_id"))))
+        val coh = f.filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("cohort"))
+        val act = f.join(coh, Seq("user_id"))
+          .select(col("user_id"), col("cohort"),
+            expr("(day - day0) div 7").as("weeks_since"))
+          .distinct()
+          .groupBy(col("cohort"), col("weeks_since"))
+          .agg(count(lit(1)).as("n_active"))
+        val cs = act.filter(col("weeks_since") === 0)
+          .select(col("cohort"), col("n_active").as("cohort_n"))
+        act.join(broadcast(cs), Seq("cohort"))
+          .select(col("cohort"), col("weeks_since"), col("n_active"),
+            col("cohort_n"),
+            expr("(2 * n_active * 1000000 + cohort_n) div (2 * cohort_n)")
+              .as("retained_ppm"))
+          .orderBy(col("cohort"), col("weeks_since"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, event_type, event_id,
+             |    epoch_ms(ts) // 86400000 AS day, ts FROM events),
+             |f AS (
+             |  SELECT user_id, event_type, day,
+             |    min(day) OVER (PARTITION BY user_id) AS day0,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM d),
+             |coh AS (SELECT user_id, event_type AS cohort FROM f
+             |  WHERE rn = 1),
+             |uw AS (
+             |  SELECT DISTINCT f.user_id, c.cohort,
+             |    (f.day - f.day0) // 7 AS weeks_since
+             |  FROM f JOIN coh c USING (user_id)),
+             |act AS (
+             |  SELECT cohort, weeks_since, count(*) AS n_active
+             |  FROM uw GROUP BY cohort, weeks_since),
+             |cs AS (SELECT cohort, n_active AS cohort_n FROM act
+             |  WHERE weeks_since = 0)
+             |SELECT a.cohort, a.weeks_since, a.n_active, c.cohort_n,
+             |  CAST((2 * a.n_active * 1000000 + c.cohort_n)
+             |    // (2 * c.cohort_n) AS BIGINT) AS retained_ppm
+             |FROM act a JOIN cs c USING (cohort)
+             |ORDER BY a.cohort, a.weeks_since""".stripMargin)),
+
+    // ── Q106: EVENT-TRANSITION MATRIX — the Markov-chain view of user
+    // behavior (next-event counts and probabilities per current event
+    // type): `lead` over each user's (ts, event_id)-ordered stream,
+    // then one bounded-domain aggregate. The per-type probability is
+    // exact half-up ppm over the transition row's own total.
+    //
+    // 100 TB shape: one shuffle by user_id for the lead window (local
+    // per-user sorts only), then the transition table is |types|²
+    // (bounded) — the totals join is a broadcast of |types| rows. The
+    // sequence-mining primitive behind session-path and next-action
+    // models, with no per-user collect anywhere.
+    QueryDef("q106_event_transitions",
+      (s, dir) => {
+        val nx = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type").as("cur"),
+            col("ts"), col("event_id"))
+          .withColumn("nxt", lead(col("cur"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))))
+          .filter(col("nxt").isNotNull)
+        val tr = nx.groupBy(col("cur"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy(col("cur")).agg(sum(col("n")).as("tn"))
+        tr.join(broadcast(tot), Seq("cur"))
+          .select(col("cur"), col("nxt"), col("n"),
+            expr("(2 * n * 1000000 + tn) div (2 * tn)").as("p_ppm"))
+          .orderBy(col("cur"), col("nxt"))
+      },
+      Some("""WITH nx AS (
+             |  SELECT user_id, event_type AS cur,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS nxt
+             |  FROM events),
+             |tr AS (
+             |  SELECT cur, nxt, count(*) AS n FROM nx
+             |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+             |tot AS (SELECT cur, sum(n) AS tn FROM tr GROUP BY cur)
+             |SELECT t.cur, t.nxt, CAST(t.n AS BIGINT) AS n,
+             |  CAST((2 * t.n * 1000000 + o.tn) // (2 * o.tn) AS BIGINT)
+             |    AS p_ppm
+             |FROM tr t JOIN tot o USING (cur)
+             |ORDER BY t.cur, t.nxt""".stripMargin)))
 }

@@ -609,6 +609,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("q105/q106: per-user windows never serialize; cohort/total joins broadcast") {
+    for (q <- Seq("q105_retention_cohorts", "q106_event_transitions")) {
+      val exec = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(exec.contains("Window"), s"$q: ${exec.take(1500)}")
+      assert(!exec.contains("Exchange SinglePartition"),
+        s"$q: windows must partition by user_id, never globally:\n${
+          exec.take(2000)}")
+      assert(exec.contains("BroadcastHashJoin"),
+        s"$q: the bounded-domain join side must broadcast:\n${
+          exec.take(2000)}")
+      assert(!exec.contains("CartesianProduct"), q)
+    }
+  }
+
   test("q104: both top-10s run through TopKPerKey; codebooks broadcast, corpus never shuffles to be coded") {
     val exec = SparkEntry.queries("q104_pq_adc")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -284,4 +284,62 @@ class QueriesSpec extends AnyFunSuite {
       assert(j >= 0.7, s"pair (${p.getLong(0)},${p.getLong(1)}) jaccard $j")
     }
   }
+
+  test("q102 bloom has no false negatives and consistent counters") {
+    // a bloom can only over-approximate membership: every true member
+    // hits (n_hits >= n_true), false positives are exactly the excess,
+    // and nothing exceeds the probe count
+    val rows = SparkEntry.queries("q102_bloom_prefilter")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (probe, hits, tru, fp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hits >= tru, s"false negative in ${r.getString(0)}: " +
+        s"hits=$hits true=$tru")
+      assert(fp === hits - tru && fp >= 0)
+      assert(probe >= hits && tru >= 0)
+    }
+  }
+
+  test("q103 CDC chunks are shift-invariant past the first boundary") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensure(spark)
+    // a long synthetic doc, then the same content with 7 junk tokens
+    // prepended: every original chunk except chunk 0 must reappear
+    // with an IDENTICAL (sig, n_anchors) — boundaries are content
+    // positions, so the shared suffix chunks identically at any offset
+    val content = (0 until 400).map(i => s"w${i % 37}x${(i * 7) % 41}")
+      .mkString(" ")
+    val shifted = (0 until 7).map(i => s"junk$i").mkString(" ") +
+      " " + content
+    val docs = Seq((1L, "a", content), (2L, "a", shifted))
+      .toDF("doc_id", "source", "text")
+    val chunks = graft.operators.Dedup.cdcChunksFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDecimal(4),
+        r.getLong(3)))
+    val orig = chunks.filter(_._1 == 1L)
+    val tailChunks = orig.filter(_._2 >= 1L).map(c => (c._3, c._4)).toSet
+    val shiftedSigs = chunks.filter(_._1 == 2L)
+      .map(c => (c._3, c._4)).toSet
+    assert(orig.length >= 3, s"need a multi-chunk doc, got ${orig.length}")
+    assert(tailChunks.subsetOf(shiftedSigs),
+      s"missing shifted chunks: ${tailChunks -- shiftedSigs}")
+  }
+
+  test("q103 verbatim copies dedup chunk-for-chunk") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensure(spark)
+    val text = (0 until 300).map(i => s"b${i % 29}c${(i * 11) % 31}")
+      .mkString(" ")
+    val docs = (0 until 200).map(i => (i.toLong, "z", text))
+      .toDF("doc_id", "source", "text")
+    val chunks = graft.operators.Dedup.cdcChunksFrom(docs)
+      .select("sig", "n_anchors")
+    val total = chunks.count()
+    val distinctSigs = chunks.distinct().count()
+    assert(total === distinctSigs * 200,
+      s"every chunk must replicate exactly 200x: total=$total " +
+        s"distinct=$distinctSigs")
+  }
 }

@@ -244,4 +244,38 @@ class ShuffleBytesSpec extends AnyFunSuite {
       s"array-fold assignment must keep the k-way distance grid off " +
         s"the wire: fold=$fold joined=$joined")
   }
+
+  test("q105 window formulation shuffles less than the groupBy-firsts + re-join twin") {
+    // the engine derives cohort labels and first-day from windows over
+    // ONE user_id exchange that the label join then probes (exchange
+    // reuse); the naive twin aggregates firsts separately and joins
+    // them back, shuffling the event stream a second time
+    val engine = shuffleBytes(
+      SparkEntry.queries("q105_retention_cohorts")(spark, sf))
+    val e = graft.operators.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), expr("unix_millis(ts) div 86400000").as("day"))
+    val firsts = e.groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("f"), min(col("day")).as("day0"))
+      .select(col("user_id"),
+        col("f").getField("event_type").as("cohort"), col("day0"))
+    val naiveAct = e.join(firsts, Seq("user_id"))
+      .select(col("user_id"), col("cohort"),
+        expr("(day - day0) div 7").as("weeks_since"))
+      .distinct()
+      .groupBy(col("cohort"), col("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+    val naive =
+      try {
+        // forbid broadcasting firsts: at 100 TB the per-user table is
+        // corpus-scale, so the honest twin is a shuffle join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffleBytes(naiveAct)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(engine > 0)
+    assert(engine < naive,
+      s"window + reused exchange must beat the re-join twin: " +
+        s"engine=$engine naive=$naive")
+  }
 }
