@@ -1040,7 +1040,114 @@ object Similarity {
              |    // (2 * count(*)) AS BIGINT) AS recall_ppm
              |FROM e10 e
              |LEFT JOIN a10 a ON a.qid = e.qid AND a.vec_id = e.vec_id
-             |GROUP BY e.qid ORDER BY query_id""".stripMargin)))
+             |GROUP BY e.qid ORDER BY query_id""".stripMargin)),
+
+    // ── Q107: IVF PROBE-SWEEP CURVE — recall@10 as a function of the
+    // probe count, nProbe = 1..4, in ONE query: the tuning curve
+    // behind q55/q95's fixed nProbe = 2 (a production index chooses
+    // nProbe by exactly this recall-vs-cells-touched trade; the q89/
+    // q97 philosophy — the engine measures its own knobs in-plan).
+    // All cells rank once (a window over the K-cell score table — K
+    // is the bounded cell count, so the single-partition sort is over
+    // K rows, the q55 TakeOrderedAndProject argument), the (n_probe,
+    // label) probe sets fan out from that one ranking, and each
+    // sweep point's top-10 runs through row_number ≤ 10 → the bounded
+    // TopKPerKey heap, partitioned BY sweep point. One scored corpus
+    // projection (20 B/row, cached) feeds the exact top-10 and all
+    // four ANN rankings — the corpus is scanned once, re-ranked four
+    // ways, never re-scored.
+    QueryDef("q107_ivf_probe_curve",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        val e = Tables.embeddings(s, dir)
+        val cosQ = VectorKernels.dotConst(col("embedding"), queryVec) /
+          (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qNorm2)))
+        val scored = e.select(col("vec_id"), col("label"),
+            cosQ.as("cos_raw"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val ranks = ivfCellScores(e, queryVec)
+          .withColumn("prank", row_number().over(Window
+            .orderBy(col("sc").desc, col("label").cast("string"))))
+        val probes = ranks
+          .select(col("label"), col("prank"),
+            explode(sequence(lit(1), lit(4))).as("n_probe"))
+          .filter(col("prank") <= col("n_probe"))
+          .select(col("n_probe").cast("long").as("n_probe"), col("label"))
+        val ann = scored.join(broadcast(probes), Seq("label"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("n_probe"))
+              .orderBy(col("cos_raw").desc, col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("n_probe"), col("vec_id"))
+        val exact = scored
+          .orderBy(col("cos_raw").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"), lit(1L).as("x"))
+        ann.join(broadcast(exact), Seq("vec_id"), "left")
+          .groupBy(col("n_probe"))
+          .agg(count(lit(1)).as("n_ann"),
+            sum(when(col("x").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .select(col("n_probe"), col("n_ann"), col("n_hit"),
+            expr("(2 * n_hit * 1000000 + 10) div 20").as("recall_ppm"))
+          .orderBy(col("n_probe"))
+      },
+      Some {
+        val centDot = (0 until DIM).map(i =>
+          s"centroid[${i + 1}] * ${f(queryVec(i))}").mkString(" + ")
+        val centNorm2 = (0 until DIM).map(i =>
+          s"centroid[${i + 1}] * centroid[${i + 1}]").mkString(" + ")
+        s"""WITH cent AS (
+           |  SELECT label,
+           |    list(CAST(((sq + 1000000 * n) * 2 + n) // (2 * n) - 1000000
+           |           AS DOUBLE) / 10000.0 ORDER BY dim) AS centroid
+           |  FROM (
+           |    SELECT label, dim, sum(q) AS sq, count(*) AS n
+           |    FROM (
+           |      SELECT label,
+           |        generate_subscripts(embedding, 1) - 1 AS dim,
+           |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+           |          AS BIGINT) AS q
+           |      FROM embeddings)
+           |    GROUP BY label, dim)
+           |  GROUP BY label),
+           |cscore AS (
+           |  SELECT label,
+           |    CASE WHEN ($centNorm2) = 0 THEN 0.0
+           |         ELSE ($centDot) / sqrt(($centNorm2) * ${f(qNorm2)})
+           |    END AS sc
+           |  FROM cent),
+           |ranked AS (
+           |  SELECT label, row_number() OVER (
+           |    ORDER BY sc DESC, CAST(label AS VARCHAR)) AS prank
+           |  FROM cscore),
+           |ps AS (SELECT CAST(p.range AS BIGINT) AS n_probe
+           |  FROM range(1, 5) p),
+           |probes AS (
+           |  SELECT ps.n_probe, r.label
+           |  FROM ps JOIN ranked r ON r.prank <= ps.n_probe),
+           |scored AS (
+           |  SELECT vec_id, label,
+           |    (${dotConstSql("embedding")})
+           |      / (sqrt(${dotSql("embedding", "embedding")})
+           |         * sqrt(${f(qNorm2)})) AS cos_raw
+           |  FROM embeddings),
+           |annr AS (
+           |  SELECT p.n_probe, s.vec_id, row_number() OVER (
+           |    PARTITION BY p.n_probe
+           |    ORDER BY s.cos_raw DESC, s.vec_id) AS rn
+           |  FROM scored s JOIN probes p USING (label)),
+           |ann AS (SELECT n_probe, vec_id FROM annr WHERE rn <= 10),
+           |ex AS (
+           |  SELECT vec_id FROM scored
+           |  ORDER BY cos_raw DESC, vec_id LIMIT 10)
+           |SELECT a.n_probe, CAST(count(*) AS BIGINT) AS n_ann,
+           |  CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hit,
+           |  CAST((2 * sum(CASE WHEN e.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) * 1000000 + 10) // 20 AS BIGINT)
+           |    AS recall_ppm
+           |FROM ann a LEFT JOIN ex e USING (vec_id)
+           |GROUP BY a.n_probe ORDER BY a.n_probe""".stripMargin
+      }))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the
@@ -1076,7 +1183,17 @@ object Similarity {
     * broadcast-ready semi-join build side.
     */
   private[graft] def ivfProbes(e: org.apache.spark.sql.DataFrame,
-      q: Seq[Double], nProbe: Int): org.apache.spark.sql.DataFrame = {
+      q: Seq[Double], nProbe: Int): org.apache.spark.sql.DataFrame =
+    ivfCellScores(e, q)
+      .orderBy(col("sc").desc, col("label").cast("string"))
+      .limit(nProbe)
+      .select(col("label"))
+
+  /** Per-cell query scores (label, sc) behind [[ivfProbes]] — q107
+    * ranks ALL cells from this frame to sweep the probe count.
+    */
+  private[graft] def ivfCellScores(e: org.apache.spark.sql.DataFrame,
+      q: Seq[Double]): org.apache.spark.sql.DataFrame = {
     val qn2 = q.map(x => x * x).sum
     val cent = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -1101,8 +1218,5 @@ object Similarity {
         when(na === 0.0, lit(0.0))
           .otherwise(VectorKernels.dotConst(col("centroid"), q)
             / sqrt(na * lit(qn2))).as("sc"))
-      .orderBy(col("sc").desc, col("label").cast("string"))
-      .limit(nProbe)
-      .select(col("label"))
   }
 }

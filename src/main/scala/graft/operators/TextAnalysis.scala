@@ -1900,5 +1900,391 @@ object TextAnalysis {
               |        + (count(*) - sum(tru)))
               |    // (2 * nullif(count(*) - sum(tru), 0)) AS BIGINT)
               |    AS fp_ppm
-              |FROM probe GROUP BY lang ORDER BY lang""".stripMargin)))
+              |FROM probe GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ── Q108: per-source document CAP — the C4/RefinedWeb "domain
+    // cap" step (cap every domain's contribution so no single source
+    // dominates the mix), audited: cap = 10 kept documents per source,
+    // chosen by the corpus-wide deterministic mix64(doc_id)
+    // permutation (the SAME key q56/q65/q75/q90 split/sample/shuffle/
+    // upsample by, so every subset decision in the pipeline reproduces
+    // from one hash), and a 1-row-per-source report of what the cap
+    // costs. ONE exchange: the rank window and the per-source rollup
+    // both cluster on `source`, so the report aggregates on the
+    // window's own partitioning with no second shuffle. At 100 TB the
+    // kept set stays fully distributed — rank ≤ cap is a per-row
+    // predicate after a per-source window, never a global sort, and
+    // the report is bounded by the source count.
+    QueryDef("q108_source_caps",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = unsignedDec(call_function("graft_mix64", col("doc_id")))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("u"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("nt"), u.as("u"))
+          .withColumn("r", row_number().over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("r") <= 10, 1L).otherwise(0L)).as("kept_docs"),
+            sum(when(col("r") > 10, 1L).otherwise(0L)).as("dropped_docs"),
+            sum(col("nt")).as("total_tokens"),
+            sum(when(col("r") <= 10, col("nt")).otherwise(0L))
+              .as("kept_tokens"))
+          .withColumn("kept_token_ppm",
+            expr("(2 * CAST(kept_tokens AS DECIMAL(38,0)) * 1000000"
+              + " + total_tokens)"
+              + " div (2 * CAST(total_tokens AS DECIMAL(38,0)))")
+              .cast("long"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+              |  FROM documents),
+              |h0 AS (
+              |  SELECT doc_id, source, nt, CAST(doc_id AS HUGEINT) AS z
+              |  FROM base),
+              |${OracleSql.mix64Ctes("doc_id, source, nt", "h0")},
+              |rk AS (
+              |  SELECT source, nt, row_number() OVER (
+              |    PARTITION BY source ORDER BY m, doc_id) AS r
+              |  FROM mixed)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS kept_docs,
+              |  CAST(sum(CASE WHEN r > 10 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS dropped_docs,
+              |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+              |  CAST(sum(CASE WHEN r <= 10 THEN nt ELSE 0 END) AS BIGINT)
+              |    AS kept_tokens,
+              |  CAST((2 * sum(CASE WHEN r <= 10 THEN nt ELSE 0 END)
+              |        * 1000000 + sum(nt))
+              |    // (2 * sum(nt)) AS BIGINT) AS kept_token_ppm
+              |FROM rk GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q109: weight-proportional SYSTEMATIC sampling — ~10 documents
+    // per source with selection probability proportional to token
+    // count (importance sampling for data mixing: long documents carry
+    // more of the training signal), via stride sampling over the
+    // per-source cumulative token offset: a document is selected iff
+    // its token span crosses a multiple of stride = tok_s div 10.
+    // Deterministic and integer-exact — no rand(), no FP — so the
+    // sample reproduces bit-for-bit at any parallelism; the report
+    // additionally PINS the length bias weighted sampling is supposed
+    // to have (selected docs' mean token count over corpus mean, ppm).
+    // ONE exchange: the cumulative offset, the per-source total, and
+    // the report all ride the same `source` clustering (the q57
+    // packing shuffle). At 100 TB the per-source sample is constant
+    // (~10 docs), so the selected set is bounded by the source count,
+    // not the corpus.
+    QueryDef("q109_weighted_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(col("source"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("nt"))
+          .withColumn("cum_before",
+            coalesce(sum(col("nt")).over(wCum), lit(0L)))
+          .withColumn("tok_s", sum(col("nt")).over(wTot))
+          .withColumn("stride", greatest(lit(1L), expr("tok_s div 10")))
+          .withColumn("sel",
+            when(col("nt") > 0 &&
+              expr("(cum_before + nt) div stride")
+                > expr("cum_before div stride"), 1L).otherwise(0L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            first(col("tok_s")).as("tok_s"),
+            first(col("stride")).as("stride"),
+            sum(col("sel")).as("n_sel"),
+            sum(col("sel") * col("nt")).as("tok_sel"))
+          .withColumn("bias_ppm",
+            expr("(2 * CAST(tok_sel AS DECIMAL(38,0)) * n_docs * 1000000"
+              + " + CAST(n_sel AS DECIMAL(38,0)) * tok_s)"
+              + " div (2 * nullif(CAST(n_sel AS DECIMAL(38,0)) * tok_s, 0))")
+              .cast("long"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents),
+             |cum AS (
+             |  SELECT doc_id, source, nt,
+             |    coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum_before,
+             |    sum(nt) OVER (PARTITION BY source) AS tok_s
+             |  FROM base),
+             |sel AS (
+             |  SELECT source, nt, tok_s,
+             |    greatest(1, tok_s // 10) AS stride,
+             |    CASE WHEN nt > 0
+             |      AND (cum_before + nt) // greatest(1, tok_s // 10)
+             |        > cum_before // greatest(1, tok_s // 10)
+             |      THEN 1 ELSE 0 END AS sel
+             |  FROM cum)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(any_value(tok_s) AS BIGINT) AS tok_s,
+             |  CAST(any_value(stride) AS BIGINT) AS stride,
+             |  CAST(sum(sel) AS BIGINT) AS n_sel,
+             |  CAST(sum(sel * nt) AS BIGINT) AS tok_sel,
+             |  CAST((2 * sum(sel * nt) * count(*) * 1000000
+             |        + sum(sel) * any_value(tok_s))
+             |    // (2 * nullif(sum(sel) * any_value(tok_s), 0)) AS BIGINT)
+             |    AS bias_ppm
+             |FROM sel GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q110: sequence-packing FRAGMENTATION CURVE — the context-
+    // length tuning knob behind q57's fixed 2048: for ctx_len in
+    // (128, 512, 2048, 8192), how many documents get split across a
+    // bin boundary (the quality cost of offset packing — a fragmented
+    // doc loses cross-boundary attention) and how much tail capacity
+    // each source wastes, in ONE query. The per-source cumulative
+    // offset is computed ONCE (the q57 window); the four sweep points
+    // fan out AFTER the window, so the expensive pass is never
+    // repeated (the q107 sweep philosophy: scan once, re-rank — here
+    // re-bin — four ways). The first rollup groups by (ctx_len,
+    // source) ON the window's source clustering (no new exchange);
+    // only the final 80-row rollup reshuffles.
+    QueryDef("q110_packing_curve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(col("source"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("nt"))
+          .withColumn("cum_before",
+            coalesce(sum(col("nt")).over(wCum), lit(0L)))
+          .withColumn("tok_s", sum(col("nt")).over(wTot))
+          .select(col("source"), col("nt"), col("cum_before"), col("tok_s"),
+            explode(array(lit(128L), lit(512L), lit(2048L), lit(8192L)))
+              .as("ctx_len"))
+          .withColumn("split",
+            when(col("nt") > 0 &&
+              expr("cum_before div ctx_len")
+                =!= expr("(cum_before + nt - 1) div ctx_len"), 1L)
+              .otherwise(0L))
+          .groupBy(col("ctx_len"), col("source"))
+          .agg(count(lit(1)).as("nd"), sum(col("split")).as("ns"),
+            first(col("tok_s")).as("tok_s"))
+          .groupBy(col("ctx_len"))
+          .agg(sum(col("nd")).as("n_docs"),
+            sum(col("ns")).as("split_docs"),
+            sum(expr("(tok_s + ctx_len - 1) div ctx_len")).as("n_bins"),
+            sum(expr("(ctx_len - tok_s % ctx_len) % ctx_len"))
+              .as("tail_waste"))
+          .withColumn("split_doc_ppm",
+            expr("(2 * split_docs * 1000000 + n_docs) div (2 * n_docs)"))
+          .withColumn("waste_ppm",
+            expr("(2 * tail_waste * 1000000 + n_bins * ctx_len)"
+              + " div (2 * n_bins * ctx_len)"))
+          .orderBy(col("ctx_len"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents),
+             |cum AS (
+             |  SELECT source, nt,
+             |    coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum_before,
+             |    sum(nt) OVER (PARTITION BY source) AS tok_s
+             |  FROM base),
+             |ls AS (SELECT CAST(unnest([128, 512, 2048, 8192]) AS BIGINT)
+             |  AS ctx_len),
+             |fan AS (
+             |  SELECT l.ctx_len, c.source, c.tok_s,
+             |    CASE WHEN c.nt > 0 AND c.cum_before // l.ctx_len
+             |        <> (c.cum_before + c.nt - 1) // l.ctx_len
+             |      THEN 1 ELSE 0 END AS split
+             |  FROM cum c CROSS JOIN ls l),
+             |per AS (
+             |  SELECT ctx_len, source, count(*) AS nd, sum(split) AS ns,
+             |    any_value(tok_s) AS tok_s
+             |  FROM fan GROUP BY ctx_len, source)
+             |SELECT ctx_len, CAST(sum(nd) AS BIGINT) AS n_docs,
+             |  CAST(sum(ns) AS BIGINT) AS split_docs,
+             |  CAST(sum((tok_s + ctx_len - 1) // ctx_len) AS BIGINT)
+             |    AS n_bins,
+             |  CAST(sum((ctx_len - tok_s % ctx_len) % ctx_len) AS BIGINT)
+             |    AS tail_waste,
+             |  CAST((2 * sum(ns) * 1000000 + sum(nd)) // (2 * sum(nd))
+             |    AS BIGINT) AS split_doc_ppm,
+             |  CAST((2 * sum((ctx_len - tok_s % ctx_len) % ctx_len) * 1000000
+             |        + sum((tok_s + ctx_len - 1) // ctx_len) * ctx_len)
+             |    // (2 * sum((tok_s + ctx_len - 1) // ctx_len) * ctx_len)
+             |    AS BIGINT) AS waste_ppm
+             |FROM per GROUP BY ctx_len ORDER BY ctx_len""".stripMargin)),
+
+    // ── Q111: HISTOGRAM-QUANTILE CALIBRATION — the sketch-audit
+    // pattern (q89/q97/q95: the engine measures its own approximation
+    // knobs in-plan) applied to the quantile family: a 16-bin
+    // equi-width integer histogram per language estimates p50/p90 of
+    // the document token count, next to the EXACT order statistics,
+    // with the error in ppm. The histogram is the 100 TB artifact —
+    // one map-side-combinable groupBy over a bounded (lang × 16)
+    // domain, then a 16-row-per-lang cumulative window; the exact side
+    // is the small-SF audit (a per-lang sort, affordable here,
+    // impossible at scale — WHY the histogram exists). Both estimate
+    // and exact are pure integer arithmetic — both engines replay them
+    // bit-for-bit (no percentile built-ins whose rank conventions
+    // could differ). The 2-column base projection is scanned by the
+    // bounds pass, the histogram, and the audit — persisted once via
+    // the self-releasing cache.
+    QueryDef("q111_hist_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, dir)
+          .select(col("lang"), size(toks).cast("long").as("nt"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val bounds = base.agg(min(col("nt")).as("mn"),
+          max(col("nt")).as("mx"))
+        val hist = base.crossJoin(broadcast(bounds))
+          .withColumn("w", expr("(mx - mn) div 16 + 1"))
+          .withColumn("bin", expr("(nt - mn) div w"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("c"),
+            first(col("mn")).as("mn"), first(col("w")).as("w"))
+        val wB = Window.partitionBy(col("lang")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wL = Window.partitionBy(col("lang"))
+        val cum = hist
+          .withColumn("cumc", sum(col("c")).over(wB))
+          .withColumn("n", sum(col("c")).over(wL))
+        def est(q: Int) = min(when(col("cumc") * 100 >= col("n") * q,
+          expr("mn + bin * w + w div 2")))
+        val ests = cum.groupBy(col("lang"))
+          .agg(first(col("n")).as("n_docs"),
+            est(50).as("est_p50"), est(90).as("est_p90"))
+        val wR = Window.partitionBy(col("lang")).orderBy(col("nt"))
+        val ranked = base
+          .withColumn("rn", row_number().over(wR))
+          .withColumn("n", count(lit(1)).over(wL))
+        def exactQ(q: Int) = min(when(col("rn") * 100 >= col("n") * q,
+          col("nt")))
+        val exact = ranked.groupBy(col("lang"))
+          .agg(exactQ(50).as("exact_p50"), exactQ(90).as("exact_p90"))
+        ests.join(exact, "lang")
+          .withColumn("err50_ppm",
+            expr("(2 * abs(est_p50 - exact_p50) * 1000000 + exact_p50)"
+              + " div (2 * nullif(exact_p50, 0))"))
+          .withColumn("err90_ppm",
+            expr("(2 * abs(est_p90 - exact_p90) * 1000000 + exact_p90)"
+              + " div (2 * nullif(exact_p90, 0))"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH base AS (
+             |  SELECT lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents),
+             |b AS (SELECT min(nt) AS mn, max(nt) AS mx FROM base),
+             |binned AS (
+             |  SELECT lang, nt, mn, (mx - mn) // 16 + 1 AS w,
+             |    (nt - mn) // ((mx - mn) // 16 + 1) AS bin
+             |  FROM base CROSS JOIN b),
+             |hist AS (
+             |  SELECT lang, bin, count(*) AS c, any_value(mn) AS mn,
+             |    any_value(w) AS w
+             |  FROM binned GROUP BY lang, bin),
+             |cum AS (
+             |  SELECT lang, bin, c, mn, w,
+             |    sum(c) OVER (PARTITION BY lang ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+             |    sum(c) OVER (PARTITION BY lang) AS n
+             |  FROM hist),
+             |ests AS (
+             |  SELECT lang, CAST(any_value(n) AS BIGINT) AS n_docs,
+             |    CAST(min(CASE WHEN cumc * 100 >= n * 50
+             |      THEN mn + bin * w + w // 2 END) AS BIGINT) AS est_p50,
+             |    CAST(min(CASE WHEN cumc * 100 >= n * 90
+             |      THEN mn + bin * w + w // 2 END) AS BIGINT) AS est_p90
+             |  FROM cum GROUP BY lang),
+             |ranked AS (
+             |  SELECT lang, nt,
+             |    row_number() OVER (PARTITION BY lang ORDER BY nt) AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS n
+             |  FROM base),
+             |exact AS (
+             |  SELECT lang,
+             |    CAST(min(CASE WHEN rn * 100 >= n * 50 THEN nt END)
+             |      AS BIGINT) AS exact_p50,
+             |    CAST(min(CASE WHEN rn * 100 >= n * 90 THEN nt END)
+             |      AS BIGINT) AS exact_p90
+             |  FROM ranked GROUP BY lang)
+             |SELECT lang, s.n_docs, s.est_p50, e.exact_p50,
+             |  CAST((2 * abs(s.est_p50 - e.exact_p50) * 1000000
+             |        + e.exact_p50)
+             |    // (2 * nullif(e.exact_p50, 0)) AS BIGINT) AS err50_ppm,
+             |  s.est_p90, e.exact_p90,
+             |  CAST((2 * abs(s.est_p90 - e.exact_p90) * 1000000
+             |        + e.exact_p90)
+             |    // (2 * nullif(e.exact_p90, 0)) AS BIGINT) AS err90_ppm
+             |FROM ests s JOIN exact e USING (lang) ORDER BY lang""".stripMargin)),
+
+    // ── Q112: output SHARD-BALANCE SWEEP — the "how many output
+    // files" ops knob: hash-sharding the corpus by mix64(doc_id) into
+    // N shards for N in (8, 32, 128), report token/document balance
+    // (max-over-mean skew in ppm, non-empty shard count) per N in ONE
+    // query. The fan-out multiplies a 2-column (nt, u) projection —
+    // never text — and the map-side partial aggregate reduces every
+    // task's contribution to ≤ 168 (Σ N) rows before the shuffle, so
+    // the exchange is constant-size at any corpus scale. The skew
+    // number is what sizes executor memory and object-store parts at
+    // 100 TB; sharding by the same mix64 permutation as q56/q65/q75/
+    // q108 means this report audits the EXACT layout those operators
+    // ship.
+    QueryDef("q112_shard_balance",
+      (s, dir) => {
+        val u = unsignedDec(call_function("graft_mix64", col("doc_id")))
+        Tables.documents(s, dir)
+          .select(size(toks).cast("long").as("nt"), u.as("u"))
+          .select(col("nt"), col("u"),
+            explode(array(lit(8L), lit(32L), lit(128L))).as("n_shards"))
+          .withColumn("shard", expr("CAST(u % n_shards AS BIGINT)"))
+          .groupBy(col("n_shards"), col("shard"))
+          .agg(sum(col("nt")).as("tok"), count(lit(1)).as("nd"))
+          .groupBy(col("n_shards"))
+          .agg(count(lit(1)).as("nonempty_shards"),
+            sum(col("tok")).as("total_tokens"),
+            max(col("tok")).as("max_tokens"),
+            max(col("nd")).as("max_docs"))
+          .withColumn("mean_tokens", expr("total_tokens div n_shards"))
+          .withColumn("skew_ppm",
+            expr("(2 * max_tokens * 1000000 + mean_tokens)"
+              + " div (2 * nullif(mean_tokens, 0))"))
+          .orderBy(col("n_shards"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+              |  FROM documents),
+              |h0 AS (SELECT doc_id, nt, CAST(doc_id AS HUGEINT) AS z
+              |  FROM base),
+              |${OracleSql.mix64Ctes("doc_id, nt", "h0")},
+              |ns AS (SELECT CAST(unnest([8, 32, 128]) AS BIGINT)
+              |  AS n_shards),
+              |fan AS (
+              |  SELECT n.n_shards, CAST(d.m % n.n_shards AS BIGINT) AS shard,
+              |    d.nt
+              |  FROM mixed d CROSS JOIN ns n),
+              |per AS (
+              |  SELECT n_shards, shard, sum(nt) AS tok, count(*) AS nd
+              |  FROM fan GROUP BY n_shards, shard)
+              |SELECT n_shards, count(*) AS nonempty_shards,
+              |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+              |  CAST(max(tok) AS BIGINT) AS max_tokens,
+              |  CAST(max(nd) AS BIGINT) AS max_docs,
+              |  CAST(sum(tok) // n_shards AS BIGINT) AS mean_tokens,
+              |  CAST((2 * max(tok) * 1000000 + sum(tok) // n_shards)
+              |    // (2 * nullif(sum(tok) // n_shards, 0)) AS BIGINT)
+              |    AS skew_ppm
+              |FROM per GROUP BY n_shards ORDER BY n_shards""".stripMargin)))
 }

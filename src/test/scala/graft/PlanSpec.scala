@@ -609,6 +609,62 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("q107: sweep rankings run through TopKPerKey off one cached scored projection") {
+    val exec = SparkEntry.queries("q107_ivf_probe_curve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("TopKPerKey"),
+        s"the per-sweep-point top-10 must use the bounded heap:\n${
+          exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"exact and ANN branches must share the one cached scored " +
+          s"projection:\n${exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q108/q109/q110: rank/cumsum window and per-source rollup share ONE source exchange") {
+    for (q <- Seq("q108_source_caps", "q109_weighted_sample",
+        "q110_packing_curve")) {
+      val exec = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(exec.linesIterator.count(
+          _.contains("Exchange hashpartitioning(source")) == 1,
+        s"$q: the window and the per-source aggregate must ride one " +
+          s"source exchange:\n${exec.take(2500)}")
+      assert(!exec.contains("Exchange SinglePartition"),
+        s"$q: nothing may serialize to one partition:\n${exec.take(2000)}")
+      assert(!exec.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q111: bounds, histogram, and exact audit all read the one cached 2-column base") {
+    val exec = SparkEntry.queries("q111_hist_quantiles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"bounds, histogram and audit branches must share the cached " +
+          s"(lang, nt) projection:\n${exec.take(2500)}")
+      assert(exec.contains("BroadcastHashJoin") ||
+          exec.contains("BroadcastNestedLoopJoin"),
+        s"the 1-row bounds and the per-lang estimate/exact join must " +
+          s"broadcast:\n${exec.take(2500)}")
+      assert(!exec.contains("SortMergeJoin") &&
+          !exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q112: fan-out aggregates map-side; no single-partition serialization") {
+    val exec = SparkEntry.queries("q112_shard_balance")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("Exchange hashpartitioning(n_shards"),
+      s"the per-(N, shard) rollup must stay hash-distributed:\n${
+        exec.take(2000)}")
+    assert(!exec.contains("Exchange SinglePartition"),
+      s"nothing may serialize to one partition:\n${exec.take(2000)}")
+    assert(!exec.contains("CartesianProduct"), exec.take(2000))
+  }
+
   test("q105/q106: per-user windows never serialize; cohort/total joins broadcast") {
     for (q <- Seq("q105_retention_cohorts", "q106_event_transitions")) {
       val exec = SparkEntry.queries(q)(spark, sf)
