@@ -695,5 +695,84 @@ object Relational {
              |  CAST((2 * t.n * 1000000 + o.tn) // (2 * o.tn) AS BIGINT)
              |    AS p_ppm
              |FROM tr t JOIN tot o USING (cur)
-             |ORDER BY t.cur, t.nxt""".stripMargin)))
+             |ORDER BY t.cur, t.nxt""".stripMargin)),
+
+    // ── Q113: SESSION-GAP TIMEOUT SWEEP — the inactivity-timeout
+    // tuning knob behind q36's fixed 30 minutes: session count, bounce
+    // rate (single-event sessions), and events-per-session at gap
+    // limits of 5 min / 30 min / 2 h, in ONE query (the q107/q110
+    // sweep philosophy: one expensive pass, N cheap re-reads). The
+    // per-user lag runs ONCE on the single user_id exchange; the three
+    // sweep points fan out after it, and the session-id cumsum, the
+    // per-session rollup, and the sweep both cluster on user_id — no
+    // further data exchange, only the final 3-row rollup reshuffles.
+    // All windows order by (ts, event_id) so tied timestamps cannot
+    // flip session boundaries between engines or partitionings.
+    QueryDef("q113_session_gap_sweep",
+      (s, dir) => {
+        val wU = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("gap_ms",
+            unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(wU)))
+          .select(col("user_id"), col("ts"), col("event_id"), col("gap_ms"),
+            explode(array(lit(300000L), lit(1800000L), lit(7200000L)))
+              .as("gap_limit_ms"))
+          .withColumn("brk",
+            when(col("gap_ms").isNull ||
+              col("gap_ms") >= col("gap_limit_ms"), 1L).otherwise(0L))
+        val wS = Window
+          .partitionBy(col("gap_limit_ms"), col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev.withColumn("sid", sum(col("brk")).over(wS))
+          .groupBy(col("gap_limit_ms"), col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n_ev"))
+          .groupBy(col("gap_limit_ms"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_ev")).as("n_events"),
+            sum(when(col("n_ev") === 1, 1L).otherwise(0L))
+              .as("single_event_sessions"),
+            max(col("n_ev")).as("max_session_events"))
+          .withColumn("events_per_session_ppm",
+            expr("(2 * n_events * 1000000 + n_sessions)"
+              + " div (2 * n_sessions)"))
+          .withColumn("bounce_ppm",
+            expr("(2 * single_event_sessions * 1000000 + n_sessions)"
+              + " div (2 * n_sessions)"))
+          .orderBy(col("gap_limit_ms"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+             |  FROM events),
+             |ls AS (SELECT CAST(unnest([300000, 1800000, 7200000])
+             |  AS BIGINT) AS gap_limit_ms),
+             |fan AS (
+             |  SELECT l.gap_limit_ms, g.user_id, g.ts, g.event_id,
+             |    CASE WHEN g.gap_ms IS NULL OR g.gap_ms >= l.gap_limit_ms
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM g CROSS JOIN ls l),
+             |sess AS (
+             |  SELECT gap_limit_ms, user_id,
+             |    sum(brk) OVER (PARTITION BY gap_limit_ms, user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM fan),
+             |per AS (
+             |  SELECT gap_limit_ms, user_id, sid, count(*) AS n_ev
+             |  FROM sess GROUP BY gap_limit_ms, user_id, sid)
+             |SELECT gap_limit_ms, count(*) AS n_sessions,
+             |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS single_event_sessions,
+             |  CAST(max(n_ev) AS BIGINT) AS max_session_events,
+             |  CAST((2 * sum(n_ev) * 1000000 + count(*)) // (2 * count(*))
+             |    AS BIGINT) AS events_per_session_ppm,
+             |  CAST((2 * sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+             |        * 1000000 + count(*)) // (2 * count(*)) AS BIGINT)
+             |    AS bounce_ppm
+             |FROM per GROUP BY gap_limit_ms
+             |ORDER BY gap_limit_ms""".stripMargin)))
 }

@@ -491,5 +491,76 @@ object VideoAnalytics {
               |JOIN sup sa ON sa.object_class = p.class_a
               |JOIN sup sb ON sb.object_class = p.class_b
               |CROSS JOIN nf f
-              |ORDER BY lift_ppm DESC, class_a, class_b LIMIT 20""".stripMargin)))
+              |ORDER BY lift_ppm DESC, class_a, class_b LIMIT 20""".stripMargin)),
+
+    // ── Q114: NMS IoU-THRESHOLD SUPPRESSION CURVE — the IoU-cutoff
+    // tuning knob behind the reference's fixed NMS threshold
+    // (YOLODetector.java:294-322 suppresses at a single IoU): how many
+    // same-(frame, class) detection pairs would be suppressed at IoU >
+    // 0.30 / 0.45 / 0.60 / 0.75, in ONE query. The pairwise join — the
+    // expensive part, the q17 per-frame-bounded equi-join — runs ONCE;
+    // the four thresholds fan out over a 2-double (inter, union)
+    // projection of each pair, and the comparison is cross-multiplied
+    // (100·inter > pct·union) so no division touches the hot path.
+    // Partial aggregation reduces every task to 4 rows before the
+    // final exchange.
+    QueryDef("q114_nms_threshold_curve",
+      (s, dir) => {
+        val d = detections(s, dir)
+        val a = d.select(col("frame_id"), col("object_class"),
+          col("det_id").as("det_a"), col("x1").as("ax1"),
+          col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
+        val b = d.select(col("frame_id").as("frame_id_b"),
+          col("object_class").as("object_class_b"),
+          col("det_id").as("det_b"), col("x1").as("bx1"),
+          col("y1").as("by1"), col("x2").as("bx2"), col("y2").as("by2"))
+        val joined = a.join(b,
+          col("frame_id") === col("frame_id_b") &&
+            col("object_class") === col("object_class_b") &&
+            col("det_a") < col("det_b"))
+        val iw = greatest(lit(0.0),
+          least(col("ax2"), col("bx2")) - greatest(col("ax1"), col("bx1")))
+        val ih = greatest(lit(0.0),
+          least(col("ay2"), col("by2")) - greatest(col("ay1"), col("by1")))
+        val inter = iw * ih
+        val areaA = (col("ax2") - col("ax1")) * (col("ay2") - col("ay1"))
+        val areaB = (col("bx2") - col("bx1")) * (col("by2") - col("by1"))
+        joined
+          .select(inter.as("inter"), (areaA + areaB - inter).as("uni"))
+          .select(col("inter"), col("uni"),
+            explode(array(lit(30L), lit(45L), lit(60L), lit(75L)))
+              .as("iou_pct"))
+          .groupBy(col("iou_pct"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("inter") * 100.0 > col("iou_pct") * col("uni"),
+              1L).otherwise(0L)).as("suppressed_pairs"))
+          .withColumn("suppressed_ppm",
+            expr("(2 * suppressed_pairs * 1000000 + n_pairs)"
+              + " div (2 * n_pairs)"))
+          .orderBy(col("iou_pct"))
+      },
+      Some(s"""$detectionsCte,
+              |pairs AS (
+              |  SELECT
+              |    greatest(0.0, least(a.x2, b.x2) - greatest(a.x1, b.x1))
+              |      * greatest(0.0, least(a.y2, b.y2) - greatest(a.y1, b.y1))
+              |      AS inter,
+              |    (a.x2 - a.x1) * (a.y2 - a.y1)
+              |      + (b.x2 - b.x1) * (b.y2 - b.y1) AS areas
+              |  FROM detections a JOIN detections b
+              |    ON a.frame_id = b.frame_id
+              |   AND a.object_class = b.object_class
+              |   AND a.det_id < b.det_id),
+              |ts AS (SELECT CAST(unnest([30, 45, 60, 75]) AS BIGINT)
+              |  AS iou_pct),
+              |fan AS (
+              |  SELECT t.iou_pct, p.inter, p.areas - p.inter AS uni
+              |  FROM pairs p CROSS JOIN ts t)
+              |SELECT iou_pct, count(*) AS n_pairs,
+              |  CAST(sum(CASE WHEN inter * 100.0 > iou_pct * uni
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS suppressed_pairs,
+              |  CAST((2 * sum(CASE WHEN inter * 100.0 > iou_pct * uni
+              |        THEN 1 ELSE 0 END) * 1000000 + count(*))
+              |    // (2 * count(*)) AS BIGINT) AS suppressed_ppm
+              |FROM fan GROUP BY iou_pct ORDER BY iou_pct""".stripMargin)))
 }

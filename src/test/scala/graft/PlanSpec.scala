@@ -665,6 +665,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!exec.contains("CartesianProduct"), exec.take(2000))
   }
 
+  test("q113: lag, session cumsum, and per-session rollup ride ONE user_id exchange") {
+    val exec = SparkEntry.queries("q113_session_gap_sweep")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.linesIterator.count(
+        _.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"the sweep fan-out must not re-shuffle event rows:\n${exec.take(2500)}")
+    assert(!exec.contains("Exchange SinglePartition"), exec.take(2000))
+    assert(!exec.contains("CartesianProduct"), exec.take(2000))
+  }
+
+  test("q114: pair join runs once; thresholds fan out over the 2-double projection") {
+    val exec = SparkEntry.queries("q114_nms_threshold_curve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"the pair join must stay an equi-join on (frame, class):\n${
+        exec.take(2500)}")
+    val gen = exec.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(gen.nonEmpty, s"threshold fan-out missing:\n${exec.take(2000)}")
+    assert(gen.forall(l => !l.contains("x1") && !l.contains("y2")),
+      s"coordinates must be projected away BEFORE the 4x fan-out:\n$gen")
+  }
+
   test("q105/q106: per-user windows never serialize; cohort/total joins broadcast") {
     for (q <- Seq("q105_retention_cohorts", "q106_event_transitions")) {
       val exec = SparkEntry.queries(q)(spark, sf)

@@ -342,4 +342,118 @@ class QueriesSpec extends AnyFunSuite {
       s"every chunk must replicate exactly 200x: total=$total " +
         s"distinct=$distinctSigs")
   }
+
+  // ── Sweep-query lattice invariants: every sweep point's knob values
+  // are chosen so consecutive points NEST (each ctx_len / shard count
+  // divides the next, probe sets and session boundaries are subsets),
+  // which makes the curve provably monotone. These pins hold on ANY
+  // corpus — they test the operators' math, not the testdata.
+
+  private def sweepRows(q: String, key: String, cols: String*)
+      : Seq[Seq[Long]] = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.select((key +: cols).map(org.apache.spark.sql.functions.col): _*)
+      .collect().toSeq
+      .map(r => (0 to cols.length).map(i => r.getLong(i)))
+      .sortBy(_.head)
+  }
+
+  test("q107 recall is monotone non-decreasing in nProbe (nested probe sets)") {
+    val rows = sweepRows("q107_ivf_probe_curve", "n_probe",
+      "n_ann", "recall_ppm")
+    assert(rows.map(_.head) === Seq(1L, 2L, 3L, 4L))
+    assert(rows.forall(_(1) == 10L), s"each sweep point returns top-10: $rows")
+    val rec = rows.map(_(2))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall must not drop as probes widen: $rec")
+  }
+
+  test("q110 splits and bins are monotone (each ctx_len divides the next)") {
+    val rows = sweepRows("q110_packing_curve", "ctx_len",
+      "split_docs", "n_bins")
+    assert(rows.map(_.head) === Seq(128L, 512L, 2048L, 8192L))
+    val splits = rows.map(_(1)); val bins = rows.map(_(2))
+    assert(splits.zip(splits.tail).forall { case (a, b) => a >= b },
+      s"an 8192-boundary is also a 2048-boundary — splits can only " +
+        s"shrink: $splits")
+    assert(bins.zip(bins.tail).forall { case (a, b) => a >= b }, s"$bins")
+  }
+
+  test("q112 max shard load shrinks as shards multiply (8 | 32 | 128)") {
+    val rows = sweepRows("q112_shard_balance", "n_shards",
+      "max_tokens", "total_tokens", "nonempty_shards")
+    assert(rows.map(_.head) === Seq(8L, 32L, 128L))
+    val mx = rows.map(_(1))
+    assert(mx.zip(mx.tail).forall { case (a, b) => a >= b },
+      s"a 32-shard is a refinement of an 8-shard: $mx")
+    assert(rows.map(_(2)).distinct.size == 1, "total token mass invariant")
+    assert(rows.forall(r => r(3) <= r.head), "nonempty ≤ N")
+  }
+
+  test("q113 sessions merge monotonically as the gap limit grows") {
+    val rows = sweepRows("q113_session_gap_sweep", "gap_limit_ms",
+      "n_sessions", "n_events", "max_session_events")
+    assert(rows.map(_.head) === Seq(300000L, 1800000L, 7200000L))
+    val ns = rows.map(_(1)); val mx = rows.map(_(3))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"every 2h boundary is also a 5min boundary: $ns")
+    assert(rows.map(_(2)).distinct.size == 1, "event mass invariant")
+    assert(mx.zip(mx.tail).forall { case (a, b) => a <= b },
+      s"sessions at a larger limit are unions of smaller-limit " +
+        s"sessions: $mx")
+  }
+
+  test("q114 suppression is monotone non-increasing in the IoU cutoff") {
+    val rows = sweepRows("q114_nms_threshold_curve", "iou_pct",
+      "suppressed_pairs", "n_pairs")
+    assert(rows.map(_.head) === Seq(30L, 45L, 60L, 75L))
+    val sup = rows.map(_(1))
+    assert(sup.zip(sup.tail).forall { case (a, b) => a >= b }, s"$sup")
+    assert(rows.map(_(2)).distinct.size == 1, "pair count invariant")
+    assert(sup.head > sup.last,
+      s"the curve must actually discriminate thresholds: $sup")
+  }
+
+  test("q111 histogram estimate lands within one bin width of the exact quantile") {
+    import org.apache.spark.sql.functions._
+    val nt = graft.operators.Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("nt"))
+    val Seq(mn, mx) = nt.agg(min(col("nt")), max(col("nt")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
+    val w = (mx - mn) / 16 + 1
+    val rows = SparkEntry.queries("q111_hist_quantiles")(spark, sf)
+      .select("est_p50", "exact_p50", "est_p90", "exact_p90")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(0) - r.getLong(1)) <= w,
+        s"p50 estimate must land in the true value's bin: $r (w=$w)")
+      assert(math.abs(r.getLong(2) - r.getLong(3)) <= w,
+        s"p90 estimate must land in the true value's bin: $r (w=$w)")
+    }
+  }
+
+  test("q108 cap keeps exactly min(10, n_docs) per source") {
+    val rows = SparkEntry.queries("q108_source_caps")(spark, sf)
+      .select("n_docs", "kept_docs", "total_tokens", "kept_tokens")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == math.min(10L, r.getLong(0)), r.toString)
+      assert(r.getLong(3) <= r.getLong(2), r.toString)
+    }
+  }
+
+  test("q109 systematic sample size is the stride-count bound per source") {
+    val rows = SparkEntry.queries("q109_weighted_sample")(spark, sf)
+      .select("tok_s", "stride", "n_sel", "tok_sel")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val crossings = r.getLong(0) / r.getLong(1)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= crossings,
+        s"selected docs can't exceed boundary crossings: $r")
+      assert(r.getLong(3) <= r.getLong(0), r.toString)
+    }
+  }
 }
