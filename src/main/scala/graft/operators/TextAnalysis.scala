@@ -2286,5 +2286,152 @@ object TextAnalysis {
               |  CAST((2 * max(tok) * 1000000 + sum(tok) // n_shards)
               |    // (2 * nullif(sum(tok) // n_shards, 0)) AS BIGINT)
               |    AS skew_ppm
-              |FROM per GROUP BY n_shards ORDER BY n_shards""".stripMargin)))
+              |FROM per GROUP BY n_shards ORDER BY n_shards""".stripMargin)),
+
+    // ── Q115: KMV SOURCE-SIMILARITY MATRIX — pairwise trigram-set
+    // Jaccard between all sources, sketch-estimated AND exact, in one
+    // query (the sketch-calibration pattern of q89/q97/q111 applied to
+    // the bottom-k family; Beyer et al. 2007 "On synopses for
+    // distinct-value estimation"). Production path: each source's
+    // 256 smallest mix64(trigram) draws — the mergeable bottom-k KMV
+    // synopsis — through the bounded TopKPerKey heap, so the corpus
+    // compacts to k·|sources| rows in one exchange; every pair's
+    // estimate then reads ≤ 2k sketch rows (merge, re-rank to the
+    // union's bottom-k, count values present in BOTH sketches:
+    // m / k' is the standard KMV Jaccard estimator, and when the
+    // union is smaller than k the sketch IS the set and the estimate
+    // is exact by construction). Audit path: the exact pairwise
+    // intersection from ONE self-join of the distinct (source,
+    // trigram) projection — per-trigram fan-out bounded by |sources|²
+    // — affordable at audit scale, impossible at 100 TB, WHY the
+    // sketch exists. Both paths share one persisted distinct
+    // projection; everything is integer-exact, so both engines replay
+    // the estimator bit-for-bit.
+    QueryDef("q115_source_jaccard_sketch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.TopK.ensure(s)
+        val k = 256
+        val st = Tables.documents(s, dir)
+          .select(col("source"), toks.as("t"))
+          .select(col("source"), explode(trigramsOfT).as("tg"))
+          .distinct()
+          .withColumn("u", unsignedDec(mixedHashC(col("tg"))))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val bk = st
+          .withColumn("r", row_number().over(Window
+            .partitionBy(col("source")).orderBy(col("u"), col("tg"))))
+          .filter(col("r") <= k)
+          .select(col("source"), col("u"))
+        val srcs = st.select(col("source")).distinct()
+        val prs = srcs.select(col("source").as("source_a"))
+          .crossJoin(broadcast(srcs.select(col("source").as("source_b"))))
+          .filter(col("source_a") < col("source_b"))
+        val un = prs
+          .join(bk.withColumnRenamed("source", "source_a"), "source_a")
+          .select(col("source_a"), col("source_b"), col("u"),
+            lit(1L).as("ina"), lit(0L).as("inb"))
+          .unionByName(prs
+            .join(bk.withColumnRenamed("source", "source_b"), "source_b")
+            .select(col("source_a"), col("source_b"), col("u"),
+              lit(0L).as("ina"), lit(1L).as("inb")))
+          .groupBy(col("source_a"), col("source_b"), col("u"))
+          .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+        val est = un
+          .withColumn("r", row_number().over(Window
+            .partitionBy(col("source_a"), col("source_b"))
+            .orderBy(col("u"))))
+          .filter(col("r") <= k)
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("kmv_k"),
+            sum(col("ina") * col("inb")).as("kmv_both"))
+        val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = st.select(col("source").as("source_a"),
+            col("tg"))
+          .join(st.select(col("source").as("source_b"), col("tg")), "tg")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("inter_exact"))
+        prs
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("n").as("n_a"))), "source_a")
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("n").as("n_b"))), "source_b")
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .na.fill(0L, Seq("inter_exact"))
+          .join(est, Seq("source_a", "source_b"))
+          .withColumn("jac_exact_ppm",
+            expr("(2 * inter_exact * 1000000 + (n_a + n_b - inter_exact))"
+              + " div (2 * (n_a + n_b - inter_exact))"))
+          .withColumn("jac_est_ppm",
+            expr("(2 * kmv_both * 1000000 + kmv_k) div (2 * kmv_k)"))
+          .select(col("source_a"), col("source_b"), col("n_a"),
+            col("n_b"), col("inter_exact"), col("jac_exact_ppm"),
+            col("kmv_k"), col("kmv_both"), col("jac_est_ppm"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT source, string_split(text, ' ') AS t
+              |  FROM documents),
+              |tg0 AS (
+              |  SELECT source, unnest(list_transform(range(1, len(t) - 1),
+              |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tg
+              |  FROM tk WHERE len(t) >= 3),
+              |dt AS (SELECT DISTINCT source, tg FROM tg0),
+              |h0 AS (SELECT source, tg, ${OracleSql.hash64("tg")} AS z
+              |  FROM dt),
+              |${OracleSql.mix64Ctes("source, tg", "h0")},
+              |bk AS (
+              |  SELECT source, u FROM (
+              |    SELECT source, m AS u, row_number() OVER (
+              |      PARTITION BY source ORDER BY m, tg) AS r
+              |    FROM mixed)
+              |  WHERE r <= 256),
+              |srcs AS (SELECT DISTINCT source FROM dt),
+              |prs AS (
+              |  SELECT a.source AS source_a, b.source AS source_b
+              |  FROM srcs a JOIN srcs b ON a.source < b.source),
+              |un0 AS (
+              |  SELECT p.source_a, p.source_b, k.u,
+              |    max(CASE WHEN k.source = p.source_a THEN 1 ELSE 0 END)
+              |      AS ina,
+              |    max(CASE WHEN k.source = p.source_b THEN 1 ELSE 0 END)
+              |      AS inb
+              |  FROM prs p JOIN bk k
+              |    ON k.source = p.source_a OR k.source = p.source_b
+              |  GROUP BY p.source_a, p.source_b, k.u),
+              |unk AS (
+              |  SELECT source_a, source_b, ina, inb, row_number() OVER (
+              |    PARTITION BY source_a, source_b ORDER BY u) AS r
+              |  FROM un0),
+              |est AS (
+              |  SELECT source_a, source_b, count(*) AS kmv_k,
+              |    sum(ina * inb) AS kmv_both
+              |  FROM unk WHERE r <= 256 GROUP BY source_a, source_b),
+              |sizes AS (SELECT source, count(*) AS n FROM dt GROUP BY source),
+              |inter AS (
+              |  SELECT a.source AS source_a, b.source AS source_b,
+              |    count(*) AS inter_exact
+              |  FROM dt a JOIN dt b
+              |    ON a.tg = b.tg AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT p.source_a, p.source_b,
+              |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+              |  CAST(coalesce(i.inter_exact, 0) AS BIGINT) AS inter_exact,
+              |  CAST((2 * coalesce(i.inter_exact, 0) * 1000000
+              |        + (sa.n + sb.n - coalesce(i.inter_exact, 0)))
+              |    // (2 * (sa.n + sb.n - coalesce(i.inter_exact, 0)))
+              |    AS BIGINT) AS jac_exact_ppm,
+              |  CAST(e.kmv_k AS BIGINT) AS kmv_k,
+              |  CAST(e.kmv_both AS BIGINT) AS kmv_both,
+              |  CAST((2 * e.kmv_both * 1000000 + e.kmv_k) // (2 * e.kmv_k)
+              |    AS BIGINT) AS jac_est_ppm
+              |FROM prs p
+              |JOIN sizes sa ON sa.source = p.source_a
+              |JOIN sizes sb ON sb.source = p.source_b
+              |LEFT JOIN inter i
+              |  ON i.source_a = p.source_a AND i.source_b = p.source_b
+              |JOIN est e
+              |  ON e.source_a = p.source_a AND e.source_b = p.source_b
+              |ORDER BY p.source_a, p.source_b""".stripMargin)))
 }

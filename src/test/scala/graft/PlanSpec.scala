@@ -665,6 +665,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!exec.contains("CartesianProduct"), exec.take(2000))
   }
 
+  test("q115: both bottom-k rankings run through TopKPerKey; sketch and audit share the cached projection") {
+    val exec = SparkEntry.queries("q115_source_jaccard_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("TopKPerKey")) >= 2,
+        s"per-source AND per-pair bottom-256 must use the bounded " +
+          s"heap:\n${exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"sketch, sizes, and exact-intersection branches must share " +
+          s"the one cached distinct (source, trigram) projection:\n${
+            exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
   test("q113: lag, session cumsum, and per-session rollup ride ONE user_id exchange") {
     val exec = SparkEntry.queries("q113_session_gap_sweep")(spark, sf)
       .queryExecution.executedPlan.toString

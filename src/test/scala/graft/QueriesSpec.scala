@@ -433,6 +433,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q115 KMV estimator is structurally sound on every pair") {
+    val rows = SparkEntry.queries("q115_source_jaccard_sketch")(spark, sf)
+      .select("n_a", "n_b", "inter_exact", "kmv_k", "kmv_both",
+        "jac_est_ppm", "jac_exact_ppm")
+      .collect()
+    assert(rows.length >= 3, "needs several source pairs")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2),
+        s"shared sketch values are hashes of intersection trigrams: $r")
+      assert(r.getLong(3) <= 256 && r.getLong(3) >= 1, r.toString)
+      assert(r.getLong(4) <= r.getLong(3), r.toString)
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000, r.toString)
+      assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)), r.toString)
+      // when the merged sketch holds the whole union, the "estimate"
+      // must be exactly the true Jaccard
+      if (r.getLong(3) < 256)
+        assert(r.getLong(5) == r.getLong(6),
+          s"union smaller than k ⇒ sketch IS the set: $r")
+    }
+  }
+
   test("q108 cap keeps exactly min(10, n_docs) per source") {
     val rows = SparkEntry.queries("q108_source_caps")(spark, sf)
       .select("n_docs", "kept_docs", "total_tokens", "kept_tokens")
