@@ -774,5 +774,145 @@ object Relational {
              |        * 1000000 + count(*)) // (2 * count(*)) AS BIGINT)
              |    AS bounce_ppm
              |FROM per GROUP BY gap_limit_ms
-             |ORDER BY gap_limit_ms""".stripMargin)))
+             |ORDER BY gap_limit_ms""".stripMargin)),
+
+    // ── Q116: ROBUST OUTLIERS VIA MAD — per event type, the median /
+    // median-absolute-deviation robust z-score (Hampel's rule at 5
+    // MADs), entirely in exact integer cents: both order statistics
+    // use the q111 explicit-rank convention (min value whose
+    // row_number reaches ceil(n/2)) so neither engine's percentile
+    // built-in rank conventions can diverge, and the outlier cut
+    // |v − med| > 5·mad is a pure integer comparison. The 2-column
+    // (type, cents) projection is persisted once and feeds the median
+    // pass, the deviation pass, and the outlier count; the per-type
+    // medians/MADs broadcast back (|types| rows). At 100 TB the two
+    // per-type sorts are the honest cost of EXACT robust statistics —
+    // the q111 histogram estimates are the approximation this audits.
+    QueryDef("q116_mad_outliers",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val wT = Window.partitionBy(col("event_type"))
+        def orderStat(df: org.apache.spark.sql.DataFrame, c: String) =
+          df.withColumn("rn", row_number().over(
+              Window.partitionBy(col("event_type")).orderBy(col(c))))
+            .withColumn("n", count(lit(1)).over(wT))
+            .groupBy(col("event_type"))
+            .agg(min(when(col("rn") * 100 >= col("n") * 50, col(c)))
+              .as(s"med_$c"))
+        val med = orderStat(base, "v")
+          .withColumnRenamed("med_v", "med_cents")
+        val dev = base.join(broadcast(med), "event_type")
+          .withColumn("d", abs(col("v") - col("med_cents")))
+        val mad = orderStat(dev.select(col("event_type"), col("d")), "d")
+          .withColumnRenamed("med_d", "mad_cents")
+        dev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            first(col("med_cents")).as("med_cents"),
+            first(col("mad_cents")).as("mad_cents"),
+            sum(when(col("d") > lit(5L) * col("mad_cents"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .withColumn("outlier_ppm",
+            expr("(2 * n_outliers * 1000000 + n) div (2 * n)"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |r1 AS (
+             |  SELECT event_type, v,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY v)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM base),
+             |med AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN rn * 100 >= n * 50 THEN v END) AS med_cents
+             |  FROM r1 GROUP BY event_type),
+             |dev AS (
+             |  SELECT b.event_type, abs(b.v - m.med_cents) AS d,
+             |    m.med_cents
+             |  FROM base b JOIN med m USING (event_type)),
+             |r2 AS (
+             |  SELECT event_type, d,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY d)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM dev),
+             |mad AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN rn * 100 >= n * 50 THEN d END) AS mad_cents
+             |  FROM r2 GROUP BY event_type)
+             |SELECT d.event_type, count(*) AS n,
+             |  CAST(any_value(d.med_cents) AS BIGINT) AS med_cents,
+             |  CAST(any_value(a.mad_cents) AS BIGINT) AS mad_cents,
+             |  CAST(sum(CASE WHEN d.d > 5 * a.mad_cents THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers,
+             |  CAST((2 * sum(CASE WHEN d.d > 5 * a.mad_cents
+             |        THEN 1 ELSE 0 END) * 1000000 + count(*))
+             |    // (2 * count(*)) AS BIGINT) AS outlier_ppm
+             |FROM dev d JOIN mad a USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
+
+    // ── Q117: TIME-DECAYED POPULARITY — per-type event share under
+    // exponential decay with a 1-day half-life, in EXACT rational
+    // arithmetic: weight(age) = 2^(30−age_days) (ages capped at 30, a
+    // shared denominator of 2^30), so the decayed numerators are exact
+    // integers both engines replay — no libm exp() whose last ulp
+    // differs. The trending-vs-total contrast (decayed share next to
+    // the plain share) is the standard recency-ranking signal; at
+    // 100 TB this is ONE map-side-combinable groupBy over (type) with
+    // the 1-row max-day broadcast back onto the scan — the decay never
+    // re-buckets or re-scans.
+    QueryDef("q117_decayed_popularity",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+        val mx = ev.agg(max(col("day")).as("max_day"))
+        val per = ev.crossJoin(broadcast(mx))
+          .withColumn("age", least(col("max_day") - col("day"), lit(30L)))
+          .withColumn("w",
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("w")).as("decayed_num"))
+        val tot = per.agg(sum(col("n_events")).as("tn"),
+          sum(col("decayed_num")).as("td"))
+        per.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n_events"),
+            expr("(2 * CAST(n_events AS DECIMAL(38,0)) * 1000000 + tn)"
+              + " div (2 * CAST(tn AS DECIMAL(38,0)))").cast("long")
+              .as("plain_share_ppm"),
+            col("decayed_num"),
+            expr("(2 * CAST(decayed_num AS DECIMAL(38,0)) * 1000000 + td)"
+              + " div (2 * CAST(td AS DECIMAL(38,0)))").cast("long")
+              .as("decayed_share_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_ms(ts) // 86400000 AS day
+             |  FROM events),
+             |mx AS (SELECT max(day) AS max_day FROM ev),
+             |per AS (
+             |  SELECT event_type, count(*) AS n_events,
+             |    sum(CAST(1 AS BIGINT)
+             |      << CAST(30 - least(max_day - day, 30) AS INT))
+             |      AS decayed_num
+             |  FROM ev CROSS JOIN mx
+             |  GROUP BY event_type),
+             |tot AS (SELECT sum(n_events) AS tn, sum(decayed_num) AS td
+             |  FROM per)
+             |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+             |  CAST((2 * n_events * 1000000 + tn) // (2 * tn) AS BIGINT)
+             |    AS plain_share_ppm,
+             |  CAST(decayed_num AS BIGINT) AS decayed_num,
+             |  CAST((2 * decayed_num * 1000000 + td) // (2 * td) AS BIGINT)
+             |    AS decayed_share_ppm
+             |FROM per CROSS JOIN tot
+             |ORDER BY event_type""".stripMargin)))
 }

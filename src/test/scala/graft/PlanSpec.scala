@@ -680,6 +680,29 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("q116: median, deviation, and outlier passes share the cached (type, cents) base; stats broadcast back") {
+    val exec = SparkEntry.queries("q116_mad_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"median, MAD and outlier passes must share one cached " +
+          s"projection:\n${exec.take(2500)}")
+      assert(exec.contains("BroadcastHashJoin"),
+        s"per-type medians/MADs must broadcast back:\n${exec.take(2500)}")
+      assert(!exec.contains("SortMergeJoin") &&
+          !exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q117: decay is one map-side-combinable pass; totals broadcast") {
+    val exec = SparkEntry.queries("q117_decayed_popularity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"per-type decay sums must partial-aggregate:\n${exec.take(2000)}")
+    assert(!exec.contains("SortMergeJoin"), exec.take(2000))
+    assert(!exec.contains("CartesianProduct"), exec.take(2000))
+  }
+
   test("q113: lag, session cumsum, and per-session rollup ride ONE user_id exchange") {
     val exec = SparkEntry.queries("q113_session_gap_sweep")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -454,6 +454,37 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q116 MAD bounds: at most half the points can sit beyond 5 MADs") {
+    val rows = SparkEntry.queries("q116_mad_outliers")(spark, sf)
+      .select("n", "mad_cents", "n_outliers", "outlier_ppm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0, r.toString)
+      assert(r.getLong(2) <= r.getLong(0), r.toString)
+      // by definition of the median deviation, ≥ half the points have
+      // d ≤ mad < 5·mad whenever mad > 0
+      if (r.getLong(1) > 0)
+        assert(r.getLong(3) <= 500000, s"Hampel cut beyond half: $r")
+    }
+  }
+
+  test("q117 decayed shares are a probability vector; weights bounded") {
+    val rows = SparkEntry.queries("q117_decayed_popularity")(spark, sf)
+      .select("n_events", "decayed_num", "plain_share_ppm",
+        "decayed_share_ppm").collect()
+    assert(rows.nonEmpty)
+    val two30 = 1L << 30
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0), s"every weight ≥ 1: $r")
+      assert(r.getLong(1) <= r.getLong(0) * two30, s"weights ≤ 2^30: $r")
+    }
+    for (c <- Seq(2, 3)) {
+      val sum = rows.map(_.getLong(c)).sum
+      assert(math.abs(sum - 1000000L) <= rows.length,
+        s"share column $c must sum to ~1e6 (±rounding): $sum")
+    }
+  }
+
   test("q108 cap keeps exactly min(10, n_docs) per source") {
     val rows = SparkEntry.queries("q108_source_caps")(spark, sf)
       .select("n_docs", "kept_docs", "total_tokens", "kept_tokens")
