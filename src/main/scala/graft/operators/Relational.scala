@@ -914,5 +914,199 @@ object Relational {
              |  CAST((2 * decayed_num * 1000000 + td) // (2 * td) AS BIGINT)
              |    AS decayed_share_ppm
              |FROM per CROSS JOIN tot
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ── Q118: PAGERANK over the event-transition graph — the second
+    // iterative-algorithm family beside the q63 connected-components
+    // fixpoint: 3 power-iteration steps of PageRank (d = 0.85) on the
+    // q106 Markov graph, in DETERMINISTIC integer-ppm arithmetic. Each
+    // step is fully specified integer math — per-edge contribution
+    // (r·n) div out, then r' = 15·10⁶ div (100·N) + (85·Σ) div 100 —
+    // so both engines replay the identical rounded fixpoint and the
+    // result is partition-order-independent (no FP accumulation
+    // order). At 100 TB the corpus-scale work is the ONE lead-window
+    // edge aggregation (q106's exchange); the iterations run on the
+    // bounded |types|² transition table with the rank vector broadcast
+    // — the standard shape for iterating on a contracted graph.
+    QueryDef("q118_transition_pagerank",
+      (s, dir) => {
+        val nx = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type").as("cur"),
+            col("ts"), col("event_id"))
+          .withColumn("nxt", lead(col("cur"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))))
+          .filter(col("nxt").isNotNull)
+        val tr = nx.groupBy(col("cur"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val edges = tr.join(broadcast(
+          tr.groupBy(col("cur")).agg(sum(col("n")).as("out_n"))), "cur")
+        val nodes = tr.select(col("cur").as("v"))
+          .union(tr.select(col("nxt"))).distinct()
+        val nn = nodes.agg(count(lit(1)).as("nN"))
+        var r = nodes.crossJoin(broadcast(nn))
+          .select(col("v"), col("nN"),
+            expr("CAST(1000000 div nN AS BIGINT)").as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(broadcast(r.select(col("v").as("cur"), col("r"))), "cur")
+            .select(col("nxt").as("v"),
+              expr("(r * n) div out_n").as("c"))
+            .groupBy(col("v")).agg(sum(col("c")).as("contrib"))
+          r = nodes.crossJoin(broadcast(nn))
+            .join(broadcast(contrib), Seq("v"), "left")
+            .na.fill(0L, Seq("contrib"))
+            .select(col("v"), col("nN"),
+              expr("(1000000 * 15) div (100 * nN)"
+                + " + (85 * contrib) div 100").as("r"))
+        }
+        val degs = edges.groupBy(col("cur")).agg(
+          first(col("out_n")).as("out_n"), count(lit(1)).as("n_out_edges"))
+        r.select(col("v").as("event_type"), col("r").as("pr_ppm"))
+          .join(broadcast(degs.withColumnRenamed("cur", "event_type")),
+            Seq("event_type"), "left")
+          .na.fill(0L, Seq("out_n", "n_out_edges"))
+          .orderBy(col("pr_ppm").desc, col("event_type"))
+      },
+      Some("""WITH nx AS (
+             |  SELECT event_type AS cur,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS nxt
+             |  FROM events),
+             |tr AS (
+             |  SELECT cur, nxt, count(*) AS n FROM nx
+             |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+             |tot AS (SELECT cur, sum(n) AS out_n FROM tr GROUP BY cur),
+             |edges AS (
+             |  SELECT t.cur, t.nxt, t.n, o.out_n
+             |  FROM tr t JOIN tot o USING (cur)),
+             |nodes AS (
+             |  SELECT DISTINCT v FROM (
+             |    SELECT cur AS v FROM tr UNION SELECT nxt FROM tr)),
+             |nn AS (SELECT count(*) AS nN FROM nodes),
+             |r0 AS (
+             |  SELECT v, CAST(1000000 // nN AS BIGINT) AS r
+             |  FROM nodes CROSS JOIN nn),
+             |c1 AS (
+             |  SELECT e.nxt AS v, sum((r.r * e.n) // e.out_n) AS contrib
+             |  FROM edges e JOIN r0 r ON r.v = e.cur GROUP BY e.nxt),
+             |r1 AS (
+             |  SELECT n.v,
+             |    (1000000 * 15) // (100 * nn.nN)
+             |      + (85 * coalesce(c.contrib, 0)) // 100 AS r
+             |  FROM nodes n CROSS JOIN nn LEFT JOIN c1 c ON c.v = n.v),
+             |c2 AS (
+             |  SELECT e.nxt AS v, sum((r.r * e.n) // e.out_n) AS contrib
+             |  FROM edges e JOIN r1 r ON r.v = e.cur GROUP BY e.nxt),
+             |r2 AS (
+             |  SELECT n.v,
+             |    (1000000 * 15) // (100 * nn.nN)
+             |      + (85 * coalesce(c.contrib, 0)) // 100 AS r
+             |  FROM nodes n CROSS JOIN nn LEFT JOIN c2 c ON c.v = n.v),
+             |c3 AS (
+             |  SELECT e.nxt AS v, sum((r.r * e.n) // e.out_n) AS contrib
+             |  FROM edges e JOIN r2 r ON r.v = e.cur GROUP BY e.nxt),
+             |r3 AS (
+             |  SELECT n.v,
+             |    (1000000 * 15) // (100 * nn.nN)
+             |      + (85 * coalesce(c.contrib, 0)) // 100 AS r
+             |  FROM nodes n CROSS JOIN nn LEFT JOIN c3 c ON c.v = n.v),
+             |degs AS (
+             |  SELECT cur, any_value(out_n) AS out_n,
+             |    count(*) AS n_out_edges
+             |  FROM edges GROUP BY cur)
+             |SELECT r.v AS event_type, CAST(r.r AS BIGINT) AS pr_ppm,
+             |  CAST(coalesce(d.out_n, 0) AS BIGINT) AS out_n,
+             |  CAST(coalesce(d.n_out_edges, 0) AS BIGINT) AS n_out_edges
+             |FROM r3 r LEFT JOIN degs d ON d.cur = r.v
+             |ORDER BY pr_ppm DESC, event_type""".stripMargin)),
+
+    // ── Q119: CONVERSION-LATENCY PERCENTILES — per weekly cohort of
+    // first view, how many users convert (a later-or-same-ms first
+    // purchase) and the median / p90 view→purchase delay, with the
+    // order statistics in the q111/q116 explicit-rank convention —
+    // pure integer milliseconds, no percentile built-ins, no FP. The
+    // funnel complement to q70 (did they convert) and q105 (did they
+    // come back): HOW FAST they convert. One user_id exchange serves
+    // the first-view aggregate, the purchase join, and the per-user
+    // fold; cohorts are bounded (weeks), so the per-cohort rank
+    // windows sort bounded slices, and the report is 1 row per week.
+    QueryDef("q119_conversion_latency",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(min(unix_millis(col("ts"))).as("v_ms"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+        val per = fv.join(fp, Seq("user_id"), "left")
+          .groupBy(col("user_id"))
+          .agg(first(col("v_ms")).as("v_ms"),
+            min(when(col("p_ms") >= col("v_ms"), col("p_ms")))
+              .as("p_first"))
+          .withColumn("cohort_week", expr("v_ms div 604800000"))
+          .withColumn("delta_ms", col("p_first") - col("v_ms"))
+        val wC = Window.partitionBy(col("cohort_week"))
+        val conv = per.filter(col("delta_ms").isNotNull)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("cohort_week")).orderBy(col("delta_ms"))))
+          .withColumn("nc", count(lit(1)).over(wC))
+          .groupBy(col("cohort_week"))
+          .agg(count(lit(1)).as("n_converted"),
+            min(when(col("rn") * 100 >= col("nc") * 50, col("delta_ms")))
+              .as("med_delta_ms"),
+            min(when(col("rn") * 100 >= col("nc") * 90, col("delta_ms")))
+              .as("p90_delta_ms"))
+        per.groupBy(col("cohort_week"))
+          .agg(count(lit(1)).as("n_viewers"))
+          .join(broadcast(conv), Seq("cohort_week"), "left")
+          .na.fill(0L, Seq("n_converted"))
+          .withColumn("conversion_ppm",
+            expr("(2 * n_converted * 1000000 + n_viewers)"
+              + " div (2 * n_viewers)"))
+          .select(col("cohort_week"), col("n_viewers"), col("n_converted"),
+            col("conversion_ppm"), col("med_delta_ms"), col("p90_delta_ms"))
+          .orderBy(col("cohort_week"))
+      },
+      Some("""WITH fv AS (
+             |  SELECT user_id, min(epoch_ms(ts)) AS v_ms
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |fp AS (
+             |  SELECT user_id, epoch_ms(ts) AS p_ms
+             |  FROM events WHERE event_type = 'purchase'),
+             |per AS (
+             |  SELECT f.user_id, any_value(f.v_ms) AS v_ms,
+             |    min(CASE WHEN p.p_ms >= f.v_ms THEN p.p_ms END) AS p_first
+             |  FROM fv f LEFT JOIN fp p USING (user_id)
+             |  GROUP BY f.user_id),
+             |pc AS (
+             |  SELECT user_id, v_ms // 604800000 AS cohort_week,
+             |    p_first - v_ms AS delta_ms
+             |  FROM per),
+             |rk AS (
+             |  SELECT cohort_week, delta_ms,
+             |    row_number() OVER (PARTITION BY cohort_week
+             |      ORDER BY delta_ms) AS rn,
+             |    count(*) OVER (PARTITION BY cohort_week) AS nc
+             |  FROM pc WHERE delta_ms IS NOT NULL),
+             |conv AS (
+             |  SELECT cohort_week, count(*) AS n_converted,
+             |    min(CASE WHEN rn * 100 >= nc * 50 THEN delta_ms END)
+             |      AS med_delta_ms,
+             |    min(CASE WHEN rn * 100 >= nc * 90 THEN delta_ms END)
+             |      AS p90_delta_ms
+             |  FROM rk GROUP BY cohort_week),
+             |base AS (
+             |  SELECT cohort_week, count(*) AS n_viewers
+             |  FROM pc GROUP BY cohort_week)
+             |SELECT b.cohort_week, CAST(b.n_viewers AS BIGINT) AS n_viewers,
+             |  CAST(coalesce(c.n_converted, 0) AS BIGINT) AS n_converted,
+             |  CAST((2 * coalesce(c.n_converted, 0) * 1000000
+             |        + b.n_viewers) // (2 * b.n_viewers) AS BIGINT)
+             |    AS conversion_ppm,
+             |  CAST(c.med_delta_ms AS BIGINT) AS med_delta_ms,
+             |  CAST(c.p90_delta_ms AS BIGINT) AS p90_delta_ms
+             |FROM base b LEFT JOIN conv c USING (cohort_week)
+             |ORDER BY b.cohort_week""".stripMargin)))
 }

@@ -51,7 +51,8 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "q97_minhash_calibration", "q101_hll_distinct",
       "q102_bloom_prefilter", "q103_cdc_chunks", "q104_pq_adc",
       "q107_ivf_probe_curve", "q111_hist_quantiles",
-      "q115_source_jaccard_sketch", "q116_mad_outliers"))
+      "q115_source_jaccard_sketch", "q116_mad_outliers",
+      "q118_transition_pagerank"))
     test(s"$q releases every engine cache after one action, no clearCache") {
       spark.catalog.clearCache() // clean slate from other suites
       val n = SparkEntry.queries(q)(spark, sf).count()

@@ -680,6 +680,31 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("q118: iterations broadcast the rank vector over the cached transition table") {
+    val exec = SparkEntry.queries("q118_transition_pagerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"edges, nodes, and degrees must all read the one cached " +
+          s"transition table:\n${exec.take(2500)}")
+      assert(exec.contains("BroadcastHashJoin"),
+        s"each power-iteration step must broadcast the rank vector:\n${
+          exec.take(2500)}")
+      assert(!exec.contains("SortMergeJoin") &&
+          !exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q119: per-user fold and cohort windows never serialize; cohort stats broadcast") {
+    val exec = SparkEntry.queries("q119_conversion_latency")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange SinglePartition"),
+      s"cohort windows must partition by week, never globally:\n${
+        exec.take(2000)}")
+    assert(exec.contains("BroadcastHashJoin"), exec.take(2000))
+    assert(!exec.contains("CartesianProduct"), exec.take(2000))
+  }
+
   test("q116: median, deviation, and outlier passes share the cached (type, cents) base; stats broadcast back") {
     val exec = SparkEntry.queries("q116_mad_outliers")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -454,6 +454,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q118 PageRank mass is conserved up to integer-floor loss; uniform term is the floor") {
+    val rows = SparkEntry.queries("q118_transition_pagerank")(spark, sf)
+      .select("pr_ppm").collect().map(_.getLong(0)).toSeq
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val uniformFloor = (1000000L * 15) / (100 * n)
+    assert(rows.forall(_ >= uniformFloor),
+      s"every node keeps at least the damping mass: $rows")
+    assert(math.abs(rows.sum - 1000000L) <= 1000,
+      s"rank mass must be ~1e6 up to floor rounding: ${rows.sum}")
+  }
+
+  test("q119 latency stats are ordered and conversion bounded") {
+    val rows = SparkEntry.queries("q119_conversion_latency")(spark, sf)
+      .select("n_viewers", "n_converted", "conversion_ppm",
+        "med_delta_ms", "p90_delta_ms").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), r.toString)
+      assert(r.getLong(2) <= 1000000L, r.toString)
+      if (!r.isNullAt(3) && !r.isNullAt(4))
+        assert(r.getLong(3) <= r.getLong(4),
+          s"median cannot exceed p90: $r")
+    }
+  }
+
   test("q116 MAD bounds: at most half the points can sit beyond 5 MADs") {
     val rows = SparkEntry.queries("q116_mad_outliers")(spark, sf)
       .select("n", "mad_cents", "n_outliers", "outlier_ppm").collect()
