@@ -1108,5 +1108,170 @@ object Relational {
              |  CAST(c.med_delta_ms AS BIGINT) AS med_delta_ms,
              |  CAST(c.p90_delta_ms AS BIGINT) AS p90_delta_ms
              |FROM base b LEFT JOIN conv c USING (cohort_week)
-             |ORDER BY b.cohort_week""".stripMargin)))
+             |ORDER BY b.cohort_week""".stripMargin)),
+
+    // ── Q122: VALUE-CONCENTRATION GINI — per event type, the Gini
+    // coefficient of per-user total value in exact integer cents: the
+    // standard whale-concentration number (how unequal is spend across
+    // users) behind revenue-risk and abuse dashboards. Computed by the
+    // rank formula over the ascending (total, user_id) order —
+    // G = (2·Σ i·tᵢ − (n+1)·Σtᵢ) / (n·Σtᵢ) — every term an exact
+    // int64/ppm (no FP Lorenz integration), plus the single-largest-
+    // user share as the tail pin. The (t, user_id) order is a total
+    // order, so both engines rank — and therefore sum i·tᵢ —
+    // identically.
+    //
+    // 100 TB shape: one (event_type, user_id) exchange builds the
+    // per-user totals (map-side combined); the rank window then sorts
+    // |users| 16-byte rows per type — the honest exact-statistic cost
+    // (q116's argument) — and the final rollup is |types| rows.
+    // Nothing re-scans events.
+    QueryDef("q122_value_gini",
+      (s, dir) => {
+        val tot = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("cents")).as("t"))
+        tot
+          .withColumn("i", row_number().over(Window
+            .partitionBy(col("event_type"))
+            .orderBy(col("t"), col("user_id"))))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("t")).as("total_cents"),
+            sum(col("i") * col("t")).as("w"),
+            max(col("t")).as("max_user_cents"))
+          .select(col("event_type"), col("n_users"), col("total_cents"),
+            // DECIMAL(38,0) throughout: 2·w·10⁶ ≈ 2·10⁶·n·Σt clears
+            // int64 around Σt ~ 10¹⁰ cents — reachable at 100 TB.
+            expr("CAST((2 * (2 * CAST(w AS DECIMAL(38,0))"
+              + " - (n_users + 1) * CAST(total_cents AS DECIMAL(38,0)))"
+              + " * 1000000 + CAST(n_users AS DECIMAL(38,0)) * total_cents)"
+              + " div (2 * nullif(CAST(n_users AS DECIMAL(38,0))"
+              + " * total_cents, 0)) AS BIGINT)")
+              .as("gini_ppm"),
+            expr("(2 * max_user_cents * 1000000 + total_cents)"
+              + " div (2 * nullif(total_cents, 0))")
+              .as("max_user_share_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH tot AS (
+             |  SELECT event_type, user_id,
+             |    sum(CAST(round(value * 100) AS BIGINT)) AS t
+             |  FROM events GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT event_type, t, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY t, user_id) AS i
+             |  FROM tot),
+             |agg AS (
+             |  SELECT event_type, count(*) AS n_users,
+             |    sum(t) AS total_cents, sum(i * t) AS w,
+             |    max(t) AS max_user_cents
+             |  FROM rk GROUP BY event_type)
+             |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+             |  CAST(total_cents AS BIGINT) AS total_cents,
+             |  CAST((2 * (2 * w - (n_users + 1) * total_cents) * 1000000
+             |        + n_users * total_cents)
+             |    // (2 * nullif(n_users * total_cents, 0)) AS BIGINT)
+             |    AS gini_ppm,
+             |  CAST((2 * max_user_cents * 1000000 + total_cents)
+             |    // (2 * nullif(total_cents, 0)) AS BIGINT)
+             |    AS max_user_share_ppm
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    // ── Q125: HOUR-OF-DAY SEASONAL ANOMALIES — per clock hour, the
+    // median and MAD of the DAILY event counts at that hour (over the
+    // dense day × hour grid, zero-filled — a silent outage hour must
+    // read as an anomalous 0, not a missing row), and how many
+    // (day, hour) cells sit outside Hampel's 5-MAD band: q116's robust
+    // statistic pointed at the time axis — the seasonal-baseline
+    // anomaly check an ops pipeline runs on event volume, immune to
+    // the heavy-tailed traffic spikes that wreck mean/stddev bands.
+    //
+    // 100 TB shape: the corpus-scale work is ONE map-side-combinable
+    // (day, hour) count; the dense grid (days × 24 — bounded by the
+    // calendar, not the corpus) left-joins those counts, per-hour
+    // order statistics run over ~365 samples each (q116's explicit-
+    // rank convention, exact integers), and the 24-row stats broadcast
+    // back onto the grid for the band test.
+    QueryDef("q125_hourly_anomaly",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(expr("unix_millis(ts) div 86400000").as("day"),
+            expr("(unix_millis(ts) div 3600000) % 24").as("hour"))
+        val counts = ev.groupBy(col("day"), col("hour"))
+          .agg(count(lit(1)).as("c"))
+        val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val grid = span
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .select(col("day"), explode(sequence(lit(0L), lit(23L))).as("hour"))
+          .join(counts, Seq("day", "hour"), "left")
+          .select(col("day"), col("hour"),
+            coalesce(col("c"), lit(0L)).as("c"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val wH = Window.partitionBy(col("hour"))
+        def stat(df: org.apache.spark.sql.DataFrame, cn: String) =
+          df.withColumn("rn", row_number().over(
+              Window.partitionBy(col("hour")).orderBy(col(cn))))
+            .withColumn("n", count(lit(1)).over(wH))
+            .groupBy(col("hour"))
+            .agg(min(when(col("rn") * 100 >= col("n") * 50, col(cn)))
+              .as(s"med_$cn"))
+        val med = stat(grid, "c").withColumnRenamed("med_c", "med_count")
+        val dev = grid.join(broadcast(med), "hour")
+          .withColumn("d", abs(col("c") - col("med_count")))
+        val mad = stat(dev.select(col("hour"), col("d")), "d")
+          .withColumnRenamed("med_d", "mad_count")
+        dev.join(broadcast(mad), "hour")
+          .groupBy(col("hour"))
+          .agg(count(lit(1)).as("n_days"),
+            first(col("med_count")).as("med_count"),
+            first(col("mad_count")).as("mad_count"),
+            sum(when(col("d") > lit(5L) * col("mad_count"), 1L)
+              .otherwise(0L)).as("n_anomalies"))
+          .orderBy(col("hour"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_ms(ts) // 86400000 AS day,
+             |    (epoch_ms(ts) // 3600000) % 24 AS hour
+             |  FROM events),
+             |counts AS (
+             |  SELECT day, hour, count(*) AS c FROM ev GROUP BY 1, 2),
+             |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+             |days AS (
+             |  SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+             |grid AS (
+             |  SELECT dh.day, dh.hour, coalesce(c.c, 0) AS c
+             |  FROM (SELECT d.day, h.hour FROM days d,
+             |          (SELECT unnest(generate_series(0, 23)) AS hour) h) dh
+             |  LEFT JOIN counts c ON c.day = dh.day AND c.hour = dh.hour),
+             |r1 AS (
+             |  SELECT hour, c, row_number() OVER (
+             |    PARTITION BY hour ORDER BY c) AS rn,
+             |    count(*) OVER (PARTITION BY hour) AS n
+             |  FROM grid),
+             |med AS (
+             |  SELECT hour, min(CASE WHEN rn * 100 >= n * 50 THEN c END)
+             |    AS med_count
+             |  FROM r1 GROUP BY hour),
+             |dev AS (
+             |  SELECT g.hour, abs(g.c - m.med_count) AS d, m.med_count
+             |  FROM grid g JOIN med m USING (hour)),
+             |r2 AS (
+             |  SELECT hour, d, row_number() OVER (
+             |    PARTITION BY hour ORDER BY d) AS rn,
+             |    count(*) OVER (PARTITION BY hour) AS n
+             |  FROM dev),
+             |mad AS (
+             |  SELECT hour, min(CASE WHEN rn * 100 >= n * 50 THEN d END)
+             |    AS mad_count
+             |  FROM r2 GROUP BY hour)
+             |SELECT d.hour, count(*) AS n_days,
+             |  CAST(any_value(d.med_count) AS BIGINT) AS med_count,
+             |  CAST(any_value(a.mad_count) AS BIGINT) AS mad_count,
+             |  CAST(sum(CASE WHEN d.d > 5 * a.mad_count THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_anomalies
+             |FROM dev d JOIN mad a USING (hour)
+             |GROUP BY d.hour ORDER BY d.hour""".stripMargin)))
 }

@@ -44,6 +44,20 @@ object Similarity {
       s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
       .mkString(" + ")
 
+  /** q120's truncation sweep points — nested prefixes of the vector. */
+  private val TRUNC_DIMS: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** SQL: left-assoc dot of `e`'s first `d` elements against queryVec. */
+  private def dotConstSqlN(e: String, d: Int): String =
+    (0 until d).map(i =>
+      s"CAST($e[${i + 1}] AS DOUBLE) * ${f(queryVec(i))}").mkString(" + ")
+
+  /** SQL: left-assoc squared norm of `e`'s first `d` elements. */
+  private def norm2SqlN(e: String, d: Int): String =
+    (0 until d).map(i =>
+      s"CAST($e[${i + 1}] AS DOUBLE) * CAST($e[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+
   /** DuckDB CTE chain deriving the 64×64 LSH plane matrix from first
     * principles — the same mix64(hash64("plane:p:i")) % 1000003 /
     * 1000003.0 the Scala kernel computes (VectorKernels.planeValue) —
@@ -1147,7 +1161,183 @@ object Similarity {
            |    AS recall_ppm
            |FROM ann a LEFT JOIN ex e USING (vec_id)
            |GROUP BY a.n_probe ORDER BY a.n_probe""".stripMargin
-      }))
+      }),
+
+    // ── Q120: TRUNCATED-DIMENSION RECALL CURVE — recall@10 of
+    // prefix-dimension cosine ranking vs the full 64-dim exact top-10,
+    // at dims = 8/16/32/64, in ONE query (Kusupati et al. 2022,
+    // "Matryoshka Representation Learning": serve a cheap low-dim
+    // prefix of the embedding, keep the full vector for re-rank; this
+    // is the dimension-budget tuning curve a vector store runs before
+    // picking the serving width — q107's probe sweep with dims as the
+    // knob). The sweep dims NEST (each prefix extends the previous),
+    // and the dims = 64 point IS the exact ranking, so recall there is
+    // 1e6 by construction — the self-calibration row QueriesSpec pins.
+    //
+    // 100 TB shape: ONE corpus scan computes all four prefix scores
+    // (the native graft_dot fold over the length-d literal/slice —
+    // never a shuffled vector), the 4-way fan-out multiplies a
+    // 12-byte (vec_id, sc) projection, each sweep point's top-10 runs
+    // through the bounded TopKPerKey heap partitioned by sweep point,
+    // and the 10-row exact set broadcasts back. FP parity: each score
+    // keeps one association — dot_d / sqrt(norm2_d · qn2_d), every
+    // element cast to double before multiplying, summed strictly
+    // left-to-right — so both engines rank identical doubles.
+    QueryDef("q120_trunc_recall",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        val e = Tables.embeddings(s, dir)
+        def scoreAt(d: Int): Column = {
+          val q = queryVec.take(d)
+          val qn2d = q.map(x => x * x).sum
+          val pre = slice(col("embedding"), 1, d)
+          val n2 = VectorKernels.dot(pre, pre)
+          when(n2 === 0.0, lit(0.0))
+            .otherwise(VectorKernels.dotConst(col("embedding"), q) /
+              sqrt(n2 * lit(qn2d)))
+        }
+        val scored = e.select(col("vec_id") +:
+            TRUNC_DIMS.map(d => scoreAt(d).as(s"sc$d")): _*)
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val fan = scored.select(col("vec_id"),
+            explode(array(TRUNC_DIMS.map(d => struct(
+              lit(d.toLong).as("dims"), col(s"sc$d").as("sc"))): _*)).as("p"))
+          .select(col("vec_id"), col("p.dims").as("dims"), col("p.sc").as("sc"))
+        val ann = fan.withColumn("rn", row_number().over(
+            Window.partitionBy(col("dims"))
+              .orderBy(col("sc").desc, col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("dims"), col("vec_id"))
+        val exact = scored
+          .orderBy(col(s"sc${TRUNC_DIMS.last}").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"), lit(1L).as("x"))
+        ann.join(broadcast(exact), Seq("vec_id"), "left")
+          .groupBy(col("dims"))
+          .agg(count(lit(1)).as("n_ann"),
+            sum(when(col("x").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .select(col("dims"), col("n_ann"), col("n_hit"),
+            expr("(2 * n_hit * 1000000 + n_ann)"
+              + " div (2 * nullif(n_ann, 0))").as("recall_ppm"))
+          .orderBy(col("dims"))
+      },
+      Some {
+        val scs = TRUNC_DIMS.map { d =>
+          val qn2d = queryVec.take(d).map(x => x * x).sum
+          s"""CASE WHEN (${norm2SqlN("embedding", d)}) = 0 THEN 0.0
+             |      ELSE (${dotConstSqlN("embedding", d)})
+             |        / sqrt((${norm2SqlN("embedding", d)}) * ${f(qn2d)})
+             |    END AS sc$d""".stripMargin
+        }.mkString(",\n    ")
+        val caseSc = TRUNC_DIMS.init.map(d =>
+          s"WHEN ${d} THEN sc$d").mkString(" ")
+        s"""WITH scored AS (
+           |  SELECT vec_id,
+           |    $scs
+           |  FROM embeddings),
+           |fan AS (
+           |  SELECT vec_id, d.dims,
+           |    CASE d.dims $caseSc ELSE sc${TRUNC_DIMS.last} END AS sc
+           |  FROM scored, (SELECT CAST(unnest([${TRUNC_DIMS.mkString(", ")}])
+           |    AS BIGINT) AS dims) d),
+           |annr AS (
+           |  SELECT dims, vec_id, row_number() OVER (
+           |    PARTITION BY dims ORDER BY sc DESC, vec_id) AS rn
+           |  FROM fan),
+           |ann AS (SELECT dims, vec_id FROM annr WHERE rn <= 10),
+           |ex AS (
+           |  SELECT vec_id FROM scored
+           |  ORDER BY sc${TRUNC_DIMS.last} DESC, vec_id LIMIT 10)
+           |SELECT a.dims, CAST(count(*) AS BIGINT) AS n_ann,
+           |  CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hit,
+           |  CAST((2 * sum(CASE WHEN e.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) * 1000000 + count(*))
+           |    // (2 * nullif(count(*), 0)) AS BIGINT) AS recall_ppm
+           |FROM ann a LEFT JOIN ex e USING (vec_id)
+           |GROUP BY a.dims ORDER BY a.dims""".stripMargin
+      }),
+
+    // ── Q121: kNN-GRAPH HUBNESS AUDIT — the in-degree (k-occurrence)
+    // distribution of the 3-NN graph over a fixed 200-query panel:
+    // high-dimensional embedding spaces concentrate nearest-neighbor
+    // lists onto a few "hub" points while many points appear in no
+    // list at all (Radovanović et al. 2010, JMLR 11, "Hubs in space");
+    // a heavy right tail here predicts degraded retrieval quality and
+    // is the standard intrinsic-dimensionality red flag a vector
+    // pipeline checks before trusting its index. Output: one row per
+    // observed in-degree with the number of vectors at that degree
+    // (degree 0 — the anti-hubs — included via the corpus left join).
+    //
+    // 100 TB shape: the panel is FIXED-SIZE (vec_id < 200), so the
+    // audit is one corpus scan with the 200 quantized panel vectors
+    // broadcast onto it — the corpus never shuffles a vector; per-
+    // panel-query top-3 runs through the bounded TopKPerKey heap, and
+    // everything downstream aggregates (cand, count) pairs. Distances
+    // are exact int64 over the 1e-4-quantized domain (q52/q98's
+    // KMeans helpers), so the argmin set — and every degree count —
+    // is identical at any partitioning in both engines.
+    QueryDef("q121_knn_hubness",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        // Pair distances via the expansion d² = |a|² + |b|² − 2·a·b
+        // with the fused graft_dot codegen loop — NOT the interpreted
+        // zip_with/aggregate fold (measured 4.0 → 0.6 s at sf0.1 over
+        // the 200·N pair fan-out). Still EXACT: quantized components
+        // are ≤ ~2·10⁵, so every product (≤ 4·10¹⁰) and partial sum
+        // (≤ 2.6·10¹²) is an integer below 2⁵³ — the double
+        // accumulator represents each exactly and the final cast to
+        // long is the same integer the per-dim difference sum yields.
+        val pv = KMeans.quantized(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+          .select(col("id"), col("qa").cast("array<double>").as("qa"))
+          .withColumn("n2",
+            VectorKernels.dot(col("qa"), col("qa")).cast("long"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val panel = pv.filter(col("id") < 200)
+          .select(col("id").as("qid"), col("qa").as("pq"),
+            col("n2").as("pn2"))
+        val top3 = pv.join(broadcast(panel), col("id") =!= col("qid"))
+          .select(col("qid"), col("id").as("cand"),
+            (col("n2") + col("pn2")
+              - (VectorKernels.dot(col("qa"), col("pq")) * 2)
+                .cast("long")).as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("d2"), col("cand"))))
+          .filter(col("rn") <= 3)
+        val deg = top3.groupBy(col("cand")).agg(count(lit(1)).as("deg"))
+        pv.select(col("id").as("cand"))
+          .join(deg, Seq("cand"), "left")
+          .select(coalesce(col("deg"), lit(0L)).as("in_degree"))
+          .groupBy(col("in_degree"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy(col("in_degree"))
+      },
+      Some("""WITH qv AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+             |      AS BIGINT) AS q
+             |  FROM embeddings),
+             |pd AS (
+             |  SELECT p.vec_id AS qid, c.vec_id AS cand,
+             |    sum((c.q - p.q) * (c.q - p.q)) AS d2
+             |  FROM qv c JOIN qv p
+             |    ON c.dim = p.dim AND c.vec_id <> p.vec_id
+             |  WHERE p.vec_id < 200
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT qid, cand, row_number() OVER (
+             |    PARTITION BY qid ORDER BY d2, cand) AS rn
+             |  FROM pd),
+             |deg AS (
+             |  SELECT cand, count(*) AS deg FROM r WHERE rn <= 3
+             |  GROUP BY cand),
+             |alld AS (
+             |  SELECT coalesce(d.deg, 0) AS in_degree
+             |  FROM embeddings v LEFT JOIN deg d ON d.cand = v.vec_id)
+             |SELECT CAST(in_degree AS BIGINT) AS in_degree,
+             |  CAST(count(*) AS BIGINT) AS n_vectors
+             |FROM alld GROUP BY in_degree ORDER BY in_degree""".stripMargin)))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the

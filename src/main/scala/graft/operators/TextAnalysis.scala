@@ -2446,5 +2446,118 @@ object TextAnalysis {
               |  ON i.source_a = p.source_a AND i.source_b = p.source_b
               |JOIN est e
               |  ON e.source_a = p.source_a AND e.source_b = p.source_b
-              |ORDER BY p.source_a, p.source_b""".stripMargin)))
+              |ORDER BY p.source_a, p.source_b""".stripMargin)),
+
+    // ── Q123: TOKEN BURSTINESS — cf/df per token (mean occurrences
+    // per CONTAINING document; Church & Gale 1995, "Poisson mixtures":
+    // content words clump — once a document uses a term it reuses it —
+    // while function words spread evenly, so cf/df ≫ 1 marks topical/
+    // boilerplate-prone terms where raw frequency cannot). Top-20 by
+    // half-up-ppm burstiness among tokens in ≥ 5 documents (the
+    // dispersion floor below which cf/df is noise). The q31/q92
+    // quality family scores documents; this scores the VOCABULARY —
+    // the term-level view that seeds stopword and boilerplate lists.
+    //
+    // 100 TB shape: word-count shape — per-(token, doc) counts
+    // partial-aggregate map-side, the second rollup carries one row
+    // per distinct token, and the global top-20 is a
+    // TakeOrderedAndProject (no full sort). Integer-exact ppm, plain-
+    // split tokenization ([[OracleSql.plainSplit]] twin).
+    QueryDef("q123_token_burstiness",
+      (s, dir) => {
+        val perDoc = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .groupBy(col("tok"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+        perDoc.groupBy(col("tok"))
+          .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+          .filter(col("df") >= 5)
+          .select(col("tok").as("token"), col("cf"), col("df"),
+            expr("(2 * cf * 1000000 + df) div (2 * df)")
+              .as("burstiness_ppm"))
+          .orderBy(col("burstiness_ppm").desc, col("token"))
+          .limit(20)
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, unnest(${OracleSql.plainSplit}) AS tok
+              |  FROM documents),
+              |pd AS (
+              |  SELECT tok, doc_id, count(*) AS c FROM tk GROUP BY 1, 2),
+              |agg AS (
+              |  SELECT tok AS token, sum(c) AS cf, count(*) AS df
+              |  FROM pd GROUP BY 1)
+              |SELECT token, CAST(cf AS BIGINT) AS cf,
+              |  CAST(df AS BIGINT) AS df,
+              |  CAST((2 * cf * 1000000 + df) // (2 * df) AS BIGINT)
+              |    AS burstiness_ppm
+              |FROM agg WHERE df >= 5
+              |ORDER BY burstiness_ppm DESC, token LIMIT 20""".stripMargin)),
+
+    // ── Q124: N-GRAM DIVERSITY (distinct-n) — per source and n =
+    // 1/2/3, the distinct-to-total n-gram ratio in ppm: the standard
+    // corpus diversity metric (distinct-1/-2 of Li et al. 2016, the
+    // Self-BLEU complement) — low distinct-n flags templated or
+    // looping text that per-document signals (q45's repetition
+    // ratios) miss when the repetition is ACROSS documents. The three
+    // n values fan out from ONE token-array scan (an array-of-structs
+    // explode — the corpus is read once), and grams travel as 8-byte
+    // graft_hash64 keys, never strings, so the (source, n, hash)
+    // exchange is fixed-width — the q76/q81 key convention; the
+    // oracle replays the identical polynomial hash, so a collision
+    // (astronomically unlikely) would bend both engines equally.
+    // Map-side combine collapses each task to its local distinct
+    // grams before the shuffle; the final rollup is |sources|·3 rows.
+    QueryDef("q124_ngram_diversity",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("source"), toks.as("t"))
+        base.select(col("source"), explode(array(
+            struct(lit(1L).as("n"), col("t").as("gs")),
+            struct(lit(2L).as("n"), bigramsOfT.as("gs")),
+            struct(lit(3L).as("n"), trigramsOfT.as("gs")))).as("p"))
+          .select(col("source"), col("p.n").as("n"),
+            explode(col("p.gs")).as("g"))
+          .select(col("source"), col("n"), hash64C(col("g")).as("h"))
+          .groupBy(col("source"), col("n"), col("h"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"), col("n"))
+          .agg(sum(col("c")).as("total_ngrams"),
+            count(lit(1)).as("distinct_ngrams"))
+          .withColumn("distinct_ppm",
+            expr("(2 * distinct_ngrams * 1000000 + total_ngrams)"
+              + " div (2 * nullif(total_ngrams, 0))"))
+          .orderBy(col("source"), col("n"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT source, ${OracleSql.plainSplit} AS t
+              |  FROM documents),
+              |g1 AS (
+              |  SELECT source, 1 AS n, unnest(t) AS g FROM tk),
+              |g2 AS (
+              |  SELECT source, 2 AS n,
+              |    unnest(list_transform(range(1, len(t)),
+              |      i -> t[i] || ' ' || t[i + 1])) AS g
+              |  FROM tk WHERE len(t) >= 2),
+              |g3 AS (
+              |  SELECT source, 3 AS n,
+              |    unnest(list_transform(range(1, len(t) - 1),
+              |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+              |  FROM tk WHERE len(t) >= 3),
+              |fan AS (
+              |  SELECT * FROM g1 UNION ALL SELECT * FROM g2
+              |  UNION ALL SELECT * FROM g3),
+              |hashed AS (
+              |  SELECT source, n, ${OracleSql.hash64("g")} AS h, count(*) AS c
+              |  FROM fan GROUP BY 1, 2, 3),
+              |per AS (
+              |  SELECT source, n, sum(c) AS total_ngrams,
+              |    count(*) AS distinct_ngrams
+              |  FROM hashed GROUP BY 1, 2)
+              |SELECT source, CAST(n AS BIGINT) AS n,
+              |  CAST(total_ngrams AS BIGINT) AS total_ngrams,
+              |  CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
+              |  CAST((2 * distinct_ngrams * 1000000 + total_ngrams)
+              |    // (2 * nullif(total_ngrams, 0)) AS BIGINT)
+              |    AS distinct_ppm
+              |FROM per ORDER BY source, n""".stripMargin)))
 }

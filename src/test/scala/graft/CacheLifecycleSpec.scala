@@ -52,7 +52,8 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "q102_bloom_prefilter", "q103_cdc_chunks", "q104_pq_adc",
       "q107_ivf_probe_curve", "q111_hist_quantiles",
       "q115_source_jaccard_sketch", "q116_mad_outliers",
-      "q118_transition_pagerank"))
+      "q118_transition_pagerank", "q120_trunc_recall",
+      "q121_knn_hubness", "q125_hourly_anomaly"))
     test(s"$q releases every engine cache after one action, no clearCache") {
       spark.catalog.clearCache() // clean slate from other suites
       val n = SparkEntry.queries(q)(spark, sf).count()

@@ -781,6 +781,87 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("q120: one cached scored projection feeds all sweep points and the exact top-10") {
+    val exec = SparkEntry.queries("q120_trunc_recall")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("TopKPerKey"),
+        s"per-sweep-point top-10 must use the bounded heap:\n${
+          exec.take(2500)}")
+      assert(exec.contains("TakeOrderedAndProject"),
+        s"the exact top-10 must never globally sort:\n${exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"fan-out and exact branches must share the one cached scored " +
+          s"projection (the corpus is scored once):\n${exec.take(2500)}")
+      assert(exec.contains("BroadcastHashJoin") &&
+          !exec.contains("SortMergeJoin") &&
+          !exec.contains("CartesianProduct"),
+        s"the 10-row exact set must broadcast back:\n${exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q121: fixed panel broadcasts onto the corpus; top-3 via the bounded heap") {
+    val exec = SparkEntry.queries("q121_knn_hubness")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("BroadcastNestedLoopJoin"),
+        s"the 200-row panel must broadcast (non-equi id != qid " +
+          s"condition) — the corpus never shuffles a vector:\n${
+            exec.take(2500)}")
+      assert(exec.contains("TopKPerKey"),
+        s"per-query top-3 must use the bounded heap:\n${exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"panel, pair fan-out, and the degree-0 left join must share " +
+          s"the one cached quantized projection:\n${exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q122: per-user totals and the rank window share one event_type-compatible exchange chain; no join") {
+    val p = plan("q122_value_gini")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"),
+      s"Gini is windows + aggregation only — nothing to join:\n${
+        p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"ranking partitions by event_type, never one partition:\n${
+        p.take(2000)}")
+  }
+
+  test("q123: global top-20 is a TakeOrderedAndProject, never a full sort") {
+    val p = plan("q123_token_burstiness")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4,
+      s"both rollups must partial-aggregate map-side:\n${p.take(2000)}")
+  }
+
+  test("q124: single-scan fan-out — no join anywhere, grams leave the scan hashed") {
+    val p = plan("q124_ngram_diversity")
+    assert(!p.contains("Join"),
+      s"the three n values fan out from one token-array scan:\n${
+        p.take(2000)}")
+    assert(p.contains("graft_hash64"),
+      s"grams must travel as 8-byte hashes, not strings:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"the corpus is read exactly once:\n${p.take(2000)}")
+  }
+
+  test("q125: per-hour stats broadcast back over the cached grid") {
+    val exec = SparkEntry.queries("q125_hourly_anomaly")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("BroadcastHashJoin") &&
+          !exec.contains("SortMergeJoin"),
+        s"24-row med/mad tables must broadcast:\n${exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"median, deviation, and band passes must share the one cached " +
+          s"dense grid:\n${exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
   test("q103: chunk window is per-doc (no single-partition sort); dup set broadcasts back") {
     val exec = SparkEntry.queries("q103_cdc_chunks")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -511,6 +511,90 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 dims=64 is the exact ranking by construction; every sweep row bounded") {
+    val rows = SparkEntry.queries("q120_trunc_recall")(spark, sf)
+      .select("dims", "n_ann", "n_hit", "recall_ppm").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(8L, 16L, 32L, 64L))
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 10 && r.getLong(2) <= r.getLong(1), r.toString)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000, r.toString)
+    }
+    val full = rows.find(_.getLong(0) == 64L).get
+    assert(full.getLong(3) == 1000000 && full.getLong(2) == full.getLong(1),
+      s"the full-width sweep point IS the exact ranking: $full")
+  }
+
+  test("q121 degree histogram accounts for every vector and every panel edge") {
+    val rows = SparkEntry.queries("q121_knn_hubness")(spark, sf)
+      .select("in_degree", "n_vectors").collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val panel = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 200).count()
+    assert(rows.map(_.getLong(1)).sum == n,
+      "histogram must partition the corpus (anti-hubs included)")
+    val edges = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(edges == panel * math.min(3L, n - 1),
+      s"each panel query emits exactly min(3, n-1) edges: $edges")
+  }
+
+  test("q122 Gini and max-share are bounded and consistent") {
+    val rows = SparkEntry.queries("q122_value_gini")(spark, sf)
+      .select("n_users", "gini_ppm", "max_user_share_ppm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, g, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(g >= 0 && g <= 1000000, s"Gini is a [0,1] share: $r")
+      // the single largest user holds at least the mean share
+      assert(mx * n + n >= 1000000, s"max share below mean: $r")
+      assert(mx <= 1000000, r.toString)
+    }
+  }
+
+  test("q123 burstiness is ≥ 1 by construction (cf ≥ df)") {
+    val rows = SparkEntry.queries("q123_token_burstiness")(spark, sf)
+      .select("cf", "df", "burstiness_ppm").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5, s"df floor: $r")
+      assert(r.getLong(0) >= r.getLong(1),
+        s"a containing doc contributes ≥ 1 occurrence: $r")
+      assert(r.getLong(2) >= 1000000, s"cf/df ≥ 1 in ppm: $r")
+    }
+  }
+
+  test("q124 totals shrink with n; distinct never exceeds total") {
+    val rows = SparkEntry.queries("q124_ngram_diversity")(spark, sf)
+      .select("source", "n", "total_ngrams", "distinct_ngrams").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), r.toString)
+      assert(r.getLong(3) >= 1, r.toString)
+    }
+    // per source: total n-grams is monotone non-increasing in n —
+    // each doc contributes max(len − n + 1, 0) grams (provable lattice)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val byN = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(byN(1L) >= byN(2L) && byN(2L) >= byN(3L),
+        s"$src: totals must shrink with n: $byN")
+    }
+  }
+
+  test("q125 covers all 24 hours with a full day grid; Hampel bound holds") {
+    val rows = SparkEntry.queries("q125_hourly_anomaly")(spark, sf)
+      .select("hour", "n_days", "med_count", "mad_count", "n_anomalies")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L to 23L).toSet)
+    val days = rows.map(_.getLong(1)).distinct
+    assert(days.length == 1, s"dense grid: same day count per hour: $days")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0, r.toString)
+      // ≥ half the cells sit within one MAD of the median when mad > 0
+      if (r.getLong(3) > 0)
+        assert(2 * r.getLong(4) <= r.getLong(1),
+          s"more than half the days beyond 5 MADs: $r")
+    }
+  }
+
   test("q108 cap keeps exactly min(10, n_docs) per source") {
     val rows = SparkEntry.queries("q108_source_caps")(spark, sf)
       .select("n_docs", "kept_docs", "total_tokens", "kept_tokens")
