@@ -173,6 +173,21 @@ object Dedup {
     * miners instead of once per miner.
     */
   private[graft] def ppjoinPairsFrom(harr: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ppjoinVerifiedFrom(harr)
+      .select(col("doc_a"), col("doc_b"), col("inter").as("n_shared"),
+        expr("CAST((2 * inter * 1000000 + un)" +
+          " div (2 * un) AS DOUBLE) / 1000000.0").as("jaccard"))
+
+  /** The verified PPJoin pair table BEFORE the Jaccard projection:
+    * (doc_a, doc_b, inter, un) for every candidate pair whose true
+    * overlap clears the J ≥ ½ bound (graft_sorted_overlap's early-exit
+    * threshold, inter ≥ ⌈(|A|+|B|)/3⌉ ⟺ 2·inter ≥ un). q46 projects
+    * this to (n_shared, jaccard); q126 sweeps thresholds ≥ ½ over the
+    * exact (inter, un) integers — every sweep set is a subset of this
+    * table, so the ½ generation bound stays sound for the whole curve.
+    */
+  private[graft] def ppjoinVerifiedFrom(harr: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val cands = prefixCandidates(harr)
     val ha = harr.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"))
@@ -185,10 +200,8 @@ object Dedup {
         (size(col("hl_a")) + size(col("hl_b"))).cast("long").as("sz"))
       .filter(col("inter0") >= 0)
       .select(col("doc_a"), col("doc_b"),
-        col("inter0").cast("long").as("inter"), col("sz"))
-      .select(col("doc_a"), col("doc_b"), col("inter").as("n_shared"),
-        expr("CAST((2 * inter * 1000000 + (sz - inter))" +
-          " div (2 * (sz - inter)) AS DOUBLE) / 1000000.0").as("jaccard"))
+        col("inter0").cast("long").as("inter"),
+        (col("sz") - col("inter0").cast("long")).as("un"))
   }
 
   /** q46's oracle CTE chain through `verified$sfx` (doc_a, doc_b,
@@ -1820,5 +1833,83 @@ object Dedup {
               |        * 1000000 + count(*))
               |    // (2 * count(*)) AS BIGINT) AS dup_ppm
               |FROM chunks c LEFT JOIN dup d USING (sig, n_anchors)
-              |GROUP BY source ORDER BY source""".stripMargin)))
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q126: DEDUP-THRESHOLD SWEEP — pair count and touched-doc
+    // count at Jaccard cutoffs 0.5 / 0.7 / 0.9 from ONE exact PPJoin
+    // pass: the aggressiveness knob every dedup deployment tunes
+    // (too low deletes paraphrases, too high keeps boilerplate; Lee
+    // et al. 2022 "Deduplicating Training Data Makes Language Models
+    // Better" sweep exactly this axis before committing a threshold) —
+    // the q89/q97/q107 measure-your-own-knobs philosophy pointed at
+    // the dedup decision itself. The cutoffs are SUPERSETS by
+    // construction (J ≥ 0.9 ⊆ 0.7 ⊆ 0.5), so both curves are provably
+    // non-increasing — pinned corpus-independently in QueriesSpec.
+    //
+    // 100 TB shape: the expensive work — capped prefix-filter
+    // candidate generation + sorted-merge verify — happens ONCE at the
+    // loosest cutoff (the ½ generation bound of [[ppjoinVerifiedFrom]]
+    // keeps every tighter sweep set inside the verified table); the
+    // 3-way fan-out multiplies a 4-column integer pair table, and the
+    // threshold test 100·inter ≥ t·un is pure integer arithmetic — no
+    // rounded ratio ever compares against a cutoff, so a boundary pair
+    // cannot flicker between engines. Missing sweep points zero-fill
+    // via the 3-row threshold table (a dedup report must show "0 pairs
+    // at 0.9", not omit the row).
+    QueryDef("q126_dedup_threshold_sweep",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val ver = ppjoinVerifiedFrom(sortedShingleHashes(docs)
+          .transform(graft.plans.CacheLifecycle.autoRelease))
+        val fan = ver.select(col("doc_a"), col("doc_b"), col("inter"),
+            col("un"),
+            explode(array(lit(50L), lit(70L), lit(90L)))
+              .as("threshold_pct"))
+          .filter(col("inter") * 100 >= col("threshold_pct") * col("un"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val pairs = fan.groupBy(col("threshold_pct"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val docsIn = fan
+          .select(col("threshold_pct"),
+            explode(array(col("doc_a"), col("doc_b"))).as("d"))
+          .distinct()
+          .groupBy(col("threshold_pct"))
+          .agg(count(lit(1)).as("n_docs_in_pairs"))
+        s.range(1)
+          .select(explode(array(lit(50L), lit(70L), lit(90L)))
+            .as("threshold_pct"))
+          .join(pairs, Seq("threshold_pct"), "left")
+          .join(docsIn, Seq("threshold_pct"), "left")
+          .select(col("threshold_pct"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs_in_pairs"), lit(0L))
+              .as("n_docs_in_pairs"))
+          .orderBy(col("threshold_pct"))
+      },
+      Some(s"""WITH ${ppjoinVerifiedCtes("")},
+              |ts AS (SELECT CAST(unnest([50, 70, 90]) AS BIGINT)
+              |  AS threshold_pct),
+              |fan AS (
+              |  SELECT t.threshold_pct, v.doc_a, v.doc_b
+              |  FROM verified v CROSS JOIN ts t
+              |  WHERE 100 * v.inter >= t.threshold_pct * v.un),
+              |pairs AS (
+              |  SELECT threshold_pct, count(*) AS n_pairs
+              |  FROM fan GROUP BY 1),
+              |docs_in AS (
+              |  SELECT threshold_pct, count(*) AS n_docs_in_pairs
+              |  FROM (
+              |    SELECT DISTINCT threshold_pct, d FROM (
+              |      SELECT threshold_pct, doc_a AS d FROM fan
+              |      UNION ALL SELECT threshold_pct, doc_b FROM fan))
+              |  GROUP BY 1)
+              |SELECT t.threshold_pct,
+              |  CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+              |  CAST(coalesce(d.n_docs_in_pairs, 0) AS BIGINT)
+              |    AS n_docs_in_pairs
+              |FROM ts t
+              |LEFT JOIN pairs p USING (threshold_pct)
+              |LEFT JOIN docs_in d USING (threshold_pct)
+              |ORDER BY t.threshold_pct""".stripMargin)))
 }

@@ -45,7 +45,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * racing second action at worst recomputes. The registry holds
   * strong references until release; an entry whose frame is never
   * executed holds only the unmaterialized plan (persist is lazy — no
-  * blocks exist to leak).
+  * blocks exist to leak). The same applies to an action whose
+  * OPTIMIZED plan never touches the cache — e.g. a bare count() over
+  * aggregate-backed outer joins, which Catalyst eliminates wholesale:
+  * nothing was consumed, nothing materialized, and the entry stays
+  * pending (zero blocks) until a real consumer arrives. Runtime
+  * re-planning is the one case where a cache can materialize and then
+  * vanish from the final plan (AQE empty-relation propagation drops a
+  * join branch whose stage came back empty) — the release walk covers
+  * it by walking adaptive nodes' inputPlan as well as executedPlan
+  * (GraftSqlBridge.consumedCacheBuilders).
   */
 object CacheLifecycle {
 

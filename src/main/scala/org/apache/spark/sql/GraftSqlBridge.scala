@@ -42,7 +42,16 @@ object GraftSqlBridge {
       plan.foreach {
         case s: execution.columnar.InMemoryTableScanExec =>
           if (out.add(s.relation.cacheBuilder)) walk(s.relation.cachedPlan)
-        case a: execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        // BOTH sides of an adaptive node: runtime re-planning can
+        // ELIMINATE a subtree from executedPlan after its stages ran —
+        // AQEPropagateEmptyRelation drops a join branch whose stage
+        // materialized empty, taking its cache scans with it — but the
+        // action still logically consumed those caches, so inputPlan
+        // (the pre-replanning physical plan) is walked as well. A
+        // cache referenced there but never materialized holds no
+        // blocks; releasing its entry is free and correct.
+        case a: execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.inputPlan); walk(a.executedPlan)
         // AQE replaces materialized stages with leaf QueryStageExec
         // nodes (Shuffle/Broadcast/TableCache); the real subtree —
         // where the in-memory scans live — is behind `.plan`.
@@ -58,4 +67,24 @@ object GraftSqlBridge {
   def sqlCacheIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession]
       .sharedState.cacheManager.isEmpty
+
+  /** One-line logical-plan headline per live cache entry — leak
+    * diagnostics for CacheLifecycleSpec failures. The registry list is
+    * `private`, hence the reflective read (diagnostics only).
+    */
+  def cachedPlanHeadlines(spark: SparkSession): Seq[String] = {
+    val cm = spark.asInstanceOf[classic.SparkSession]
+      .sharedState.cacheManager
+    cm.getClass.getDeclaredFields.find(_.getName.contains("cachedData"))
+      .toSeq.flatMap { f =>
+        f.setAccessible(true)
+        import scala.jdk.CollectionConverters._
+        f.get(cm) match {
+          case l: java.util.List[_] =>
+            l.asScala.toSeq.map(_.toString.linesIterator
+              .take(4).mkString(" | "))
+          case other => Seq(String.valueOf(other).take(500))
+        }
+      }
+  }
 }

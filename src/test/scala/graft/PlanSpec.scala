@@ -862,6 +862,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("q126: one verified pass feeds both sweep rollups; verify is the native kernel") {
+    val exec = SparkEntry.queries("q126_dedup_threshold_sweep")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("graft_sorted_overlap"),
+        s"the exact verify must be the sorted-merge kernel:\n${
+          exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"prefix/verify branches share the cached signature table AND " +
+          s"both rollups share the cached fan-out (the verified join " +
+          s"runs once, not per sweep point):\n${exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
   test("q103: chunk window is per-doc (no single-partition sort); dup set broadcasts back") {
     val exec = SparkEntry.queries("q103_cdc_chunks")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -595,6 +595,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q126 threshold curves are non-increasing (cutoff sets nest)") {
+    val rows = SparkEntry.queries("q126_dedup_threshold_sweep")(spark, sf)
+      .select("threshold_pct", "n_pairs", "n_docs_in_pairs").collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(50L, 70L, 90L),
+      "all three sweep points must be present (zero-filled, never omitted)")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 2 * r.getLong(1),
+        s"a pair touches at most 2 docs: $r")
+      assert(r.getLong(1) == 0 || r.getLong(2) >= 2,
+        s"any pair touches at least 2 docs: $r")
+    }
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getLong(1) <= lo.getLong(1) &&
+          hi.getLong(2) <= lo.getLong(2),
+        s"J ≥ ${hi.getLong(0)}% pairs must nest inside ${lo.getLong(0)}%")
+    }
+  }
+
   test("q108 cap keeps exactly min(10, n_docs) per source") {
     val rows = SparkEntry.queries("q108_source_caps")(spark, sf)
       .select("n_docs", "kept_docs", "total_tokens", "kept_tokens")
