@@ -2559,5 +2559,204 @@ object TextAnalysis {
               |  CAST((2 * distinct_ngrams * 1000000 + total_ngrams)
               |    // (2 * nullif(total_ngrams, 0)) AS BIGINT)
               |    AS distinct_ppm
-              |FROM per ORDER BY source, n""".stripMargin)))
+              |FROM per ORDER BY source, n""".stripMargin)),
+
+    // ── Q127: BIGRAM CONDITIONAL SURPRISAL — per source, the average
+    // bits to encode the NEXT token given the previous one under the
+    // corpus bigram model: bits(a→b) = bitlen(c_a•) − bitlen(c_ab)
+    // (⌊log₂⌋ of the conditional reciprocal — q92's integer-exact
+    // bit-length convention lifted one conditioning level). The
+    // unigram number (q92) scores WHAT a source says; this scores how
+    // PREDICTABLE its sequences are — templated/boilerplate text shows
+    // low conditional bits even when its unigram mix looks normal,
+    // which is exactly the n-gram LM quality-filter signal (the CCNet/
+    // KenLM perplexity filter's integer-arithmetic stand-in: no libm
+    // log, both engines replay bit-for-bit).
+    //
+    // 100 TB shape: ONE corpus-sized (source, a, b) histogram
+    // exchange; everything downstream — the corpus bigram counts, the
+    // prefix counts, the bits table, the final per-source rollup —
+    // derives from that cached histogram over the vocab²-bounded
+    // domain; the prefix-count join broadcasts |vocab| rows.
+    QueryDef("q127_bigram_surprisal",
+      (s, dir) => {
+        val t = col("t")
+        val pairsOfT = when(size(t) < 2,
+            array().cast("array<struct<a:string,b:string>>"))
+          .otherwise(zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (x, y) => struct(x.as("a"), y.as("b"))))
+        val hist = Tables.documents(s, dir)
+          .select(col("source"), toks.as("t"))
+          .select(col("source"), explode(pairsOfT).as("p"))
+          .select(col("source"), col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("source"), col("a"), col("b"))
+          .agg(count(lit(1)).as("c_sab"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val cab = hist.groupBy(col("a"), col("b"))
+          .agg(sum(col("c_sab")).as("c_ab"))
+        val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+        val bits = cab.join(broadcast(ca), "a")
+          .select(col("a"), col("b"),
+            (char_length(bin(col("c_a")))
+              - char_length(bin(col("c_ab")))).cast("long").as("bits"))
+        hist.join(bits, Seq("a", "b"))
+          .groupBy(col("source"))
+          .agg(sum(col("c_sab")).as("n_bigrams"),
+            sum(col("c_sab") * col("bits")).as("sum_bits"))
+          .withColumn("avg_bits_ppm",
+            expr("(2 * CAST(sum_bits AS DECIMAL(38,0)) * 1000000"
+              + " + n_bigrams)"
+              + " div (2 * CAST(n_bigrams AS DECIMAL(38,0)))"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT source, ${OracleSql.plainSplit} AS t
+              |  FROM documents),
+              |pb AS (
+              |  SELECT source,
+              |    unnest(list_transform(range(1, len(t)),
+              |      i -> {a: t[i], b: t[i + 1]})) AS u
+              |  FROM tk WHERE len(t) >= 2),
+              |hist AS (
+              |  SELECT source, u.a AS a, u.b AS b, count(*) AS c_sab
+              |  FROM pb GROUP BY 1, 2, 3),
+              |cab AS (
+              |  SELECT a, b, CAST(sum(c_sab) AS BIGINT) AS c_ab
+              |  FROM hist GROUP BY a, b),
+              |ca AS (
+              |  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a
+              |  FROM cab GROUP BY a),
+              |bits AS (
+              |  SELECT cab.a, cab.b,
+              |    CAST(length(bin(ca.c_a)) - length(bin(cab.c_ab))
+              |      AS BIGINT) AS bits
+              |  FROM cab JOIN ca USING (a))
+              |SELECT source, CAST(sum(c_sab) AS BIGINT) AS n_bigrams,
+              |  CAST(sum(c_sab * bits) AS BIGINT) AS sum_bits,
+              |  CAST((2 * CAST(sum(c_sab * bits) AS HUGEINT) * 1000000
+              |        + sum(c_sab))
+              |    // (2 * CAST(sum(c_sab) AS HUGEINT)) AS BIGINT)
+              |    AS avg_bits_ppm
+              |FROM hist JOIN bits USING (a, b)
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q128: HISTOGRAM-BIN-COUNT SWEEP — q111's fixed-width
+    // histogram quantile estimator at 8/16/32/64 bins in ONE query:
+    // the accuracy-vs-state trade behind every histogram-based stats
+    // collector (a coarser histogram is cheaper to merge across 1000
+    // executors; this curve says what each step of coarseness costs in
+    // p50/p90 error). The exact order statistics come from the q79
+    // distinct-VALUE histogram + cumulative window — the corpus is
+    // never row-sorted, matching how the estimator itself works, and
+    // the single-partition window runs over the bounded distinct-value
+    // domain, not rows. One cached 1-column projection feeds the
+    // bounds row (broadcast back), all four binnings (fan-out
+    // multiplies an 8-byte value), and the exact pass. |est − exact| ≤
+    // bin width per sweep point is the estimator's defining bound —
+    // pinned corpus-independently in QueriesSpec.
+    QueryDef("q128_hist_bin_sweep",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, dir)
+          .select(size(toks).cast("long").as("nt"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val bounds = base.agg(min(col("nt")).as("mn"),
+          max(col("nt")).as("mx"))
+        val fan = base.crossJoin(broadcast(bounds))
+          .select(col("nt"), col("mn"), col("mx"),
+            explode(array(lit(8L), lit(16L), lit(32L), lit(64L)))
+              .as("n_bins"))
+          .withColumn("w", expr("(mx - mn) div n_bins + 1"))
+          .withColumn("bin", expr("(nt - mn) div w"))
+          .groupBy(col("n_bins"), col("bin"))
+          .agg(count(lit(1)).as("c"),
+            first(col("mn")).as("mn"), first(col("w")).as("w"))
+        val wB = Window.partitionBy(col("n_bins")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wN = Window.partitionBy(col("n_bins"))
+        val cum = fan
+          .withColumn("cumc", sum(col("c")).over(wB))
+          .withColumn("n", sum(col("c")).over(wN))
+        def est(q: Int) = min(when(col("cumc") * 100 >= col("n") * q,
+          expr("mn + bin * w + w div 2")))
+        val ests = cum.groupBy(col("n_bins"))
+          .agg(first(col("n")).as("n_docs"), first(col("w")).as("bin_w"),
+            est(50).as("est_p50"), est(90).as("est_p90"))
+        val vals = base.groupBy(col("nt")).agg(count(lit(1)).as("c"))
+        val wV = Window.orderBy(col("nt"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cumv = vals.withColumn("cumc", sum(col("c")).over(wV))
+          .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+        def exactQ(q: Int) = min(when(col("cumc") * 100 >= col("n") * q,
+          col("nt")))
+        val exact = cumv.agg(exactQ(50).as("exact_p50"),
+          exactQ(90).as("exact_p90"))
+        ests.crossJoin(broadcast(exact))
+          .withColumn("err50_ppm",
+            expr("(2 * abs(est_p50 - exact_p50) * 1000000 + exact_p50)"
+              + " div (2 * nullif(exact_p50, 0))"))
+          .withColumn("err90_ppm",
+            expr("(2 * abs(est_p90 - exact_p90) * 1000000 + exact_p90)"
+              + " div (2 * nullif(exact_p90, 0))"))
+          .orderBy(col("n_bins"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents),
+             |b AS (SELECT min(nt) AS mn, max(nt) AS mx FROM base),
+             |ns AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT)
+             |  AS n_bins),
+             |fan AS (
+             |  SELECT s.n_bins, base.nt, b.mn,
+             |    (b.mx - b.mn) // s.n_bins + 1 AS w
+             |  FROM base CROSS JOIN b CROSS JOIN ns s),
+             |hist AS (
+             |  SELECT n_bins, (nt - mn) // w AS bin, count(*) AS c,
+             |    any_value(mn) AS mn, any_value(w) AS w
+             |  FROM fan GROUP BY n_bins, (nt - mn) // w),
+             |cum AS (
+             |  SELECT n_bins, bin, c, mn, w,
+             |    sum(c) OVER (PARTITION BY n_bins ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cumc,
+             |    sum(c) OVER (PARTITION BY n_bins) AS n
+             |  FROM hist),
+             |ests AS (
+             |  SELECT n_bins, any_value(n) AS n_docs, any_value(w) AS bin_w,
+             |    min(CASE WHEN cumc * 100 >= n * 50
+             |      THEN mn + bin * w + w // 2 END) AS est_p50,
+             |    min(CASE WHEN cumc * 100 >= n * 90
+             |      THEN mn + bin * w + w // 2 END) AS est_p90
+             |  FROM cum GROUP BY n_bins),
+             |vals AS (SELECT nt, count(*) AS c FROM base GROUP BY nt),
+             |cumv AS (
+             |  SELECT nt,
+             |    sum(c) OVER (ORDER BY nt
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cumc,
+             |    (SELECT count(*) FROM base) AS n
+             |  FROM vals),
+             |exact AS (
+             |  SELECT
+             |    min(CASE WHEN cumc * 100 >= n * 50 THEN nt END)
+             |      AS exact_p50,
+             |    min(CASE WHEN cumc * 100 >= n * 90 THEN nt END)
+             |      AS exact_p90
+             |  FROM cumv)
+             |SELECT e.n_bins, CAST(e.n_docs AS BIGINT) AS n_docs,
+             |  CAST(e.bin_w AS BIGINT) AS bin_w,
+             |  CAST(e.est_p50 AS BIGINT) AS est_p50,
+             |  CAST(x.exact_p50 AS BIGINT) AS exact_p50,
+             |  CAST((2 * abs(e.est_p50 - x.exact_p50) * 1000000
+             |        + x.exact_p50)
+             |    // (2 * nullif(x.exact_p50, 0)) AS BIGINT) AS err50_ppm,
+             |  CAST(e.est_p90 AS BIGINT) AS est_p90,
+             |  CAST(x.exact_p90 AS BIGINT) AS exact_p90,
+             |  CAST((2 * abs(e.est_p90 - x.exact_p90) * 1000000
+             |        + x.exact_p90)
+             |    // (2 * nullif(x.exact_p90, 0)) AS BIGINT) AS err90_ppm
+             |FROM ests e CROSS JOIN exact x
+             |ORDER BY e.n_bins""".stripMargin)))
 }

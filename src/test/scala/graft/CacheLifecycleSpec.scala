@@ -55,7 +55,8 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "q115_source_jaccard_sketch", "q116_mad_outliers",
       "q118_transition_pagerank", "q120_trunc_recall",
       "q121_knn_hubness", "q125_hourly_anomaly",
-      "q126_dedup_threshold_sweep"))
+      "q126_dedup_threshold_sweep", "q127_bigram_surprisal",
+      "q128_hist_bin_sweep"))
     test(s"$q releases every engine cache after one action, no clearCache") {
       spark.catalog.clearCache() // clean slate from other suites
       // collect(), not count(): count references no columns, so the

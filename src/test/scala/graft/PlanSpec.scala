@@ -877,6 +877,36 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("q127: bigram/prefix/bits tables all derive from the one cached histogram") {
+    val exec = SparkEntry.queries("q127_bigram_surprisal")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"the corpus-sized (source, a, b) histogram must be scanned, " +
+          s"cached, and reused — never recomputed per derivative:\n${
+            exec.take(2500)}")
+      assert(exec.contains("BroadcastHashJoin"),
+        s"the |vocab|-row prefix-count table must broadcast:\n${
+          exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q128: all four binnings and the exact pass share one cached projection; corpus never row-sorted") {
+    val exec = SparkEntry.queries("q128_hist_bin_sweep")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"bounds, fan-out, exact-value and count passes must read the " +
+          s"one cached 1-column projection:\n${exec.take(2500)}")
+      assert(exec.contains("HashAggregate(keys=[nt"),
+        s"exact order statistics must come from the distinct-value " +
+          s"histogram (groupBy(nt) before any ordering) — never a " +
+          s"row_number over corpus rows:\n${exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
   test("q103: chunk window is per-doc (no single-partition sort); dup set broadcasts back") {
     val exec = SparkEntry.queries("q103_cdc_chunks")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -614,6 +614,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q127 conditional bits are bounded (0 ≤ bits ≤ 63 per bigram)") {
+    val rows = SparkEntry.queries("q127_bigram_surprisal")(spark, sf)
+      .select("n_bigrams", "sum_bits", "avg_bits_ppm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) > 0, r.toString)
+      // c_ab ≤ c_a ⇒ every bigram's bits ≥ 0; a long's bitlen ≤ 63
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 63 * r.getLong(0),
+        r.toString)
+      val ppm = r.getLong(2) // decimal `div` yields LongType
+      assert(ppm >= 0 && ppm <= 63000000L, r.toString)
+    }
+  }
+
+  test("q128 estimates sit within one bin width of the exact order statistic") {
+    val rows = SparkEntry.queries("q128_hist_bin_sweep")(spark, sf)
+      .select("n_bins", "bin_w", "est_p50", "exact_p50", "est_p90",
+        "exact_p90", "n_docs").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(8L, 16L, 32L, 64L))
+    assert(rows.map(_.getLong(6)).distinct.length == 1,
+      "every binning sees the same corpus")
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(2) - r.getLong(3)) <= r.getLong(1),
+        s"p50 estimate beyond one bin width: $r")
+      assert(math.abs(r.getLong(4) - r.getLong(5)) <= r.getLong(1),
+        s"p90 estimate beyond one bin width: $r")
+    }
+  }
+
   test("q108 cap keeps exactly min(10, n_docs) per source") {
     val rows = SparkEntry.queries("q108_source_caps")(spark, sf)
       .select("n_docs", "kept_docs", "total_tokens", "kept_tokens")
