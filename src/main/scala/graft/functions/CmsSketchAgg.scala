@@ -72,4 +72,25 @@ object CmsSketchAgg {
     }
     best
   }
+
+  /** Equi-join size estimate from two sketches built with the SAME
+    * (depth, width) over the join key: min over rows of the per-row
+    * counter inner product (Cormode & Muthukrishnan 2005 §4.2 /
+    * the AGMS inner-product estimator specialized to CMS). Always an
+    * OVERESTIMATE of Σ_k cA(k)·cB(k): each row's product contains the
+    * true inner product plus non-negative collision cross terms.
+    */
+  def innerProduct(a: IndexedSeq[Long], b: IndexedSeq[Long], depth: Int,
+      width: Int): Long = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      var s = 0L
+      var j = 0
+      while (j < width) { s += a(i * width + j) * b(i * width + j); j += 1 }
+      if (s < best) best = s
+      i += 1
+    }
+    best
+  }
 }

@@ -1273,5 +1273,109 @@ object Relational {
              |  CAST(sum(CASE WHEN d.d > 5 * a.mad_count THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_anomalies
              |FROM dev d JOIN mad a USING (hour)
-             |GROUP BY d.hour ORDER BY d.hour""".stripMargin)))
+             |GROUP BY d.hour ORDER BY d.hour""".stripMargin)),
+
+    // ── Q129: JOIN-SIZE ESTIMATION VIA CMS INNER PRODUCT — the
+    // optimizer's question ("how big is view ⋈ purchase on user_id?")
+    // answered from two 64 KB sketches next to the exact answer:
+    // est = min over rows of Σ_j cmsA[r][j]·cmsB[r][j] (Cormode &
+    // Muthukrishnan 2005 §4.2 — the AGMS inner-product estimator
+    // specialized to CMS), which OVERESTIMATES the true
+    // Σ_k cA(k)·cB(k) by exactly the non-negative collision cross
+    // terms — the one-sided error a join planner can trust as an
+    // upper bound. Everything is integer-exact and the full sketch
+    // replays in HUGEINT SQL (q58's slot scheme), so both engines
+    // agree on the ESTIMATE bit-for-bit, not just bounds.
+    //
+    // 100 TB shape: the sketch path is two map-side-combinable
+    // aggregations into O(depth·width) state — no shuffle of the fact
+    // table at all, THE reason a planner can afford it before choosing
+    // a join strategy; the exact branch (one user_id exchange) is the
+    // audit this estimator exists to avoid. All three 1-row results
+    // broadcast into the final projection.
+    QueryDef("q129_join_size_sketch",
+      (s, dir) => {
+        graft.plans.GraftFunctions.ensure(s)
+        val depth = 4; val width = 2048
+        val cms = udaf(graft.functions.CmsSketchAgg(depth, width))
+        val ipUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+          graft.functions.CmsSketchAgg.innerProduct(a.toIndexedSeq,
+            b.toIndexedSeq, depth, width)
+        }
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_type"), col("user_id"),
+            call_function("graft_hash64",
+              col("user_id").cast("string")).as("h"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val a = ev.filter(col("event_type") === "view")
+        val b = ev.filter(col("event_type") === "purchase")
+        val skA = a.agg(cms(col("h")).as("ska"),
+          count(lit(1)).as("n_view"))
+        val skB = b.agg(cms(col("h")).as("skb"),
+          count(lit(1)).as("n_purchase"))
+        val exact = a.groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+          .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("cb")),
+            "user_id")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+            .as("exact_join_size"))
+        skA.crossJoin(broadcast(skB)).crossJoin(broadcast(exact))
+          .select(col("n_view"), col("n_purchase"),
+            col("exact_join_size"),
+            ipUdf(col("ska"), col("skb")).as("est_join_size"))
+          .withColumn("overest_ppm",
+            expr("(2 * (est_join_size - exact_join_size) * 1000000"
+              + " + exact_join_size)"
+              + " div (2 * nullif(exact_join_size, 0))"))
+      },
+      Some {
+        val golden = "11400714819323198485" // GOLDEN as unsigned residue
+        s"""WITH ev AS (
+           |  SELECT event_type, user_id FROM events
+           |  WHERE event_type IN ('view', 'purchase')),
+           |ca AS (SELECT user_id, count(*) AS c FROM ev
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |cb AS (SELECT user_id, count(*) AS c FROM ev
+           |  WHERE event_type = 'purchase' GROUP BY 1),
+           |keys AS (SELECT DISTINCT user_id FROM ev),
+           |h0 AS (SELECT user_id,
+           |    ${OracleSql.hash64("CAST(user_id AS VARCHAR)")} AS z0
+           |  FROM keys),
+           |slots AS (
+           |  SELECT user_id, CAST(i.range AS INT) AS i,
+           |    (z0 + (CAST(i.range AS HUGEINT) * $golden)
+           |      % ${OracleSql.MOD}) % ${OracleSql.MOD} AS z
+           |  FROM h0, range(0, 4) i),
+           |${OracleSql.mix64Ctes("user_id, i", "slots")},
+           |addr AS (SELECT user_id, i, m % 2048 AS idx FROM mixed),
+           |cellsA AS (
+           |  SELECT a.i, a.idx, CAST(sum(ca.c) AS BIGINT) AS cell
+           |  FROM addr a JOIN ca USING (user_id) GROUP BY 1, 2),
+           |cellsB AS (
+           |  SELECT a.i, a.idx, CAST(sum(cb.c) AS BIGINT) AS cell
+           |  FROM addr a JOIN cb USING (user_id) GROUP BY 1, 2),
+           |ip AS (
+           |  SELECT a.i, sum(a.cell * b.cell) AS s
+           |  FROM cellsA a JOIN cellsB b ON a.i = b.i AND a.idx = b.idx
+           |  GROUP BY a.i),
+           |est AS (
+           |  SELECT min(coalesce(ip.s, 0)) AS est_join_size
+           |  FROM range(0, 4) i LEFT JOIN ip ON ip.i = i.range),
+           |exact AS (
+           |  SELECT coalesce(sum(ca.c * cb.c), 0) AS exact_join_size
+           |  FROM ca JOIN cb USING (user_id)),
+           |na AS (SELECT count(*) AS n_view FROM ev
+           |  WHERE event_type = 'view'),
+           |nb AS (SELECT count(*) AS n_purchase FROM ev
+           |  WHERE event_type = 'purchase')
+           |SELECT CAST(na.n_view AS BIGINT) AS n_view,
+           |  CAST(nb.n_purchase AS BIGINT) AS n_purchase,
+           |  CAST(x.exact_join_size AS BIGINT) AS exact_join_size,
+           |  CAST(e.est_join_size AS BIGINT) AS est_join_size,
+           |  CAST((2 * (e.est_join_size - x.exact_join_size) * 1000000
+           |        + x.exact_join_size)
+           |    // (2 * nullif(x.exact_join_size, 0)) AS BIGINT)
+           |    AS overest_ppm
+           |FROM na, nb, exact x, est e""".stripMargin
+      }))
 }

@@ -44,6 +44,27 @@ class CmsSketchAggSpec extends AnyFunSuite {
     assert(merged.toSeq === sequential.toSeq)
   }
 
+  test("innerProduct is the exact join size when no cells collide, an overestimate always") {
+    val agg = CmsSketchAgg(depth, width)
+    // two multisets over a tiny key domain — collision-free at
+    // width 4096 with ~20 distinct keys is near-certain, but the
+    // assertion below only relies on the one-sided error bound
+    val keysA = (1 to 20).flatMap(k => Seq.fill(k % 4 + 1)(k.toLong))
+    val keysB = (11 to 30).flatMap(k => Seq.fill(k % 3 + 1)(k.toLong))
+    def base(k: Long) = TextKernels.hash64(k.toString)
+    val skA = sketchOf(agg, keysA.map(base))
+    val skB = sketchOf(agg, keysB.map(base))
+    val est = CmsSketchAgg.innerProduct(skA.toIndexedSeq,
+      skB.toIndexedSeq, depth, width)
+    val cA = keysA.groupBy(identity).view.mapValues(_.size.toLong)
+    val cB = keysB.groupBy(identity).view.mapValues(_.size.toLong)
+    val exact = cA.keys.toSeq.map(k => cA(k) * cB.getOrElse(k, 0L)).sum
+    assert(est >= exact, s"CMS inner product must never undercount: $est < $exact")
+    // and with this few keys the min-row should be collision-free
+    assert(est === exact,
+      s"20 keys in $width slots should be collision-free on some row: $est vs $exact")
+  }
+
   test("slot addressing handles negative mixed hashes (low-bits mod)") {
     // a base whose mixed row-hash is negative must still land in
     // [0, width) and agree with the unsigned low-bits interpretation

@@ -907,6 +907,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("q129: sketch and exact branches share the cached key projection; 1-row results broadcast") {
+    val exec = SparkEntry.queries("q129_join_size_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"both sketch aggregations and both exact-count branches must " +
+          s"read the one cached (type, user, hash) projection:\n${
+            exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"),
+        s"the 1-row sketch/exact results must broadcast:\n${
+          exec.take(2500)}")
+    } finally spark.catalog.clearCache()
+  }
+
   test("q103: chunk window is per-doc (no single-partition sort); dup set broadcasts back") {
     val exec = SparkEntry.queries("q103_cdc_chunks")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -643,6 +643,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q129 CMS join-size estimate is one-sided and bounded") {
+    val r = SparkEntry.queries("q129_join_size_sketch")(spark, sf)
+      .select("n_view", "n_purchase", "exact_join_size", "est_join_size")
+      .collect().head
+    val (nv, np, exact, est) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(est >= exact,
+      s"CMS inner product must never undercount: $est < $exact")
+    assert(est <= nv * np,
+      s"estimate cannot exceed the Cartesian bound: $r")
+    assert(exact <= nv * np, r.toString)
+  }
+
   test("q108 cap keeps exactly min(10, n_docs) per source") {
     val rows = SparkEntry.queries("q108_source_caps")(spark, sf)
       .select("n_docs", "kept_docs", "total_tokens", "kept_tokens")
