@@ -1337,7 +1337,130 @@ object Similarity {
              |  FROM embeddings v LEFT JOIN deg d ON d.cand = v.vec_id)
              |SELECT CAST(in_degree AS BIGINT) AS in_degree,
              |  CAST(count(*) AS BIGINT) AS n_vectors
-             |FROM alld GROUP BY in_degree ORDER BY in_degree""".stripMargin)))
+             |FROM alld GROUP BY in_degree ORDER BY in_degree""".stripMargin)),
+
+    // ── Q130: LSH HAMMING-RADIUS SWEEP — q53's fixed radius-28 filter
+    // as a measured knob: candidates admitted and recall@10 at radius
+    // 16/24/32/64 in ONE query (the q107/q126/q128 philosophy pointed
+    // at the third ANN family). The radius sets NEST, and recall is
+    // PROVABLY non-decreasing in the radius — any vector outranking a
+    // true top-10 member has higher cosine and is therefore itself in
+    // the exact top-10, so widening the candidate set can never evict
+    // a hit — and radius 64 admits everything, making its row the
+    // exact ranking (recall 1e6) by construction. Both lattice facts
+    // pinned corpus-independently in QueriesSpec.
+    //
+    // 100 TB shape: ONE corpus scan computes (bucket XOR, hamming,
+    // cosine) — at scale the bucket is an ingest-time stored column —
+    // and caches a 24-byte projection; the 4-way fan-out multiplies
+    // that projection, per-radius top-10 runs through the bounded
+    // TopKPerKey heap, and the 10-row exact set broadcasts back.
+    // Zero-filled radius rows via a literal frame (an empty radius is
+    // a report row, not a missing one).
+    QueryDef("q130_lsh_radius_sweep",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        val nPlanes = 64
+        val bucket = VectorKernels.lshBucket(col("embedding"), DIM, nPlanes)
+        val qBucket = VectorKernels.bucketOf(queryVec.toArray, nPlanes)
+        val cos = VectorKernels.dotConst(col("embedding"), queryVec) /
+          (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qNorm2)))
+        val scored = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            bit_count(bucket.bitwiseXOR(lit(qBucket))).cast("long")
+              .as("hd"),
+            cos.as("cos_raw"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val radii = array(lit(16L), lit(24L), lit(32L), lit(64L))
+        val fan = scored
+          .select(col("vec_id"), col("cos_raw"), col("hd"),
+            explode(radii).as("radius"))
+          .filter(col("hd") <= col("radius"))
+        val nc = fan.groupBy(col("radius"))
+          .agg(count(lit(1)).as("n_candidates"))
+        val ann = fan.withColumn("rn", row_number().over(
+            Window.partitionBy(col("radius"))
+              .orderBy(col("cos_raw").desc, col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("radius"), col("vec_id"))
+        val exact = scored
+          .orderBy(col("cos_raw").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"), lit(1L).as("x"))
+        val hits = ann.join(broadcast(exact), Seq("vec_id"), "left")
+          .groupBy(col("radius"))
+          .agg(count(lit(1)).as("n_ann"),
+            sum(when(col("x").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        s.range(1).select(explode(radii).as("radius"))
+          .join(nc, Seq("radius"), "left")
+          .join(hits, Seq("radius"), "left")
+          .crossJoin(broadcast(nExact))
+          .select(col("radius"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            expr("(2 * coalesce(n_hit, 0) * 1000000 + n_exact)"
+              + " div (2 * nullif(n_exact, 0))").as("recall_ppm"))
+          .orderBy(col("radius"))
+      },
+      Some(s"""WITH $planesCte,
+              |qvals AS (
+              |  SELECT CAST(generate_subscripts(q, 1) - 1 AS INT) AS i,
+              |         unnest(q) AS v
+              |  FROM (SELECT [${queryVec.map(f).mkString(",")}] AS q)),
+              |qdots AS (
+              |  SELECT pl.p, sum(pl.w * qv.v) AS dq
+              |  FROM planes pl JOIN qvals qv ON pl.i = qv.i GROUP BY pl.p),
+              |dots AS (
+              |  SELECT e.vec_id, pl.p,
+              |    sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
+              |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+              |ham AS (
+              |  SELECT d.vec_id,
+              |    sum(CASE WHEN (d.d >= 0) <> (q.dq >= 0) THEN 1 ELSE 0 END)
+              |      AS hd
+              |  FROM dots d JOIN qdots q USING (p) GROUP BY d.vec_id),
+              |scored AS (
+              |  SELECT e.vec_id, h.hd,
+              |    (${dotConstSql("e.embedding")})
+              |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+              |         * sqrt(${f(qNorm2)})) AS cos_raw
+              |  FROM embeddings e JOIN ham h USING (vec_id)),
+              |rs AS (SELECT CAST(unnest([16, 24, 32, 64]) AS BIGINT)
+              |  AS radius),
+              |fan AS (
+              |  SELECT r.radius, s.vec_id, s.cos_raw
+              |  FROM scored s CROSS JOIN rs r WHERE s.hd <= r.radius),
+              |nc AS (
+              |  SELECT radius, count(*) AS n_candidates
+              |  FROM fan GROUP BY radius),
+              |annr AS (
+              |  SELECT radius, vec_id, row_number() OVER (
+              |    PARTITION BY radius ORDER BY cos_raw DESC, vec_id) AS rn
+              |  FROM fan),
+              |ann AS (SELECT radius, vec_id FROM annr WHERE rn <= 10),
+              |ex AS (
+              |  SELECT vec_id FROM scored
+              |  ORDER BY cos_raw DESC, vec_id LIMIT 10),
+              |ne AS (SELECT count(*) AS n_exact FROM ex),
+              |hits AS (
+              |  SELECT a.radius, count(*) AS n_ann,
+              |    sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              |      AS n_hit
+              |  FROM ann a LEFT JOIN ex e USING (vec_id)
+              |  GROUP BY a.radius)
+              |SELECT r.radius,
+              |  CAST(coalesce(c.n_candidates, 0) AS BIGINT)
+              |    AS n_candidates,
+              |  CAST(coalesce(h.n_ann, 0) AS BIGINT) AS n_ann,
+              |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+              |  CAST((2 * coalesce(h.n_hit, 0) * 1000000 + ne.n_exact)
+              |    // (2 * nullif(ne.n_exact, 0)) AS BIGINT) AS recall_ppm
+              |FROM rs r
+              |LEFT JOIN nc c USING (radius)
+              |LEFT JOIN hits h USING (radius)
+              |CROSS JOIN ne
+              |ORDER BY r.radius""".stripMargin)))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the

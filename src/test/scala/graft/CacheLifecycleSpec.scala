@@ -56,7 +56,8 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "q118_transition_pagerank", "q120_trunc_recall",
       "q121_knn_hubness", "q125_hourly_anomaly",
       "q126_dedup_threshold_sweep", "q127_bigram_surprisal",
-      "q128_hist_bin_sweep", "q129_join_size_sketch"))
+      "q128_hist_bin_sweep", "q129_join_size_sketch",
+      "q130_lsh_radius_sweep"))
     test(s"$q releases every engine cache after one action, no clearCache") {
       spark.catalog.clearCache() // clean slate from other suites
       // collect(), not count(): count references no columns, so the

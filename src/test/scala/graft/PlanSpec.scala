@@ -921,6 +921,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("q130: one cached (hd, cos) projection feeds all radii and the exact top-10") {
+    val exec = SparkEntry.queries("q130_lsh_radius_sweep")(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(exec.contains("TopKPerKey"),
+        s"per-radius top-10 must use the bounded heap:\n${exec.take(2500)}")
+      assert(exec.contains("TakeOrderedAndProject"),
+        s"the exact top-10 must never globally sort:\n${exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"candidate counts, rankings, and the exact branch must share " +
+          s"the one cached scored projection (the corpus is scored " +
+          s"once):\n${exec.take(2500)}")
+      assert(!exec.contains("CartesianProduct"), exec.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
   test("q103: chunk window is per-doc (no single-partition sort); dup set broadcasts back") {
     val exec = SparkEntry.queries("q103_cdc_chunks")(spark, sf)
       .queryExecution.executedPlan.toString

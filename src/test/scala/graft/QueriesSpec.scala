@@ -656,6 +656,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(exact <= nv * np, r.toString)
   }
 
+  test("q130 recall and candidate curves are non-decreasing; radius 64 is exact") {
+    val rows = SparkEntry.queries("q130_lsh_radius_sweep")(spark, sf)
+      .select("radius", "n_candidates", "n_hit", "recall_ppm", "n_ann")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(16L, 24L, 32L, 64L),
+      "all four sweep points present (zero-filled, never omitted)")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getLong(1) >= lo.getLong(1),
+        s"candidate sets nest: $lo vs $hi")
+      // provable: anything outranking a true top-10 member is itself
+      // in the exact top-10, so a wider radius can never evict a hit
+      assert(hi.getLong(2) >= lo.getLong(2),
+        s"recall must be non-decreasing in the radius: $lo vs $hi")
+    }
+    val full = rows.last
+    assert(full.getLong(3) == 1000000L && full.getLong(2) == full.getLong(4),
+      s"radius 64 admits everything — its row IS the exact ranking: $full")
+  }
+
   test("q108 cap keeps exactly min(10, n_docs) per source") {
     val rows = SparkEntry.queries("q108_source_caps")(spark, sf)
       .select("n_docs", "kept_docs", "total_tokens", "kept_tokens")
