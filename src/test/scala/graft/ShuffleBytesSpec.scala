@@ -135,6 +135,35 @@ class ShuffleBytesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q124 hashed gram keys shuffle less than string gram keys") {
+    graft.plans.GraftFunctions.ensure(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the q124 trigram fan-out (widest gram — the clearest contrast)
+    def fan = docs.select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"), explode(expr(
+        "CASE WHEN size(t) < 3 THEN CAST(array() AS array<string>)" +
+          " ELSE zip_with(zip_with(slice(t, 1, size(t) - 2)," +
+          " slice(t, 2, size(t) - 2), (a, b) -> concat(a, ' ', b))," +
+          " slice(t, 3, size(t) - 2), (ab, c) -> concat(ab, ' ', c))" +
+          " END")).as("g"))
+    // the trailing filter CONSUMES the aggregates — a bare count()
+    // would let ColumnPruning collapse the keyed rollup to a distinct
+    // and measure almost nothing (the q126 count() lesson)
+    def rollup(keyed: DataFrame) = keyed
+      .groupBy(col("source"), col("k")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("distinct"))
+      .filter(col("total") >= col("distinct"))
+    val hashed = shuffleBytes(rollup(fan.select(col("source"),
+      call_function("graft_hash64", col("g")).as("k"))))
+    val strs = shuffleBytes(rollup(fan.select(col("source"),
+      col("g").as("k"))))
+    assert(hashed > 0, "expected a real exchange in the hashed form")
+    assert(hashed < strs,
+      s"8-byte gram keys must shuffle less than gram strings: " +
+        s"hashed=$hashed strings=$strs")
+  }
+
   test("q83 windowed self-join (reused exchange) shuffles less than posting lists") {
     graft.plans.GraftFunctions.ensure(spark)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
