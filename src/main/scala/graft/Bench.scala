@@ -20,14 +20,19 @@ import org.apache.spark.sql.SparkSession
   *  1. Adaptive re-timing: a query is SUSPECT when its warm min exceeds
   *     1.5x its cold time (warm should never be slower than cold — the
   *     classic additive-noise signature, e.g. round-5's recorded q68 warm
-  *     5.6 s vs cold 2.2 s) or 2x its checked-in clean reference
+  *     5.6 s vs cold 2.2 s) or 2x its HOST-FACTOR-ADJUSTED clean reference
   *     (`bench_ref.json`, per-query min-of-2 on an idle box — catches the
   *     round-5 q17 case where BOTH warm passes were polluted ~17x so the
-  *     spread field alone could not see it). While suspect, up to
+  *     spread field alone could not see it; the factor — median warm/ref
+  *     across the run, [[BenchStats]] — stops a flat co-tenant box from
+  *     flagging the quietest-window references, r7's 12/10 spurious
+  *     suspects). While suspect, up to
   *     `SPARK_GRAFT_MAX_EXTRA_PASSES` (default 3) extra warm passes re-time
   *     it — one clean pass anywhere rescinds the flag (min estimator). A
   *     query still suspect after the retries is emitted with
-  *     `"suspect":true` so a reader discounts it without re-running.
+  *     `"suspect":true` (plus its `ratio_adj` = warm/(factor·ref)) so a
+  *     reader discounts it without re-running. The run-level factor is
+  *     emitted as `host_factor`.
   *  2. Per-query `passes` records how many warm passes the min was taken
   *     over, so an adaptively re-timed query is distinguishable.
   *  3. Run-level `bench_elapsed` (JVM wall-clock of this main), `timed_sum`
@@ -41,6 +46,66 @@ import org.apache.spark.sql.SparkSession
   * Failure-transparency: a query that throws is recorded in `errors` with the
   * exception string — never as a fake (fast) timing.
   */
+/** Pure suspect-detection arithmetic, separated from the timing loop so
+  * the policy is unit-testable against synthetic references
+  * (BenchStatsSpec) without running Spark.
+  *
+  * Host-factor awareness (round 8): `bench_ref.json` entries are clean
+  * idle-box minima, but the judge's box runs at a flat co-tenancy factor
+  * (rounds 6–7 measured 1.3–1.45x, uniform across queries). A raw
+  * `warm > 2x ref` trigger then flags whichever queries had the
+  * quietest-window references (r7: 12/10 spurious suspects across two
+  * clean passes) and every reader pays re-adjudication. The factor is
+  * estimated from the run itself — the MEDIAN of warm/ref over all
+  * reference-bearing queries, robust to a few genuine regressions — and
+  * the suspect trigger becomes `warm > 2x · factor · ref`: a flat
+  * 1.4x box reports 0 suspects while a query 2x slower than the
+  * box-wide factor still flags.
+  */
+object BenchStats {
+  /** Minimum reference-bearing queries before trusting a factor
+    * estimate; below this the factor degrades to 1.0 (raw trigger).
+    */
+  val MinSamples = 5
+
+  /** Median of the warm/ref ratios, clamped to >= 1.0 — a box FASTER
+    * than the reference must not tighten the trigger (that would
+    * manufacture suspects out of reference-measurement noise).
+    */
+  def hostFactor(ratios: Seq[Double]): Double = {
+    if (ratios.size < MinSamples) 1.0
+    else {
+      val s = ratios.sorted
+      val n = s.size
+      val med = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+      math.max(1.0, med)
+    }
+  }
+
+  /** warm/ref ratio with the same floors the trigger uses. */
+  def ratioVsRef(warm: Double, ref: Double): Double =
+    warm / math.max(ref, 0.05)
+
+  /** Steady state slower than 1.5x the compile-included cold pass: the
+    * additive-noise signature. Self-relative — the host factor cancels.
+    * The 0.3 s floor keeps sub-100ms scheduling jitter from flagging
+    * trivial queries.
+    */
+  def suspectVsCold(cold: Double, warm: Double): Boolean =
+    warm > 0.3 && warm > 1.5 * cold
+
+  /** Best warm observation above 2x the factor-adjusted clean
+    * reference.
+    */
+  def suspectVsRef(warm: Double, ref: Double, factor: Double): Boolean =
+    warm > 0.3 && warm > 2.0 * factor * math.max(ref, 0.05)
+
+  def suspect(cold: Double, warm: Double, ref: Option[Double],
+      factor: Double): Boolean =
+    suspectVsCold(cold, warm) ||
+      ref.exists(r => suspectVsRef(warm, r, factor))
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val tWall0 = System.nanoTime()
@@ -119,43 +184,72 @@ object Bench {
 
     val warmPasses = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "2").toInt.max(1)
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_MAX_EXTRA_PASSES", "3").toInt.max(0)
-    // (cold, warmMin, spread, passes, suspect)
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, Int, Boolean)]
+    // (cold, warmMin, spread, passes)
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, Int)]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Running warm/ref ratios of completed queries: the in-flight factor
+    // estimate for the adaptive re-time trigger (the first few queries
+    // run under factor 1.0 and may re-time over-eagerly; the FINAL
+    // suspect flags are recomputed below under the full-run factor).
+    val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val cold = timeOnce(fn)
         var warms = Vector.fill(warmPasses)(timeOnce(fn))
-        // Suspect iff the BEST warm observation is still implausible: slower
-        // than 1.5x cold (additive noise made steady-state slower than the
-        // compile-included pass) or 2x the clean reference. Floors (0.3 s /
-        // 0.05 s) keep sub-100ms scheduling jitter from flagging trivial
-        // queries.
-        def suspect: Boolean = {
-          val w = warms.min
-          (w > 0.3 && w > 1.5 * cold) ||
-            refTimes.get(name).exists(r => w > 2.0 * math.max(r, 0.05) && w > 0.3)
+        def suspectNow: Boolean = {
+          val f = BenchStats.hostFactor(
+            ratios.toSeq ++ refTimes.get(name).map(r =>
+              BenchStats.ratioVsRef(warms.min, r)))
+          BenchStats.suspect(cold, warms.min, refTimes.get(name), f)
         }
         var extra = 0
-        while (suspect && extra < maxExtra) { warms :+= timeOnce(fn); extra += 1 }
-        timings += name -> (cold, warms.min, warms.max / warms.min, warms.size, suspect)
+        while (suspectNow && extra < maxExtra) { warms :+= timeOnce(fn); extra += 1 }
+        refTimes.get(name).foreach(r =>
+          ratios += BenchStats.ratioVsRef(warms.min, r))
+        timings += name -> (cold, warms.min, warms.max / warms.min, warms.size)
       } catch {
         case e: Throwable =>
           errors += name -> jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
     }
 
-    val qs = timings.map { case (k, (c, w, s, n, susp)) =>
+    // Final suspect pass under the full-run host factor: median warm/ref
+    // across every reference-bearing query. A flat co-tenant box (r7:
+    // 1.3-1.45x uniform) yields factor ~1.4 and 0 suspects; a genuinely
+    // regressed query sits ABOVE 2x the box-wide factor and still flags.
+    val hostFactor = BenchStats.hostFactor(timings.collect {
+      case (k, (_, w, _, _)) if refTimes.contains(k) =>
+        BenchStats.ratioVsRef(w, refTimes(k))
+    }.toSeq)
+    val final_ = timings.map { case (k, (c, w, s, n)) =>
+      val ratioAdj = refTimes.get(k).map(r =>
+        BenchStats.ratioVsRef(w, r) / hostFactor)
+      (k, c, w, s, n, BenchStats.suspect(c, w, refTimes.get(k), hostFactor),
+        ratioAdj)
+    }
+
+    val qs = final_.map { case (k, c, w, s, n, susp, radj) =>
       // Double.toString is locale-independent ('.'), unlike %f formatting
-      s""""$k":{"cold":$c,"warm":$w,"spread":${math.rint(s * 100) / 100},"passes":$n,"suspect":$susp}"""
+      val adj = radj.map(r => s""","ratio_adj":${math.rint(r * 100) / 100}""").getOrElse("")
+      s""""$k":{"cold":$c,"warm":$w,"spread":${math.rint(s * 100) / 100},"passes":$n,"suspect":$susp$adj}"""
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
     val warmTotal = timings.values.map(_._2).sum
     val coldTotal = timings.values.map(_._1).sum
-    val suspectCount = timings.values.count(_._5)
+    val suspectCount = final_.count(_._6)
     val benchElapsed = (System.nanoTime() - tWall0) / 1e9
     val inflation = if (timedSum > 0) math.rint(benchElapsed / timedSum * 100) / 100 else -1.0
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"suspect_count":$suspectCount,"bench_elapsed":${math.rint(benchElapsed * 10) / 10},"timed_sum":${math.rint(timedSum * 10) / 10},"wallclock_inflation":$inflation,"ref_loaded":${refTimes.nonEmpty},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"suspect_count":$suspectCount,"host_factor":${math.rint(hostFactor * 100) / 100},"bench_elapsed":${math.rint(benchElapsed * 10) / 10},"timed_sum":${math.rint(timedSum * 10) / 10},"wallclock_inflation":$inflation,"ref_loaded":${refTimes.nonEmpty},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-sufficient artifact: the stdout capture truncated BENCH_r07
+    // to its last 18 queries ("parsed": null). The line is also written
+    // to a file so a clipped pipe can never lose the run again.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"bench_out write failed ($outPath): $e") }
     spark.stop()
   }
 }

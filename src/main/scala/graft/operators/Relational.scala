@@ -880,7 +880,10 @@ object Relational {
             expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),
-            sum(col("w")).as("decayed_num"))
+            // the weights are up to 2^30 each: a plain BIGINT sum wraps
+            // past ~8.6e9 events — in scope at 100 TB — so the sum runs
+            // in DECIMAL(38,0) (DuckDB's HUGEINT sum is exact already)
+            sum(col("w").cast("decimal(38,0)")).as("decayed_num"))
         val tot = per.agg(sum(col("n_events")).as("tn"),
           sum(col("decayed_num")).as("td"))
         per.crossJoin(broadcast(tot))
@@ -888,7 +891,7 @@ object Relational {
             expr("(2 * CAST(n_events AS DECIMAL(38,0)) * 1000000 + tn)"
               + " div (2 * CAST(tn AS DECIMAL(38,0)))").cast("long")
               .as("plain_share_ppm"),
-            col("decayed_num"),
+            col("decayed_num").cast("long").as("decayed_num"),
             expr("(2 * CAST(decayed_num AS DECIMAL(38,0)) * 1000000 + td)"
               + " div (2 * CAST(td AS DECIMAL(38,0)))").cast("long")
               .as("decayed_share_ppm"))
@@ -1140,7 +1143,10 @@ object Relational {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_users"),
             sum(col("t")).as("total_cents"),
-            sum(col("i") * col("t")).as("w"),
+            // the i·t products reach ~1e13 with ~1e8 users per type at
+            // 100 TB — an int64 sum wraps (non-ANSI) where DuckDB's
+            // HUGEINT does not, so the product is widened BEFORE the sum
+            sum(col("i").cast("decimal(38,0)") * col("t")).as("w"),
             max(col("t")).as("max_user_cents"))
           .select(col("event_type"), col("n_users"), col("total_cents"),
             // DECIMAL(38,0) throughout: 2·w·10⁶ ≈ 2·10⁶·n·Σt clears

@@ -946,24 +946,32 @@ object Similarity {
           .select(col("id"),
             amin(col("s0"), col("cents0")).getField("cid").as("c0"),
             amin(col("s1"), col("cents1")).getField("cid").as("c1"))
-        // per-query ADC tables: the folded cents array is sorted by
-        // cid and cids are dense 0..7, so element cid+1 IS codeword cid
+        // per-query ADC tables keyed BY cid (cid → distance maps), not
+        // by array position: if a seed cluster empties during the Lloyd
+        // refinement the folded cents array shrinks and positional
+        // element_at(td, cid+1) would silently score every cid above
+        // the gap against the wrong codeword while the cid-joining
+        // oracle stayed correct. map_from_entries keeps the lookup a
+        // codegen'd broadcast-side expression either way.
         val qrows = q.filter(col("id") < 5)
           .select(col("id").as("qid"), col("qa").as("qq"))
           .crossJoin(broadcast(cb0)).crossJoin(broadcast(cb1))
           .select(col("qid"), col("qq"),
-            transform(col("cents0"), c => KMeans.dist2(
-              slice(col("qq"), 1, half), c.getField("cq"))).as("td0"),
-            transform(col("cents1"), c => KMeans.dist2(
-              slice(col("qq"), half + 1, half), c.getField("cq")))
-              .as("td1"))
+            map_from_entries(transform(col("cents0"), c => struct(
+              c.getField("cid").as("key"),
+              KMeans.dist2(slice(col("qq"), 1, half), c.getField("cq"))
+                .as("value")))).as("td0"),
+            map_from_entries(transform(col("cents1"), c => struct(
+              c.getField("cid").as("key"),
+              KMeans.dist2(slice(col("qq"), half + 1, half),
+                c.getField("cq")).as("value")))).as("td1"))
         val approx = codes
           .crossJoin(broadcast(
             qrows.select(col("qid"), col("td0"), col("td1"))))
           .filter(col("id") =!= col("qid"))
           .select(col("qid"), col("id"),
-            (element_at(col("td0"), col("c0").cast("int") + 1)
-              + element_at(col("td1"), col("c1").cast("int") + 1))
+            (element_at(col("td0"), col("c0"))
+              + element_at(col("td1"), col("c1")))
               .as("ad2"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("ad2"), col("id"))))

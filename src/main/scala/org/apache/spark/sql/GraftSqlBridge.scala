@@ -75,16 +75,28 @@ object GraftSqlBridge {
   def cachedPlanHeadlines(spark: SparkSession): Seq[String] = {
     val cm = spark.asInstanceOf[classic.SparkSession]
       .sharedState.cacheManager
-    cm.getClass.getDeclaredFields.find(_.getName.contains("cachedData"))
-      .toSeq.flatMap { f =>
+    def headline(e: Any): String =
+      String.valueOf(e).linesIterator.take(4).mkString(" | ")
+    // A diagnostic that can silently report nothing while caches are
+    // live is worse than none: every non-entry outcome (field renamed,
+    // unexpected container type) emits a sentinel line so a blackout
+    // is distinguishable from zero live entries.
+    cm.getClass.getDeclaredFields.find(_.getName.contains("cachedData")) match {
+      case None =>
+        Seq("cachedPlanHeadlines: no 'cachedData' field on "
+          + cm.getClass.getName + " (CacheManager internals changed)")
+      case Some(f) =>
         f.setAccessible(true)
         import scala.jdk.CollectionConverters._
         f.get(cm) match {
-          case l: java.util.List[_] =>
-            l.asScala.toSeq.map(_.toString.linesIterator
-              .take(4).mkString(" | "))
-          case other => Seq(String.valueOf(other).take(500))
+          // Collection covers both the LinkedList of older Spark lines
+          // and the ConcurrentLinkedQueue of newer ones.
+          case l: java.util.Collection[_] => l.asScala.toSeq.map(headline)
+          case i: scala.collection.Iterable[_] => i.toSeq.map(headline)
+          case other =>
+            Seq("cachedPlanHeadlines: 'cachedData' has unexpected type "
+              + String.valueOf(other).take(500))
         }
-      }
+    }
   }
 }
