@@ -945,28 +945,47 @@ object Relational {
           .transform(graft.plans.CacheLifecycle.autoRelease)
         val edges = tr.join(broadcast(
           tr.groupBy(col("cur")).agg(sum(col("n")).as("out_n"))), "cur")
-        val nodes = tr.select(col("cur").as("v"))
-          .union(tr.select(col("nxt"))).distinct()
-        val nn = nodes.agg(count(lit(1)).as("nN"))
-        var r = nodes.crossJoin(broadcast(nn))
-          .select(col("v"), col("nN"),
-            expr("CAST(1000000 div nN AS BIGINT)").as("r"))
-        for (_ <- 1 to 3) {
-          val contrib = edges
-            .join(broadcast(r.select(col("v").as("cur"), col("r"))), "cur")
-            .select(col("nxt").as("v"),
-              expr("(r * n) div out_n").as("c"))
-            .groupBy(col("v")).agg(sum(col("c")).as("contrib"))
-          r = nodes.crossJoin(broadcast(nn))
-            .join(broadcast(contrib), Seq("v"), "left")
-            .na.fill(0L, Seq("contrib"))
-            .select(col("v"), col("nN"),
-              expr("(1000000 * 15) div (100 * nN)"
-                + " + (85 * contrib) div 100").as("r"))
-        }
+        // The contracted graph is BOUNDED (≤ |types|² edges at any
+        // corpus size), so it folds to ONE row of edge structs — the
+        // same bounded-state argument as the q63 CC fast path — and
+        // all three power steps run as chained Projects over that row
+        // in a single whole-stage-codegen stage: zero per-iteration
+        // joins, exchanges, or broadcast builds (round 8: the loop
+        // used to rebuild nodes⨯nn and re-broadcast the rank vector
+        // every step — 3.6 s of scheduling for 25 rows of math).
+        val g = edges
+          .agg(sort_array(collect_list(struct(col("cur"), col("nxt"),
+            col("n"), col("out_n")))).as("es"))
+          .withColumn("nodes", sort_array(array_distinct(concat(
+            expr("transform(es, e -> e.cur)"),
+            expr("transform(es, e -> e.nxt)")))))
+          .withColumn("nN", size(col("nodes")).cast("long"))
+        // rank(v) ← base + 85% of Σ_{e: e.nxt=v} rank(e.cur)·n/out_n —
+        // exactly the join-form arithmetic, per-element in-array.
+        def step(prev: String, i: Int): String =
+          s"transform(nodes, v$i -> (1000000 * 15) div (100 * nN)" +
+            s" + (85 * aggregate(filter(es, e$i -> e$i.nxt = v$i)," +
+            s" CAST(0 AS BIGINT), (a$i, f$i) -> a$i + (element_at($prev," +
+            s" CAST(array_position(nodes, f$i.cur) AS INT)) * f$i.n)" +
+            s" div f$i.out_n)) div 100)"
+        // Each intermediate rank array is LET-BOUND via the
+        // transform-over-singleton idiom (`element_at(transform(
+        // array(X), x -> body), 1)` evaluates X once and binds it):
+        // chained withColumns would be CollapseProject-inlined into
+        // one nested expression whose element_at(prevR, ·) re-derives
+        // the whole previous array PER EDGE — (N·E)^steps blow-up —
+        // while a bound lambda attribute is an O(1) lookup, keeping
+        // the three steps at 3·N·E total inside one Project.
+        val r = g.withColumn("r", expr(
+          "element_at(transform(array(transform(nodes," +
+            " z -> CAST(1000000 div nN AS BIGINT))), r0 -> " +
+            s"element_at(transform(array(${step("r0", 1)}), r1 -> " +
+            s"element_at(transform(array(${step("r1", 2)}), r2 -> " +
+            s"${step("r2", 3)}), 1)), 1)), 1)"))
         val degs = edges.groupBy(col("cur")).agg(
           first(col("out_n")).as("out_n"), count(lit(1)).as("n_out_edges"))
-        r.select(col("v").as("event_type"), col("r").as("pr_ppm"))
+        r.select(explode(arrays_zip(col("nodes"), col("r"))).as("z"))
+          .select(col("z.nodes").as("event_type"), col("z.r").as("pr_ppm"))
           .join(broadcast(degs.withColumnRenamed("cur", "event_type")),
             Seq("event_type"), "left")
           .na.fill(0L, Seq("out_n", "n_out_edges"))

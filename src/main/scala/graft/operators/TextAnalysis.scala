@@ -2300,11 +2300,11 @@ object TextAnalysis {
     // union's bottom-k, count values present in BOTH sketches:
     // m / k' is the standard KMV Jaccard estimator, and when the
     // union is smaller than k the sketch IS the set and the estimate
-    // is exact by construction). Audit path: the exact pairwise
-    // intersection from ONE self-join of the distinct (source,
-    // trigram) projection — per-trigram fan-out bounded by |sources|²
-    // — affordable at audit scale, impossible at 100 TB, WHY the
-    // sketch exists. Both paths share one persisted distinct
+    // is exact by construction). Audit path: the hash-exact pairwise
+    // intersection folded from ONE per-hash pass over the distinct
+    // (source, trigram-hash) projection — per-hash fan-out bounded by
+    // |sources|² — affordable at audit scale, impossible at 100 TB,
+    // WHY the sketch exists. Both paths share one persisted distinct
     // projection; everything is integer-exact, so both engines replay
     // the estimator bit-for-bit.
     QueryDef("q115_source_jaccard_sketch",
@@ -2312,67 +2312,89 @@ object TextAnalysis {
         import org.apache.spark.sql.expressions.Window
         graft.plans.TopK.ensure(s)
         val k = 256
-        val st = Tables.documents(s, dir)
+        // Trigram identity is 64-BIT-HASH identity from the first
+        // projection on (round 8, the q124 8-byte-key lesson): every
+        // exchange ships 8-byte longs, never ~25-byte trigram STRINGS.
+        // mix64 is bijective, so distinct-on-hash ≡ distinct-on-string
+        // up to raw hash64 collisions — which the oracle replays
+        // bit-for-bit (OracleSql.hash64/mix64Ctes), keeping both
+        // engines exactly equal even ON a collision. `uo` flips the
+        // sign bit so SIGNED long order ≡ the u64 order the KMV
+        // bottom-k needs (no DECIMAL(38,0) compares in the heap).
+        val raw = Tables.documents(s, dir)
           .select(col("source"), toks.as("t"))
           .select(col("source"), explode(trigramsOfT).as("tg"))
-          .distinct()
-          .withColumn("u", unsignedDec(mixedHashC(col("tg"))))
+          .select(col("source"),
+            mixedHashC(col("tg")).bitwiseXOR(lit(Long.MinValue)).as("uo"))
+        // ONE corpus pass builds the per-hash source sets (bounded by
+        // |sources| each): collect_set dedupes map-side, so the uo
+        // exchange ships partial sets, never raw trigram instances —
+        // this replaces the old separate distinct + three re-scans.
+        val uAgg = raw
+          .groupBy(col("uo"))
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
           .transform(graft.plans.CacheLifecycle.autoRelease)
-        val bk = st
+        // sizes AND exact intersections in ONE pass over the hash
+        // sets: each set emits its singles (→ |A|) and its ordered
+        // pairs (→ |A∩B|, only where the set has ≥ 2 sources), one
+        // map-side-combined exchange of |sources| + |pairs| groups
+        // folds both. Cached: three tiny broadcast consumers below.
+        val cnt = uAgg
+          .select(explode(concat(
+            expr("transform(ss, a -> struct(a AS source_a," +
+              " CAST(NULL AS STRING) AS source_b))"),
+            expr("flatten(transform(ss, (a, i) -> transform(" +
+              "slice(ss, i + 2, size(ss)), " +
+              "b -> struct(a AS source_a, b AS source_b))))"))).as("p"))
+          .select(col("p.source_a"), col("p.source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("c"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val sizes = cnt.filter(col("source_b").isNull)
+          .select(col("source_a").as("source"), col("c").as("n"))
+        val inter = cnt.filter(col("source_b").isNotNull)
+          .select(col("source_a"), col("source_b"),
+            col("c").as("inter_exact"))
+        val srcs = sizes.select(col("source"))
+        // Bottom-k KMV synopsis per source, folded to ONE capped array
+        // per source (≤ k longs — mergeable, bounded): TopKPerKey
+        // bounds the heap both sides of its exchange, and the roll-up
+        // to arrays rides the same source partitioning. At 100 TB this
+        // path runs off the distinct (source, uo) projection directly;
+        // sharing the cached audit pass is the audit-scale
+        // co-optimization.
+        val bkArr = uAgg
+          .select(explode(col("ss")).as("source"), col("uo"))
           .withColumn("r", row_number().over(Window
-            .partitionBy(col("source")).orderBy(col("u"), col("tg"))))
+            .partitionBy(col("source")).orderBy(col("uo"))))
           .filter(col("r") <= k)
-          .select(col("source"), col("u"))
-        val srcs = st.select(col("source")).distinct()
+          .groupBy(col("source"))
+          .agg(sort_array(collect_list(col("uo"))).as("ks"))
         val prs = srcs.select(col("source").as("source_a"))
           .crossJoin(broadcast(srcs.select(col("source").as("source_b"))))
           .filter(col("source_a") < col("source_b"))
-        val un = prs
-          .join(bk.withColumnRenamed("source", "source_a"), "source_a")
-          .select(col("source_a"), col("source_b"), col("u"),
-            lit(1L).as("ina"), lit(0L).as("inb"))
-          .unionByName(prs
-            .join(bk.withColumnRenamed("source", "source_b"), "source_b")
-            .select(col("source_a"), col("source_b"), col("u"),
-              lit(0L).as("ina"), lit(1L).as("inb")))
-          .groupBy(col("source_a"), col("source_b"), col("u"))
-          .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
-        val est = un
-          .withColumn("r", row_number().over(Window
-            .partitionBy(col("source_a"), col("source_b"))
-            .orderBy(col("u"))))
-          .filter(col("r") <= k)
-          .groupBy(col("source_a"), col("source_b"))
-          .agg(count(lit(1)).as("kmv_k"),
-            sum(col("ina") * col("inb")).as("kmv_both"))
-        val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        // Exact intersections WITHOUT a self-join: one groupBy(tg)
-        // folds each trigram's (bounded, ≤|sources|) source set, the
-        // ordered pairs expand in-array, and only trigrams present in
-        // ≥ 2 sources survive to the (tiny) pair rollup. The join
-        // formulation shuffled the projection TWICE by tg and paid d²
-        // join rows per trigram before the a < b filter; this pays
-        // ONE tg exchange and d(d−1)/2 post-agg rows only where d ≥ 2
-        // (measured 3.0 → ~1.9 s loaded at sf0.1).
-        val inter = st
-          .groupBy(col("tg"))
-          .agg(sort_array(collect_set(col("source"))).as("ss"))
-          .filter(size(col("ss")) >= 2)
-          .select(explode(expr(
-            "flatten(transform(ss, (a, i) -> transform(" +
-              "slice(ss, i + 2, size(ss)), " +
-              "b -> struct(a AS source_a, b AS source_b))))")).as("p"))
-          .select(col("p.source_a"), col("p.source_b"))
-          .groupBy(col("source_a"), col("source_b"))
-          .agg(count(lit(1)).as("inter_exact"))
+        // Merge, re-rank and membership-count IN-ARRAY on the two
+        // capped synopses — k' = min(k, |union|), both =
+        // |bottom-k'(union) ∩ A ∩ B| — identical to the old
+        // exchange-based union/re-rank (same estimator, same values)
+        // but the whole pair matrix is ONE all-broadcast codegen stage
+        // instead of two exchanges + a window.
         prs
+          .join(broadcast(bkArr.select(col("source").as("source_a"),
+            col("ks").as("ka"))), "source_a")
+          .join(broadcast(bkArr.select(col("source").as("source_b"),
+            col("ks").as("kb"))), "source_b")
           .join(broadcast(sizes.select(col("source").as("source_a"),
             col("n").as("n_a"))), "source_a")
           .join(broadcast(sizes.select(col("source").as("source_b"),
             col("n").as("n_b"))), "source_b")
-          .join(inter, Seq("source_a", "source_b"), "left")
+          .join(broadcast(inter), Seq("source_a", "source_b"), "left")
           .na.fill(0L, Seq("inter_exact"))
-          .join(est, Seq("source_a", "source_b"))
+          .withColumn("mrg",
+            expr(s"slice(sort_array(array_union(ka, kb)), 1, $k)"))
+          .withColumn("kmv_k", size(col("mrg")).cast("long"))
+          .withColumn("kmv_both", size(array_intersect(col("mrg"),
+            array_intersect(col("ka"), col("kb")))).cast("long"))
           .withColumn("jac_exact_ppm",
             expr("(2 * inter_exact * 1000000 + (n_a + n_b - inter_exact))"
               + " div (2 * (n_a + n_b - inter_exact))"))
@@ -2390,15 +2412,15 @@ object TextAnalysis {
               |  SELECT source, unnest(list_transform(range(1, len(t) - 1),
               |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tg
               |  FROM tk WHERE len(t) >= 3),
-              |dt AS (SELECT DISTINCT source, tg FROM tg0),
-              |h0 AS (SELECT source, tg, ${OracleSql.hash64("tg")} AS z
-              |  FROM dt),
-              |${OracleSql.mix64Ctes("source, tg", "h0")},
+              |h0 AS (SELECT DISTINCT source, ${OracleSql.hash64("tg")} AS z
+              |  FROM tg0),
+              |${OracleSql.mix64Ctes("source", "h0")},
+              |dt AS (SELECT source, m FROM mixed),
               |bk AS (
               |  SELECT source, u FROM (
               |    SELECT source, m AS u, row_number() OVER (
-              |      PARTITION BY source ORDER BY m, tg) AS r
-              |    FROM mixed)
+              |      PARTITION BY source ORDER BY m) AS r
+              |    FROM dt)
               |  WHERE r <= 256),
               |srcs AS (SELECT DISTINCT source FROM dt),
               |prs AS (
@@ -2426,7 +2448,7 @@ object TextAnalysis {
               |  SELECT a.source AS source_a, b.source AS source_b,
               |    count(*) AS inter_exact
               |  FROM dt a JOIN dt b
-              |    ON a.tg = b.tg AND a.source < b.source
+              |    ON a.m = b.m AND a.source < b.source
               |  GROUP BY 1, 2)
               |SELECT p.source_a, p.source_b,
               |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,

@@ -665,30 +665,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!exec.contains("CartesianProduct"), exec.take(2000))
   }
 
-  test("q115: both bottom-k rankings run through TopKPerKey; sketch and audit share the cached projection") {
+  test("q115: bounded bottom-k heap, one shared hash pass, all-broadcast pair stage") {
     val exec = SparkEntry.queries("q115_source_jaccard_sketch")(spark, sf)
       .queryExecution.executedPlan.toString
     try {
-      assert(exec.linesIterator.count(_.contains("TopKPerKey")) >= 2,
-        s"per-source AND per-pair bottom-256 must use the bounded " +
-          s"heap:\n${exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("TopKPerKey")) >= 1,
+        s"the per-source bottom-256 must use the bounded heap:\n${
+          exec.take(2500)}")
+      // round 8: the per-PAIR re-rank moved in-array onto the two
+      // capped synopsis arrays (array_union/slice/array_intersect in
+      // one broadcast stage) — no second exchange, no window
       assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
-        s"sketch, sizes, and exact-intersection branches must share " +
-          s"the one cached distinct (source, trigram) projection:\n${
-            exec.take(2500)}")
+        s"sketch and audit branches must share the cached hash pass, " +
+          s"and sizes/inter the cached count pass:\n${exec.take(2500)}")
+      assert(exec.contains("BroadcastHashJoin"),
+        s"the pair matrix must assemble via broadcast joins:\n${
+          exec.take(2500)}")
+      assert(!exec.contains("SortMergeJoin"),
+        s"nothing in the pair stage may shuffle-join:\n${exec.take(2500)}")
       assert(!exec.contains("CartesianProduct"), exec.take(2000))
     } finally spark.catalog.clearCache()
   }
 
-  test("q118: iterations broadcast the rank vector over the cached transition table") {
+  test("q118: power steps run in-array over the one folded bounded graph row") {
     val exec = SparkEntry.queries("q118_transition_pagerank")(spark, sf)
       .queryExecution.executedPlan.toString
     try {
-      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
-        s"edges, nodes, and degrees must all read the one cached " +
+      assert(exec.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"edge fold and degrees must both read the one cached " +
           s"transition table:\n${exec.take(2500)}")
       assert(exec.contains("BroadcastHashJoin"),
-        s"each power-iteration step must broadcast the rank vector:\n${
+        s"the degree attach must broadcast:\n${exec.take(2500)}")
+      // round 8: the three power iterations run in-array over the one
+      // folded graph row, each rank vector LET-BOUND via the
+      // transform-over-singleton idiom (CollapseProject would inline
+      // chained withColumns into an (N·E)^steps re-evaluation) — no
+      // per-step join, exchange, or broadcast build may reappear (the
+      // old loop re-broadcast the rank vector every step: 7+ broadcast
+      // exchanges; the folded form needs only out_n and the two final
+      // attaches)
+      assert(exec.contains("transform(array("),
+        s"power steps must be let-bound in-array:\n${exec.take(2500)}")
+      assert(exec.linesIterator.count(_.contains("BroadcastExchange")) <= 4,
+        s"iteration must not pay per-step broadcast builds:\n${
           exec.take(2500)}")
       assert(!exec.contains("SortMergeJoin") &&
           !exec.contains("CartesianProduct"), exec.take(2000))
