@@ -2780,5 +2780,84 @@ object TextAnalysis {
              |        + x.exact_p90)
              |    // (2 * nullif(x.exact_p90, 0)) AS BIGINT) AS err90_ppm
              |FROM ests e CROSS JOIN exact x
-             |ORDER BY e.n_bins""".stripMargin)))
+             |ORDER BY e.n_bins""".stripMargin)),
+
+    // ── Q131: BPE MERGE-STEP AUDIT — one full byte-pair-encoding
+    // training round, replayed by both engines: round-1 pair counts
+    // pick the best (weight DESC, left, right) merge, the rule applies
+    // greedily left-to-right non-overlapping to every vocabulary word
+    // ([[BPE.mergeFoldSql]] ↔ the oracle's `list_reduce` — the exact
+    // fold the library trainer iterates), and the output is the
+    // applied rule beside the top-20 ROUND-2 pair counts it produces.
+    // q84 ranked the first round's candidates; this audits the state
+    // TRANSITION — the step `operators/BPE.fit` runs `merges` times.
+    //
+    // 100 TB shape: the trainer's own — ONE corpus word-count
+    // exchange (map-side combined); everything after is vocab-sized
+    // (Zipf-bounded) with the 1-row winner broadcast back onto the
+    // vocabulary; the global top-1/top-20 are TakeOrderedAndProject,
+    // never a full sort.
+    QueryDef("q131_bpe_merge_audit",
+      (s, dir) => {
+        val wc = Tables.documents(s, dir)
+          .select(toks.as("t")).select(explode(col("t")).as("tok"))
+          .filter(char_length(col("tok")) >= 2)
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val best = wc
+          .select(col("c"),
+            explode(BPE.adjacentPairs(BPE.charSyms(col("tok")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("c")).as("w"))
+          .orderBy(col("w").desc, col("l"), col("r"))
+          .limit(1)
+        wc.crossJoin(broadcast(best))
+          .select(col("c"), col("l").as("m_l"), col("r").as("m_r"),
+            col("w").as("m_w"),
+            expr(BPE.mergeFoldSql(
+              "transform(sequence(1, char_length(tok))," +
+                " i -> substring(tok, i, 1))", "l", "r"))
+              .as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("m_l"), col("m_r"), col("m_w"), col("c"),
+            explode(BPE.adjacentPairs(col("syms"))).as("p"))
+          .groupBy(col("m_l"), col("m_r"), col("m_w"),
+            col("p.l").as("l2"), col("p.r").as("r2"))
+          .agg(sum(col("c")).as("w2"), count(lit(1)).as("n_pos"))
+          .orderBy(col("w2").desc, col("l2"), col("r2"))
+          .limit(20)
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(${OracleSql.plainSplit}) AS tok
+              |  FROM documents),
+              |wc AS (SELECT tok, count(*) AS c FROM tk
+              |  WHERE length(tok) >= 2 GROUP BY tok),
+              |p1 AS (
+              |  SELECT c, unnest(list_transform(range(1, length(tok)),
+              |    i -> {'l': substring(tok, i, 1),
+              |          'r': substring(tok, i + 1, 1)})) AS p
+              |  FROM wc),
+              |pc1 AS (SELECT p.l AS l, p.r AS r, sum(c) AS w
+              |  FROM p1 GROUP BY 1, 2),
+              |best AS (SELECT l, r, w FROM pc1
+              |  ORDER BY w DESC, l, r LIMIT 1),
+              |mg AS (
+              |  SELECT c, b.l AS m_l, b.r AS m_r, b.w AS m_w,
+              |    list_reduce(list_transform(range(1, length(tok) + 1),
+              |        i -> [substring(tok, i, 1)]),
+              |      (acc, x) -> CASE WHEN len(acc) > 0
+              |          AND acc[-1] = b.l AND x[1] = b.r
+              |        THEN list_concat(acc[1:len(acc) - 1], [b.l || b.r])
+              |        ELSE list_concat(acc, x) END) AS syms
+              |  FROM wc CROSS JOIN best b),
+              |p2 AS (
+              |  SELECT m_l, m_r, m_w, c,
+              |    unnest(list_transform(range(1, len(syms)),
+              |      i -> {'l': syms[i], 'r': syms[i + 1]})) AS p
+              |  FROM mg WHERE len(syms) >= 2)
+              |SELECT m_l, m_r, CAST(m_w AS BIGINT) AS m_w,
+              |  p.l AS l2, p.r AS r2, CAST(sum(c) AS BIGINT) AS w2,
+              |  CAST(count(*) AS BIGINT) AS n_pos
+              |FROM p2 GROUP BY 1, 2, 3, 4, 5
+              |ORDER BY w2 DESC, l2, r2 LIMIT 20""".stripMargin)))
 }
