@@ -423,22 +423,74 @@ object Relational {
              |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
-    // ── Q38: approximate percentiles — percentile_approx (a
-    // quantile sketch: bounded memory, mergeable partials — the only
-    // way to get quantiles in one pass over 100 TB; an exact
-    // percentile requires a full sort). Rows-only (sketch outputs are
-    // engine-specific); the error bound vs exact quantiles is
-    // unit-tested.
+    // ── Q38: approximate percentiles — a 1024-bin equi-width integer
+    // histogram over exact cents estimates p50/p95/p99 per event type
+    // (bin-midpoint rule), the bounded-memory one-pass quantile shape
+    // a 100 TB scan needs: one map-side-combinable (type, bin)
+    // exchange over a bounded domain, then a ≤1024-row-per-type
+    // cumulative window — an exact percentile would need a full sort
+    // (q64 is that exact twin; q111 measures this histogram's error
+    // curve). Rounds 1-7 used percentile_approx, whose KLL-ish sketch
+    // internals are engine-specific (rows-only check); the integer
+    // histogram is replayed bit-for-bit by DuckDB, upgrading q38 to a
+    // full oracle.
     QueryDef("q38_approx_percentiles",
-      (s, dir) => Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"),
-          percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"),
-          count(lit(1)).as("n"))
-        .orderBy(col("event_type")),
-      None),
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val bounds = base.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val hist = base.crossJoin(broadcast(bounds))
+          .withColumn("w", expr("(mx - mn) div 1024 + 1"))
+          .withColumn("bin", expr("(v - mn) div w"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("c"),
+            first(col("mn")).as("mn"), first(col("w")).as("w"))
+        val wB = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wT = Window.partitionBy(col("event_type"))
+        val cum = hist
+          .withColumn("cumc", sum(col("c")).over(wB))
+          .withColumn("n", sum(col("c")).over(wT))
+        def est(q: Int) = min(when(col("cumc") * 100 >= col("n") * q,
+          expr("mn + bin * w + w div 2")))
+        cum.groupBy(col("event_type"))
+          .agg(first(col("n")).as("n"), first(col("w")).as("bin_w"),
+            est(50).as("p50_cents"), est(95).as("p95_cents"),
+            est(99).as("p99_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |b AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+             |binned AS (
+             |  SELECT event_type, v, mn, (mx - mn) // 1024 + 1 AS w,
+             |    (v - mn) // ((mx - mn) // 1024 + 1) AS bin
+             |  FROM base CROSS JOIN b),
+             |hist AS (
+             |  SELECT event_type, bin, count(*) AS c, any_value(mn) AS mn,
+             |    any_value(w) AS w
+             |  FROM binned GROUP BY event_type, bin),
+             |cum AS (
+             |  SELECT event_type, bin, c, mn, w,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cumc,
+             |    sum(c) OVER (PARTITION BY event_type) AS n
+             |  FROM hist)
+             |SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+             |  CAST(any_value(w) AS BIGINT) AS bin_w,
+             |  CAST(min(CASE WHEN cumc * 100 >= n * 50
+             |    THEN mn + bin * w + w // 2 END) AS BIGINT) AS p50_cents,
+             |  CAST(min(CASE WHEN cumc * 100 >= n * 95
+             |    THEN mn + bin * w + w // 2 END) AS BIGINT) AS p95_cents,
+             |  CAST(min(CASE WHEN cumc * 100 >= n * 99
+             |    THEN mn + bin * w + w // 2 END) AS BIGINT) AS p99_cents
+             |FROM cum GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
 
     // ── Q38b (q64): EXACT percentiles via percentile_disc — the
     // oracle-checkable twin of q38. PERCENTILE_DISC returns an actual

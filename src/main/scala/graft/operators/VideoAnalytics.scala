@@ -364,18 +364,89 @@ object VideoAnalytics {
               |WHERE inter / (area_a + area_b - inter) > 0.45
               |ORDER BY frame_id, det_a, det_b""".stripMargin)),
 
-    // ── Q27: sketch-based distinct — approx_count_distinct (HLL++)
-    // next to the exact count. At 100 TB the sketch is the only
-    // shuffle-light option for high-cardinality distincts (fixed-size
-    // buffer, one pass, mergeable); rows-only check (the estimate is
-    // approximate by construction), accuracy bound unit-tested.
+    // ── Q27: sketch-based distinct — a deterministic 256-register
+    // HyperLogLog (the q101 formula: j = top 8 bits of mix64, rho =
+    // leading-zero rank of the low 56, harmonic estimate with
+    // alpha_256 = 0.7123/1.04^2... folded into one exact integer
+    // ratio) beside the exact count. At 100 TB the sketch is the only
+    // shuffle-light option for high-cardinality distincts: the
+    // (stream, register) max-merge is map-side combined to ≤ 256 rows
+    // per stream per task, one pass, mergeable. Rounds 1-7 used
+    // Spark's approx_count_distinct, whose HLL++ internals are
+    // engine-specific (rows-only check); the repo's own register
+    // replay is bit-equal in DuckDB, upgrading q27 to a full oracle —
+    // and unlike q101 it max-merges RAW rows (no pre-distinct:
+    // register maxima are idempotent under duplicates).
     QueryDef("q27_approx_distinct",
-      (s, dir) => detections(s, dir)
-        .groupBy(col("stream_id"))
-        .agg(approx_count_distinct(col("frame_id"), 0.02).as("approx_frames"),
-          count(lit(1)).as("n_rows"))
-        .orderBy(col("stream_id")),
-      None),
+      (s, dir) => {
+        graft.plans.GraftFunctions.ensure(s)
+        val dec38 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0)
+        val d = detections(s, dir)
+        val base = d.groupBy(col("stream_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("frame_id")).as("n_exact"))
+        val regs = d
+          .select(col("stream_id"),
+            call_function("graft_mix64", col("frame_id")).as("h"))
+          .select(col("stream_id"),
+            shiftrightunsigned(col("h"), 56).as("j"),
+            col("h").bitwiseAND(lit(0xFFFFFFFFFFFFFFL)).as("w"))
+          .select(col("stream_id"), col("j"),
+            when(col("w") === 0, lit(57))
+              .otherwise(lit(57) - char_length(bin(col("w")))).as("rho"))
+          .groupBy(col("stream_id"), col("j"))
+          .agg(max(col("rho")).as("rho"))
+        val sk = regs.groupBy(col("stream_id"))
+          .agg(count(lit(1)).as("regs_hit"),
+            sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - rho)"
+              + " AS DECIMAL(38,0))")).as("t_hit"))
+        val two57 = lit(new java.math.BigDecimal("144115188075855872"))
+          .cast(dec38)
+        base.join(sk, Seq("stream_id"))
+          .select(col("stream_id"), col("n_rows"), col("n_exact"),
+            col("regs_hit"),
+            (col("t_hit")
+              + (lit(256L) - col("regs_hit")).cast(dec38) * two57)
+              .as("t_total"))
+          .select(col("stream_id"), col("n_rows"), col("n_exact"),
+            col("regs_hit"),
+            expr("CAST(8719981936880320237155647488 AS DECIMAL(38,0))"
+              + " div (1285395 * t_total)").as("est_hll"))
+          .orderBy(col("stream_id"))
+      },
+      Some(s"""$detectionsCte,
+              |h0 AS (SELECT stream_id, CAST(frame_id AS HUGEINT) AS z
+              |  FROM detections),
+              |${OracleSql.mix64Ctes("stream_id", "h0")},
+              |reg AS (
+              |  SELECT stream_id,
+              |    m // CAST(72057594037927936 AS HUGEINT) AS j,
+              |    CAST(m % CAST(72057594037927936 AS HUGEINT) AS BIGINT)
+              |      AS w
+              |  FROM mixed),
+              |mr AS (
+              |  SELECT stream_id, j,
+              |    max(CASE WHEN w = 0 THEN 57
+              |        ELSE 57 - length(bin(w)) END) AS rho
+              |  FROM reg GROUP BY stream_id, j),
+              |agg AS (
+              |  SELECT stream_id, count(*) AS regs_hit,
+              |    sum(CAST(1 AS HUGEINT) << (57 - rho)) AS t_hit
+              |  FROM mr GROUP BY stream_id),
+              |ex AS (
+              |  SELECT stream_id, count(*) AS n_rows,
+              |    count(DISTINCT frame_id) AS n_exact
+              |  FROM detections GROUP BY stream_id)
+              |SELECT e.stream_id, CAST(e.n_rows AS BIGINT) AS n_rows,
+              |  CAST(e.n_exact AS BIGINT) AS n_exact,
+              |  CAST(a.regs_hit AS BIGINT) AS regs_hit,
+              |  CAST(CAST(8719981936880320237155647488 AS HUGEINT)
+              |    // (1285395 * (a.t_hit
+              |        + (256 - a.regs_hit) * (CAST(1 AS HUGEINT) << 57)))
+              |    AS BIGINT) AS est_hll
+              |FROM ex e JOIN agg a ON e.stream_id = a.stream_id
+              |ORDER BY e.stream_id""".stripMargin)),
 
     // ── Q28: per-class confidence histogram via a custom typed
     // Aggregator (functions/HistogramAgg — the Aggregator[IN,BUF,OUT]

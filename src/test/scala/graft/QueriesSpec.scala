@@ -91,36 +91,52 @@ class QueriesSpec extends AnyFunSuite {
     assert(ivf.forall(_ < 50), "all results from cell 0")
   }
 
-  test("approx distinct (q27) within 3x the configured 2% rsd of exact") {
-    import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("q27_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = graft.operators.VideoAnalytics.detections(spark, sf)
-      .groupBy(col("stream_id"))
-      .agg(countDistinct(col("frame_id")).as("d"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    for ((k, e) <- exact) {
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.06,
-        s"stream $k: approx $a vs exact $e")
+  test("HLL distinct (q27) within 15% of the in-query exact count") {
+    // 256 registers → rsd ≈ 1.04/√256 = 6.5%, and at sf0.01 the
+    // per-stream cardinality (~500) sits in the n ≲ 2.5m small-range
+    // regime where the raw harmonic estimate (q101's formula, no
+    // linear-counting correction) is biased HIGH — 15% covers ~1.5σ
+    // on top of that bias (observed max 11% at sf0.01)
+    val rows = SparkEntry.queries("q27_approx_distinct")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(2), r.getLong(4))
+      assert(est > 0 && math.abs(est - exact).toDouble / exact <= 0.15,
+        s"stream ${r.getString(0)}: est_hll $est vs exact $exact")
+      assert(r.getLong(3) <= 256, s"regs_hit bounded: $r")
+      assert(exact <= r.getLong(1), s"distinct <= rows: $r")
     }
   }
 
-  test("approx percentiles (q38) close to exact quantiles") {
+  test("histogram percentiles (q38) land within one bin of exact quantiles") {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     val approx = SparkEntry.queries("q38_approx_percentiles")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // exact order statistics in the same cents domain and the same
+    // cumc*100 >= n*q rank convention the estimator uses
+    val wT = Window.partitionBy(col("event_type"))
     val exact = graft.operators.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .withColumn("rn", row_number().over(wT.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(wT))
       .groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.95)").as("p95"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    for ((k, (e50, e95)) <- exact) {
-      val (a50, a95) = approx(k)
-      assert(math.abs(a50 - e50) <= math.max(1.0, 0.05 * math.abs(e50)),
-        s"$k p50: $a50 vs $e50")
-      assert(math.abs(a95 - e95) <= math.max(1.0, 0.05 * math.abs(e95)),
-        s"$k p95: $a95 vs $e95")
+      .agg(
+        min(when(col("rn") * 100 >= col("n") * 50, col("v"))).as("e50"),
+        min(when(col("rn") * 100 >= col("n") * 95, col("v"))).as("e95"),
+        min(when(col("rn") * 100 >= col("n") * 99, col("v"))).as("e99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(exact.nonEmpty)
+    for ((k, (e50, e95, e99)) <- exact) {
+      val (w, a50, a95, a99) = approx(k)
+      for (((a, e), p) <- Seq(a50 -> e50, a95 -> e95, a99 -> e99)
+          .zip(Seq(50, 95, 99)))
+        assert(math.abs(a - e) <= w,
+          s"$k p$p: est $a vs exact $e exceeds bin width $w")
     }
   }
 
