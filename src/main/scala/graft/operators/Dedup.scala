@@ -1911,5 +1911,58 @@ object Dedup {
               |FROM ts t
               |LEFT JOIN pairs p USING (threshold_pct)
               |LEFT JOIN docs_in d USING (threshold_pct)
-              |ORDER BY t.threshold_pct""".stripMargin)))
+              |ORDER BY t.threshold_pct""".stripMargin)),
+
+    // ── Q132: 4-SIGNAL DEDUP COMPONENTS — q71's multi-signal union
+    // (minhash-banded Jaccard, simhash hamming, PPJoin token-set
+    // overlap — all text-derived) EXTENDED with the modality a
+    // production corpus dedups CROSS-modally: q54's embedding
+    // near-dup pairs (banded-LSH candidates, exact-cosine verify,
+    // vec_id ≡ doc_id in this corpus). Paraphrased near-dups with
+    // disjoint surface text collide in embedding space where every
+    // text signal is blind — the reason the 4th signal exists. Same
+    // component/membership report as q71, so the two are directly
+    // diffable (components that only exist under the embedding
+    // signal).
+    //
+    // 100 TB shape: the three text miners share ONE signature scan
+    // (tripleSigs); the embedding miner is one banded equi-join over
+    // the embeddings table (capped-candidate LSH, exact verify on
+    // candidate ids only); the union stays linear-size, and the CC
+    // runs the q63 machinery (single-task union-find under the 50k
+    // edge sizing rule, iterative halving above it).
+    QueryDef("q132_multi_signal_4way",
+      (s, dir) => {
+        val textPairs = multiSignalPairsFrom(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        val embPairs = Similarity
+          .embedNearDupPairsFrom(Tables.embeddings(s, dir))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        connectedComponents(textPairs.union(embPairs).distinct())
+          .groupBy(col("lbl"))
+          .agg(count(lit(1)).as("n_docs"),
+            array_join(array_sort(collect_list(col("id"))), ",")
+              .as("members"))
+          .select(col("lbl").as("keeper"), col("n_docs"), col("members"))
+          .orderBy(col("keeper"))
+      },
+      Some(s"""WITH RECURSIVE $multiSignalPairsCtes,
+              |${Similarity.embedNearDupCtes},
+              |pairs4 AS (
+              |  SELECT doc_a, doc_b FROM pairs
+              |  UNION
+              |  SELECT vec_a, vec_b FROM empairs),
+              |edges AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM pairs4
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs4),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+              |comp AS (
+              |  SELECT src AS id, min(dst) AS keeper FROM reach GROUP BY src)
+              |SELECT keeper, count(*) AS n_docs,
+              |  array_to_string(list_sort(list(id)), ',') AS members
+              |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin)))
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorKernels
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,6 +125,81 @@ object Similarity {
        |         ELSE least(255, greatest(0, CAST(floor(
        |           (($x - d.mn) * 255) / (d.mx - d.mn)) AS BIGINT)))
        |    END""".stripMargin
+
+  /** q54's banded-LSH embedding near-dup miner over any (vec_id,
+    * embedding[64]) frame, shared with q132's 4-signal dedup union:
+    * 8×8-bit sign-bucket bands, candidates from the (band_idx,
+    * band_val) equi-join (a pair sharing k bands is emitted once, by
+    * its FIRST matching band — no distinct, no re-join to refetch
+    * embeddings), exact cosine verify keeps pairs ≥ 0.45. Returns
+    * UNORDERED (vec_a, vec_b, cosine) — callers sort.
+    */
+  private[graft] def embedNearDupPairsFrom(emb: DataFrame): DataFrame = {
+    val nBands = 8
+    val bandBits = 8
+    def bandOf(bucket: Column, j: Int): Column =
+      shiftrightunsigned(bucket, bandBits * j).bitwiseAND(lit(255L))
+    val bucket = VectorKernels.lshBucket(col("embedding"), DIM,
+      nBands * bandBits)
+    val e = emb
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"),
+        VectorKernels.norm(col("embedding")).as("nrm"))
+      .transform(graft.plans.CacheLifecycle.autoRelease) // both self-join sides; one bucket-UDF pass
+
+    val sliced = e.select(col("vec_id"), col("embedding"), col("bucket"),
+      col("nrm"),
+      posexplode(array((0 until nBands).map(i =>
+        bandOf(col("bucket"), i)): _*)).as(Seq("band_idx", "band_val")))
+    val a = sliced.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("bucket").as("bucket_a"), col("nrm").as("na"))
+    val b = sliced.select(col("band_idx").as("bi"),
+      col("band_val").as("bv"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("bucket").as("bucket_b"),
+      col("nrm").as("nb"))
+    val earlierMatch = (0 until nBands - 1).map(j =>
+      lit(j) < col("band_idx") &&
+        bandOf(col("bucket_a"), j) === bandOf(col("bucket_b"), j))
+      .reduce(_ || _)
+    val cos = VectorKernels.dot(col("ea"), col("eb")) /
+      (col("na") * col("nb"))
+    a.join(b, col("band_idx") === col("bi") &&
+        col("band_val") === col("bv") && col("vec_a") < col("vec_b"))
+      .filter(!earlierMatch)
+      .select(col("vec_a"), col("vec_b"), cos.as("cosine"))
+      .filter(col("cosine") >= 0.45)
+  }
+
+  /** DuckDB chain replaying [[embedNearDupPairsFrom]], terminating in
+    * CTE `empairs(vec_a, vec_b, cosine)`. Internal CTEs are suffixed
+    * `_em` (planesCte's own `pi/h0/mixed` names stay unsuffixed —
+    * unique among the q132 composition's `_mh/_sh/_pp` miner chains).
+    */
+  private[graft] lazy val embedNearDupCtes: String =
+    s"""$planesCte,
+       |dots_em AS (
+       |  SELECT e.vec_id, pl.p,
+       |    sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
+       |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+       |bands_em AS (
+       |  SELECT vec_id, CAST(p // 8 AS INT) AS band_idx,
+       |    sum(CASE WHEN d >= 0 THEN 1 << (p % 8) ELSE 0 END) AS band_val
+       |  FROM dots_em GROUP BY vec_id, p // 8),
+       |cand_em AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands_em a JOIN bands_em b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.vec_id < b.vec_id),
+       |empairs AS (
+       |  SELECT * FROM (
+       |    SELECT c.vec_a, c.vec_b,
+       |      (${dotSql("ea.embedding", "eb.embedding")})
+       |        / (sqrt(${dotSql("ea.embedding", "ea.embedding")})
+       |           * sqrt(${dotSql("eb.embedding", "eb.embedding")})) AS cosine
+       |    FROM cand_em c
+       |    JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |    JOIN embeddings eb ON eb.vec_id = c.vec_b)
+       |  WHERE cosine >= 0.45)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -307,66 +382,12 @@ object Similarity {
     // engine's first-band dedup), exact cosine re-verify via the q51
     // left-assoc chains. Sign-of-sum FP safety argued at q53.
     QueryDef("q54_embed_neardup",
-      (s, dir) => {
-        val nBands = 8
-        val bandBits = 8
-        def bandOf(bucket: Column, j: Int): Column =
-          shiftrightunsigned(bucket, bandBits * j).bitwiseAND(lit(255L))
-        val bucket = VectorKernels.lshBucket(col("embedding"), DIM,
-          nBands * bandBits)
-        val e = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"), bucket.as("bucket"),
-            VectorKernels.norm(col("embedding")).as("nrm"))
-          .transform(graft.plans.CacheLifecycle.autoRelease) // both self-join sides; one bucket-UDF pass
-
-        val sliced = e.select(col("vec_id"), col("embedding"), col("bucket"),
-          col("nrm"),
-          posexplode(array((0 until nBands).map(i =>
-            bandOf(col("bucket"), i)): _*)).as(Seq("band_idx", "band_val")))
-        val a = sliced.select(col("band_idx"), col("band_val"),
-          col("vec_id").as("vec_a"), col("embedding").as("ea"),
-          col("bucket").as("bucket_a"), col("nrm").as("na"))
-        val b = sliced.select(col("band_idx").as("bi"),
-          col("band_val").as("bv"), col("vec_id").as("vec_b"),
-          col("embedding").as("eb"), col("bucket").as("bucket_b"),
-          col("nrm").as("nb"))
-        val earlierMatch = (0 until nBands - 1).map(j =>
-          lit(j) < col("band_idx") &&
-            bandOf(col("bucket_a"), j) === bandOf(col("bucket_b"), j))
-          .reduce(_ || _)
-        val cos = VectorKernels.dot(col("ea"), col("eb")) /
-          (col("na") * col("nb"))
-        a.join(b, col("band_idx") === col("bi") &&
-            col("band_val") === col("bv") && col("vec_a") < col("vec_b"))
-          .filter(!earlierMatch)
-          .select(col("vec_a"), col("vec_b"), cos.as("cosine"))
-          .filter(col("cosine") >= 0.45)
-          .orderBy(col("vec_a"), col("vec_b"))
-      },
-      Some(s"""WITH $planesCte,
-              |dots AS (
-              |  SELECT e.vec_id, pl.p,
-              |    sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
-              |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
-              |bands AS (
-              |  SELECT vec_id, CAST(p // 8 AS INT) AS band_idx,
-              |    sum(CASE WHEN d >= 0 THEN 1 << (p % 8) ELSE 0 END) AS band_val
-              |  FROM dots GROUP BY vec_id, p // 8),
-              |cand AS (
-              |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-              |  FROM bands a JOIN bands b
-              |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-              |   AND a.vec_id < b.vec_id),
-              |pairs AS (
-              |  SELECT c.vec_a, c.vec_b,
-              |    (${dotSql("ea.embedding", "eb.embedding")})
-              |      / (sqrt(${dotSql("ea.embedding", "ea.embedding")})
-              |         * sqrt(${dotSql("eb.embedding", "eb.embedding")})) AS cosine
-              |  FROM cand c
-              |  JOIN embeddings ea ON ea.vec_id = c.vec_a
-              |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
-              |SELECT vec_a, vec_b, cosine FROM pairs
-              |WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""".stripMargin)),
+      (s, dir) =>
+        embedNearDupPairsFrom(Tables.embeddings(s, dir))
+          .orderBy(col("vec_a"), col("vec_b")),
+      Some(s"""WITH $embedNearDupCtes
+              |SELECT vec_a, vec_b, cosine FROM empairs
+              |ORDER BY vec_a, vec_b""".stripMargin)),
 
     // ── Q55: IVF-style ANN — coarse quantizer = per-label centroids
     // (q52's computation), probe the nProbe cells whose centroid is

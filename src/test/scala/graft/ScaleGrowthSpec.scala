@@ -176,6 +176,27 @@ class ScaleGrowthSpec extends AnyFunSuite {
       s"implausibly sub-linear edge growth: e1=$e1 e5=$e5")
   }
 
+  test("q54/q132 embedding miner emits exactly intra-group pairs; growth is linear in groups") {
+    // one-hot 64-dim construction: members of a group share the exact
+    // vector (all 8 LSH bands collide, cosine = 1), distinct groups
+    // are orthogonal (cosine = 0 < 0.45) — so the verified pair set
+    // must be EXACTLY the k·C(g,2) intra-group pairs, and doubling
+    // the group count doubles the output: the linear-growth contract
+    // of the q132 union's 4th signal
+    ensureFns()
+    import spark.implicits._
+    def corpus(groups: Int, size: Int): DataFrame =
+      (0 until groups).flatMap(g => (0 until size).map(i =>
+        (g * 1000L + i,
+          Array.tabulate(64)(d => if (d == g) 1.0f else 0.0f))))
+        .toDF("vec_id", "embedding")
+    def pairs(groups: Int): Long =
+      countAndRelease(graft.operators.Similarity
+        .embedNearDupPairsFrom(corpus(groups, 6)))
+    assert(pairs(10) === 10L * 15)
+    assert(pairs(20) === 20L * 15)
+  }
+
   private def q83Spans(docs: DataFrame): Long = {
     ensureFns() // dupSpansFrom resolves graft_shingle_hashes_pos
     countAndRelease(Dedup.dupSpansFrom(docs.select(col("doc_id"), col("text"))))
