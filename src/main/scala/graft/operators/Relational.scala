@@ -364,7 +364,8 @@ object Relational {
         s.sql("""SELECT coalesce(event_type, 'ALL') AS etype,
                 |  coalesce(CAST(user_id AS STRING), 'ALL') AS uid,
                 |  count(*) AS n,
-                |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                |  CAST(sum(CAST(round(CASE WHEN isnan(value) THEN NULL
+                |    ELSE value END * 100) AS BIGINT)) AS DOUBLE)
                 |    / 100.0 AS total_value
                 |FROM events_gs
                 |GROUP BY GROUPING SETS ((event_type), (user_id), ())
@@ -373,7 +374,8 @@ object Relational {
       Some("""SELECT coalesce(event_type, 'ALL') AS etype,
              |  coalesce(CAST(user_id AS VARCHAR), 'ALL') AS uid,
              |  count(*) AS n,
-             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             |  CAST(sum(CAST(round(CASE WHEN isnan(value) THEN NULL
+             |    ELSE value END * 100) AS BIGINT)) AS DOUBLE)
              |    / 100.0 AS total_value
              |FROM events
              |GROUP BY GROUPING SETS ((event_type), (user_id), ())
@@ -437,6 +439,11 @@ object Relational {
     QueryDef("q38_approx_percentiles",
       (s, dir) => {
         val base = Tables.events(s, dir)
+          // the percentile domain is the VALUED rows: NULL carries no
+          // value and NaN cannot be binned (ANSI CAST(NaN AS BIGINT)
+          // throws — EdgeCaseEventsSpec pins this); both engines drop
+          // them identically
+          .filter(col("value").isNotNull && !isnan(col("value")))
           .select(col("event_type"),
             expr("CAST(round(value * 100) AS BIGINT)").as("v"))
           .transform(graft.plans.CacheLifecycle.autoRelease)
@@ -464,7 +471,8 @@ object Relational {
       Some("""WITH base AS (
              |  SELECT event_type,
              |    CAST(round(value * 100) AS BIGINT) AS v
-             |  FROM events),
+             |  FROM events
+             |  WHERE value IS NOT NULL AND NOT isnan(value)),
              |b AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
              |binned AS (
              |  SELECT event_type, v, mn, (mx - mn) // 1024 + 1 AS w,
@@ -843,6 +851,8 @@ object Relational {
     QueryDef("q116_mad_outliers",
       (s, dir) => {
         val base = Tables.events(s, dir)
+          // valued rows only — q38's NaN/NULL rationale
+          .filter(col("value").isNotNull && !isnan(col("value")))
           .select(col("event_type"),
             expr("CAST(round(value * 100) AS BIGINT)").as("v"))
           .transform(graft.plans.CacheLifecycle.autoRelease)
@@ -874,7 +884,8 @@ object Relational {
       Some("""WITH base AS (
              |  SELECT event_type,
              |    CAST(round(value * 100) AS BIGINT) AS v
-             |  FROM events),
+             |  FROM events
+             |  WHERE value IS NOT NULL AND NOT isnan(value)),
              |r1 AS (
              |  SELECT event_type, v,
              |    row_number() OVER (PARTITION BY event_type ORDER BY v)
@@ -1203,6 +1214,8 @@ object Relational {
     QueryDef("q122_value_gini",
       (s, dir) => {
         val tot = Tables.events(s, dir)
+          // valued rows only — q38's NaN/NULL rationale
+          .filter(col("value").isNotNull && !isnan(col("value")))
           .select(col("event_type"), col("user_id"),
             expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
           .groupBy(col("event_type"), col("user_id"))
@@ -1236,7 +1249,9 @@ object Relational {
       Some("""WITH tot AS (
              |  SELECT event_type, user_id,
              |    sum(CAST(round(value * 100) AS BIGINT)) AS t
-             |  FROM events GROUP BY 1, 2),
+             |  FROM events
+             |  WHERE value IS NOT NULL AND NOT isnan(value)
+             |  GROUP BY 1, 2),
              |rk AS (
              |  SELECT event_type, t, row_number() OVER (
              |    PARTITION BY event_type ORDER BY t, user_id) AS i
