@@ -1964,5 +1964,170 @@ object Dedup {
               |  SELECT src AS id, min(dst) AS keeper FROM reach GROUP BY src)
               |SELECT keeper, count(*) AS n_docs,
               |  array_to_string(list_sort(list(id)), ',') AS members
-              |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin)))
+              |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin)),
+
+    // Degree-oriented triangle counting over the multi-signal dup
+    // graph — a dedup-QUALITY metric: triangles measure how clique-like
+    // the near-dup clusters are (a transitive miner closes its wedges;
+    // a noisy one leaves open paths that connectedComponents still
+    // glues into one keeper group). Per-node output: degree + the
+    // number of triangles the doc participates in.
+    //
+    // 100 TB shape: the standard orientation trick — direct every
+    // edge toward its (degree, id)-larger endpoint, so each triangle
+    // is found exactly once and the wedge join's fan-out per node is
+    // bounded by its ORIENTED out-degree (≤ graph arboricity ≈
+    // O(sqrt(|E|)) worst case, tiny on a sparse dup graph). All three
+    // legs are hash equi-joins on doc ids; degrees ride a (id) groupBy
+    // of the pair list — never the corpus. No driver-side state.
+    QueryDef("q134_dup_triangles",
+      (s, dir) => {
+        val pairs = multiSignalPairs(s, dir)
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .select(col("u").as("id"), col("deg"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        // orient u -> v iff (deg(u), u) < (deg(v), v)
+        val du = deg.select(col("id").as("u"), col("deg").as("du"))
+        val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
+        val o = edges.join(du, "u").join(dv, "v")
+          .filter(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")))
+          .select(col("u"), col("v"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val o2 = o.select(col("u").as("w1"), col("v").as("w2"))
+        val o3 = o.select(col("u").as("t1"), col("v").as("t2"))
+        val tri = o.join(o2, col("v") === col("w1"))
+          .join(o3, col("u") === col("t1") && col("w2") === col("t2"))
+          .select(col("u").as("a"), col("v").as("b"), col("w2").as("c"))
+        val perNode = tri.select(col("a").as("id"))
+          .union(tri.select(col("b").as("id")))
+          .union(tri.select(col("c").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+        deg.join(perNode, Seq("id"), "left")
+          .select(col("id").as("doc_id"), col("deg"),
+            coalesce(col("tri"), lit(0L)).as("tri"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $multiSignalPairsCtes,
+              |tedges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |tdeg AS (SELECT u AS id, count(*) AS deg FROM tedges GROUP BY u),
+              |o AS (
+              |  SELECT e.u, e.v FROM tedges e
+              |  JOIN tdeg du ON du.id = e.u
+              |  JOIN tdeg dv ON dv.id = e.v
+              |  WHERE du.deg < dv.deg
+              |     OR (du.deg = dv.deg AND e.u < e.v)),
+              |tri AS (
+              |  SELECT o1.u AS a, o1.v AS b, o2.v AS c
+              |  FROM o o1
+              |  JOIN o o2 ON o1.v = o2.u
+              |  JOIN o o3 ON o3.u = o1.u AND o3.v = o2.v),
+              |pern AS (
+              |  SELECT id, count(*) AS tri FROM (
+              |    SELECT a AS id FROM tri
+              |    UNION ALL SELECT b FROM tri
+              |    UNION ALL SELECT c FROM tri)
+              |  GROUP BY id)
+              |SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+              |  CAST(coalesce(p.tri, 0) AS BIGINT) AS tri
+              |FROM tdeg d LEFT JOIN pern p USING (id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Newman modularity of the near-dup graph under the SOURCE
+    // partition — "do near-dup edges concentrate within sources?"
+    // (connected components would be degenerate here: every component
+    // is edge-closed, so its modularity is maximal by construction;
+    // the source attribute is the partition a contamination audit
+    // actually cares about, the q87/q77 axis as one global metric).
+    // Per source s: contribution = e_s/m − (d_s/2m)², computed EXACTLY
+    // as (4·m·e_s − d_s²)·10⁶ over 4·m² in half-up ppm — all integer,
+    // no doubles. A negative contribution (fewer intra edges than the
+    // degree mass predicts) is meaningful and survives the truncating
+    // div identically in both engines.
+    //
+    // 100 TB shape: rides the cached pair list — two broadcast-able
+    // joins against the (doc_id, source) projection (dimension-sized
+    // per partition at any corpus: each pair fetches 2 source strings),
+    // then source-keyed aggregation over |pairs| rows; m folds to one
+    // broadcast row. The corpus itself is never rescanned.
+    QueryDef("q139_dup_modularity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+        val pairs = multiSignalPairs(s, dir)
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val withSrc = pairs
+          .join(docs.select(col("doc_id").as("doc_a"),
+            col("source").as("src_a")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"),
+            col("source").as("src_b")), "doc_b")
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val m = withSrc.agg(count(lit(1)).as("m"))
+        // endpoint degree mass per source + intra-edge counts
+        val degS = withSrc.select(col("src_a").as("source"))
+          .union(withSrc.select(col("src_b").as("source")))
+          .groupBy(col("source")).agg(count(lit(1)).as("deg_sum"))
+        val intraS = withSrc.filter(col("src_a") === col("src_b"))
+          .groupBy(col("src_a").as("source"))
+          .agg(count(lit(1)).as("intra_edges"))
+        val nodesS = pairs.select(col("doc_a").as("doc_id"))
+          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+          .join(docs, "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_nodes"))
+        nodesS.join(degS, Seq("source"), "left")
+          .join(intraS, Seq("source"), "left")
+          .crossJoin(broadcast(m))
+          .select(col("source"), col("n_nodes"),
+            coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+            coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+            expr("CAST((2 * (4 * CAST(m AS DECIMAL(38,0))"
+              + " * coalesce(intra_edges, 0)"
+              + " - CAST(coalesce(deg_sum, 0) AS DECIMAL(38,0))"
+              + " * coalesce(deg_sum, 0)) * 1000000"
+              + " + 4 * CAST(m AS DECIMAL(38,0)) * m)"
+              + " div (2 * 4 * CAST(m AS DECIMAL(38,0)) * m)"
+              + " AS BIGINT)").as("contrib_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $multiSignalPairsCtes,
+              |ws AS (
+              |  SELECT p.doc_a, p.doc_b, da.source AS src_a,
+              |    db.source AS src_b
+              |  FROM pairs p
+              |  JOIN documents da ON da.doc_id = p.doc_a
+              |  JOIN documents db ON db.doc_id = p.doc_b),
+              |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM ws),
+              |degs AS (
+              |  SELECT source, count(*) AS deg_sum FROM (
+              |    SELECT src_a AS source FROM ws
+              |    UNION ALL SELECT src_b FROM ws)
+              |  GROUP BY source),
+              |intr AS (
+              |  SELECT src_a AS source, count(*) AS intra_edges
+              |  FROM ws WHERE src_a = src_b GROUP BY src_a),
+              |nds AS (
+              |  SELECT d.source, count(*) AS n_nodes FROM (
+              |    SELECT DISTINCT doc_id FROM (
+              |      SELECT doc_a AS doc_id FROM pairs
+              |      UNION ALL SELECT doc_b FROM pairs)) n
+              |  JOIN documents d ON d.doc_id = n.doc_id
+              |  GROUP BY d.source)
+              |SELECT n.source, CAST(n.n_nodes AS BIGINT) AS n_nodes,
+              |  CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+              |  CAST(coalesce(g.deg_sum, 0) AS BIGINT) AS deg_sum,
+              |  CAST((2 * (4 * mm.m * coalesce(i.intra_edges, 0)
+              |      - CAST(coalesce(g.deg_sum, 0) AS HUGEINT)
+              |        * coalesce(g.deg_sum, 0)) * 1000000
+              |      + 4 * mm.m * mm.m)
+              |    // (2 * 4 * mm.m * mm.m) AS BIGINT) AS contrib_ppm
+              |FROM nds n
+              |LEFT JOIN degs g USING (source)
+              |LEFT JOIN intr i USING (source)
+              |CROSS JOIN mm
+              |ORDER BY n.source""".stripMargin)))
 }

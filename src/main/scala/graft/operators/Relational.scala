@@ -1469,5 +1469,121 @@ object Relational {
            |    // (2 * nullif(x.exact_join_size, 0)) AS BIGINT)
            |    AS overest_ppm
            |FROM na, nb, exact x, est e""".stripMargin
-      }))
+      }),
+
+    // ── Q135: Z-ORDER LAYOUT FILE-SKIPPING CURVE — the engine measures
+    // its own data-layout knob. Rows get two bounded integer dims
+    // (user bucket 0..255, minute-of-day scaled to 0..255); a Morton
+    // code interleaves their bits. Files are simulated as `n_buckets`
+    // equal code ranges under two layouts: LINEAR (row-major on the
+    // user dim — what a naive ORDER BY user_id write produces) and
+    // ZORDER. For a 2-D box predicate (the Delta/Iceberg OPTIMIZE
+    // ZORDER use case) each file keeps per-file min/max of both dims —
+    // exactly the parquet footer stats a 100 TB scan prunes on — and
+    // the query reports, per (layout, n_buckets): files pruned and
+    // rows inside surviving files. Z-order's interleaving bounds BOTH
+    // dims per file, so its curve dominates linear's everywhere except
+    // the predicate's own dimension — the measured argument for
+    // z-ordering ingest. One events scan; the curve fans out over a
+    // 6-row literal array; stats ride one (layout, n_buckets, bucket)
+    // groupBy — never a second corpus pass.
+    QueryDef("q135_zorder_skip",
+      (s, dir) => {
+        val ub = expr("((user_id % 256) + 256) % 256")
+        val tb = expr("(((unix_millis(ts) div 60000) % 1440) * 256)"
+          + " div 1440")
+        // 16-bit Morton: bit i of ub → bit 2i+1, bit i of tb → bit 2i
+        val morton = (0 until 8).map(i =>
+          shiftleft(shiftright(col("ub"), i).bitwiseAND(lit(1L)),
+            2 * i + 1).cast("long") +
+            shiftleft(shiftright(col("tb"), i).bitwiseAND(lit(1L)),
+              2 * i).cast("long"))
+          .reduce(_ + _)
+        val base = Tables.events(s, dir)
+          .select(ub.as("ub"), tb.as("tb"))
+          .select(col("ub"), col("tb"), morton.as("mz"),
+            expr("ub * 256 + tb").as("ml"),
+            // the 2-D box predicate under test
+            expr("CASE WHEN ub BETWEEN 64 AND 127"
+              + " AND tb BETWEEN 32 AND 95 THEN 1 ELSE 0 END").as("hit"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val fan = base.select(col("ub"), col("tb"), col("mz"), col("ml"),
+          col("hit"),
+          explode(array(
+            struct(lit("linear").as("layout"), lit(16L).as("n_buckets")),
+            struct(lit("zorder").as("layout"), lit(16L).as("n_buckets")),
+            struct(lit("linear").as("layout"), lit(64L).as("n_buckets")),
+            struct(lit("zorder").as("layout"), lit(64L).as("n_buckets")),
+            struct(lit("linear").as("layout"), lit(256L).as("n_buckets")),
+            struct(lit("zorder").as("layout"), lit(256L).as("n_buckets"))
+          )).as("cfg"))
+          .select(col("cfg.layout").as("layout"),
+            col("cfg.n_buckets").as("n_buckets"),
+            expr("(CASE WHEN cfg.layout = 'zorder' THEN mz ELSE ml END"
+              + " * cfg.n_buckets) div 65536").as("bucket"),
+            col("ub"), col("tb"), col("hit"))
+        val files = fan.groupBy(col("layout"), col("n_buckets"),
+            col("bucket"))
+          .agg(min(col("ub")).as("mn_ub"), max(col("ub")).as("mx_ub"),
+            min(col("tb")).as("mn_tb"), max(col("tb")).as("mx_tb"),
+            count(lit(1)).as("rows"), sum(col("hit")).as("hits"))
+          .withColumn("pruned",
+            when(col("mx_ub") < 64 || col("mn_ub") > 127 ||
+              col("mx_tb") < 32 || col("mn_tb") > 95, 1L).otherwise(0L))
+        files.groupBy(col("layout"), col("n_buckets"))
+          .agg(count(lit(1)).as("files"),
+            sum(col("pruned")).as("files_pruned"),
+            sum(when(col("pruned") === 0, col("rows")).otherwise(0L))
+              .as("rows_scanned"),
+            sum(col("hits")).as("rows_matching"))
+          .orderBy(col("layout"), col("n_buckets"))
+      },
+      Some("""WITH base AS (
+             |  SELECT ((user_id % 256) + 256) % 256 AS ub,
+             |    ((((epoch_ms(ts) // 60000) % 1440)) * 256) // 1440 AS tb
+             |  FROM events),
+             |coded AS (
+             |  SELECT ub, tb,
+             |    (((ub >> 0) & 1) << 1) + (((tb >> 0) & 1) << 0)
+             |    + (((ub >> 1) & 1) << 3) + (((tb >> 1) & 1) << 2)
+             |    + (((ub >> 2) & 1) << 5) + (((tb >> 2) & 1) << 4)
+             |    + (((ub >> 3) & 1) << 7) + (((tb >> 3) & 1) << 6)
+             |    + (((ub >> 4) & 1) << 9) + (((tb >> 4) & 1) << 8)
+             |    + (((ub >> 5) & 1) << 11) + (((tb >> 5) & 1) << 10)
+             |    + (((ub >> 6) & 1) << 13) + (((tb >> 6) & 1) << 12)
+             |    + (((ub >> 7) & 1) << 15) + (((tb >> 7) & 1) << 14)
+             |      AS mz,
+             |    ub * 256 + tb AS ml,
+             |    CASE WHEN ub BETWEEN 64 AND 127
+             |      AND tb BETWEEN 32 AND 95 THEN 1 ELSE 0 END AS hit
+             |  FROM base),
+             |cfg AS (
+             |  SELECT layout, CAST(n_buckets AS BIGINT) AS n_buckets
+             |  FROM (VALUES ('linear', 16), ('zorder', 16),
+             |               ('linear', 64), ('zorder', 64),
+             |               ('linear', 256), ('zorder', 256))
+             |    t(layout, n_buckets)),
+             |fan AS (
+             |  SELECT c.layout, c.n_buckets,
+             |    (CASE WHEN c.layout = 'zorder' THEN b.mz ELSE b.ml END
+             |      * c.n_buckets) // 65536 AS bucket,
+             |    b.ub, b.tb, b.hit
+             |  FROM coded b CROSS JOIN cfg c),
+             |files AS (
+             |  SELECT layout, n_buckets, bucket,
+             |    min(ub) AS mn_ub, max(ub) AS mx_ub,
+             |    min(tb) AS mn_tb, max(tb) AS mx_tb,
+             |    count(*) AS nrows, sum(hit) AS hits,
+             |    CASE WHEN max(ub) < 64 OR min(ub) > 127
+             |      OR max(tb) < 32 OR min(tb) > 95 THEN 1 ELSE 0 END
+             |      AS pruned
+             |  FROM fan GROUP BY layout, n_buckets, bucket)
+             |SELECT layout, n_buckets,
+             |  CAST(count(*) AS BIGINT) AS files,
+             |  CAST(sum(pruned) AS BIGINT) AS files_pruned,
+             |  CAST(sum(CASE WHEN pruned = 0 THEN nrows ELSE 0 END)
+             |    AS BIGINT) AS rows_scanned,
+             |  CAST(sum(hits) AS BIGINT) AS rows_matching
+             |FROM files GROUP BY layout, n_buckets
+             |ORDER BY layout, n_buckets""".stripMargin)))
 }

@@ -201,6 +201,35 @@ object Similarity {
        |    JOIN embeddings eb ON eb.vec_id = c.vec_b)
        |  WHERE cosine >= 0.45)""".stripMargin
 
+  /** Subspace slice i of a quantized (id, qa) frame — the PQ split
+    * shared by q104 and q138 (2 subspaces × half dims).
+    */
+  private def pqSub(q: org.apache.spark.sql.DataFrame, i: Int,
+      half: Int): org.apache.spark.sql.DataFrame =
+    q.select(col("id"), slice(col("qa"), i * half + 1, half).as("qa"))
+
+  /** One Lloyd step from the vec_id<8 seeds over one subspace:
+    * (cid, cq) refined codebook with q98's half-up integer means —
+    * the shared PQ codebook trainer (q104's original body, factored
+    * for q138's IVF+PQ composition; identical plan).
+    */
+  private def pqRefined(subQ: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    KMeans.assignAgainst(subQ, KMeans.fold(
+        subQ.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("qa").as("cq"))))
+      .select(col("cid"), posexplode(col("qa")).as(Seq("dim", "qv")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("sq"))
+      .select(col("cid"), col("dim"),
+        expr("((sq + 1000000 * n) * 2 + n) div (2 * n) - 1000000")
+          .as("cq1"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cq1"))))
+        .as("pairs"))
+      .select(col("cid"),
+        transform(col("pairs"), p => p.getField("cq1")).as("cq"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Q50: brute-force cosine top-10 against a constant query vector.
@@ -933,28 +962,9 @@ object Similarity {
         val q = KMeans.quantized(Tables.embeddings(s, dir),
             "vec_id", "embedding")
           .transform(graft.plans.CacheLifecycle.autoRelease)
-        // one Lloyd step from the vec_id<8 seeds over one subspace:
-        // (cid, cq) refined codebook with q98's half-up integer means
-        def refined(subQ: org.apache.spark.sql.DataFrame) =
-          KMeans.assignAgainst(subQ, KMeans.fold(
-              subQ.filter(col("id") < 8)
-                .select(col("id").as("cid"), col("qa").as("cq"))))
-            .select(col("cid"), posexplode(col("qa")).as(Seq("dim", "qv")))
-            .groupBy(col("cid"), col("dim"))
-            .agg(count(lit(1)).as("n"), sum(col("qv")).as("sq"))
-            .select(col("cid"), col("dim"),
-              expr("((sq + 1000000 * n) * 2 + n) div (2 * n) - 1000000")
-                .as("cq1"))
-            .groupBy(col("cid"))
-            .agg(array_sort(collect_list(struct(col("dim"), col("cq1"))))
-              .as("pairs"))
-            .select(col("cid"),
-              transform(col("pairs"), p => p.getField("cq1")).as("cq"))
-        def sub(i: Int) = q.select(col("id"),
-          slice(col("qa"), i * half + 1, half).as("qa"))
-        val cb0 = KMeans.fold(refined(sub(0)))
+        val cb0 = KMeans.fold(pqRefined(pqSub(q, 0, half)))
           .select(col("cents").as("cents0"))
-        val cb1 = KMeans.fold(refined(sub(1)))
+        val cb1 = KMeans.fold(pqRefined(pqSub(q, 1, half)))
           .select(col("cents").as("cents1"))
         def amin(sv: Column, cents: Column) =
           array_min(transform(cents, c => struct(
@@ -1489,7 +1499,274 @@ object Similarity {
               |LEFT JOIN nc c USING (radius)
               |LEFT JOIN hits h USING (radius)
               |CROSS JOIN ne
-              |ORDER BY r.radius""".stripMargin)))
+              |ORDER BY r.radius""".stripMargin)),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, public): near-
+    // duplicate mining ONLY within k-means cells, so the candidate
+    // space is N·cell_size instead of N² — the published recipe for
+    // semantic dedup at web-corpus scale. Cells here come from one
+    // assignment pass against the q98 seed codebook (shared KMeans
+    // kernels; integer-exact 1e-4 quantized distances, ties to the
+    // lower cid). The within-cell pair stage is a cid equi-join: at
+    // 100 TB, k scales with the corpus (k ≈ N / target_cell_size)
+    // so each join group stays O(cell_size) rows and the engine never
+    // materializes cross-cell candidates; dup_vecs counts the rows
+    // SemDeDup would drop (any vector near-dominated by a lower-id
+    // cell-mate).
+    QueryDef("q133_semantic_dedup",
+      (s, dir) => {
+        val thresh = 140000000L // ≈1.5% of within-cell pair mass at sf0.01
+        val q = KMeans.quantized(Tables.embeddings(s, dir),
+            "vec_id", "embedding")
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val seeds = q.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("qa").as("cq"))
+        val asg = KMeans.assignAgainst(q, KMeans.fold(seeds))
+          .select(col("id"), col("qa"), col("cid"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val a = asg.select(col("cid"), col("id").as("va"),
+          col("qa").as("qa_a"))
+        val b = asg.select(col("cid").as("cid_b"), col("id").as("vb"),
+          col("qa").as("qa_b"))
+        val nd = a.join(b, col("cid") === col("cid_b") &&
+            col("va") < col("vb"))
+          .filter(KMeans.dist2(col("qa_a"), col("qa_b")) <= lit(thresh))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("nd_pairs"),
+            countDistinct(col("vb")).as("dup_vecs"))
+        asg.groupBy(col("cid")).agg(count(lit(1)).as("members"))
+          .join(nd, Seq("cid"), "left")
+          .select(col("cid"), col("members"),
+            coalesce(col("nd_pairs"), lit(0L)).as("nd_pairs"),
+            coalesce(col("dup_vecs"), lit(0L)).as("dup_vecs"))
+          .orderBy(col("cid"))
+      },
+      Some("""WITH qv AS (
+             |  SELECT vec_id,
+             |    generate_subscripts(embedding, 1) - 1 AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+             |      AS BIGINT) AS q
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT vec_id AS cid, dim, q AS cq FROM qv WHERE vec_id < 8),
+             |dd AS (
+             |  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS d2
+             |  FROM qv v JOIN cent c USING (dim)
+             |  GROUP BY v.vec_id, c.cid),
+             |aa AS (
+             |  SELECT vec_id, cid, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             |  FROM dd),
+             |asg AS (SELECT vec_id, cid FROM aa WHERE rn = 1),
+             |pd AS (
+             |  SELECT x.cid, x.vec_id AS va, y.vec_id AS vb,
+             |    sum((p.q - r.q) * (p.q - r.q)) AS d2
+             |  FROM asg x
+             |  JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             |  JOIN qv p ON p.vec_id = x.vec_id
+             |  JOIN qv r ON r.vec_id = y.vec_id AND r.dim = p.dim
+             |  GROUP BY x.cid, x.vec_id, y.vec_id),
+             |np AS (
+             |  SELECT cid, count(*) AS nd_pairs,
+             |    count(DISTINCT vb) AS dup_vecs
+             |  FROM pd WHERE d2 <= 140000000 GROUP BY cid),
+             |mem AS (SELECT cid, count(*) AS members FROM asg GROUP BY cid)
+             |SELECT m.cid, CAST(m.members AS BIGINT) AS members,
+             |  CAST(coalesce(np.nd_pairs, 0) AS BIGINT) AS nd_pairs,
+             |  CAST(coalesce(np.dup_vecs, 0) AS BIGINT) AS dup_vecs
+             |FROM mem m LEFT JOIN np USING (cid) ORDER BY m.cid""".stripMargin)),
+
+    // ── Q138: IVF + PQ COMBINED ANN (the FAISS "IVF,PQ" layout,
+    // by_residual=false) — the two index halves the engine already
+    // audits separately (q55/q107 coarse cells, q104 code compression)
+    // composed the way a production billion-vector index actually
+    // runs: ONE ingest scan assigns each vector a coarse cell AND both
+    // PQ codes (coarse seed codebook + two refined subspace codebooks,
+    // all three broadcast — the corpus never moves to be coded); a
+    // query probes its 2 nearest cells and ADC-ranks ONLY the probed
+    // cells' codes, touching (id, cell, c0, c1) — 4 ints/row — for a
+    // cell-bounded candidate slice instead of the corpus. Recall@10 is
+    // audited against the GLOBAL exact top-10, so the reported number
+    // charges both error sources at once (probe misses + code
+    // quantization) — exactly the trade a deployment tunes. All
+    // distances integer-exact (1e-4 domain); both top-10s run through
+    // the bounded TopKPerKey heap.
+    QueryDef("q138_ivfpq_recall",
+      (s, dir) => {
+        graft.plans.TopK.ensure(s)
+        val half = DIM / 2
+        val q = KMeans.quantized(Tables.embeddings(s, dir),
+            "vec_id", "embedding")
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val coarse = KMeans.fold(q.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("qa").as("cq")))
+        val cb0 = KMeans.fold(pqRefined(pqSub(q, 0, half)))
+          .select(col("cents").as("cents0"))
+        val cb1 = KMeans.fold(pqRefined(pqSub(q, 1, half)))
+          .select(col("cents").as("cents1"))
+        def amin(sv: Column, cents: Column) =
+          array_min(transform(cents, c => struct(
+            KMeans.dist2(sv, c.getField("cq")).as("d2"),
+            c.getField("cid").as("cid"))))
+        // the ingest pass: cell + both codes in one corpus scan
+        val coded = q
+          .crossJoin(broadcast(coarse))
+          .crossJoin(broadcast(cb0)).crossJoin(broadcast(cb1))
+          .select(col("id"),
+            amin(col("qa"), col("cents")).getField("cid").as("cell"),
+            amin(slice(col("qa"), 1, half), col("cents0"))
+              .getField("cid").as("c0"),
+            amin(slice(col("qa"), half + 1, half), col("cents1"))
+              .getField("cid").as("c1"))
+        val qrows = q.filter(col("id") < 5)
+          .select(col("id").as("qid"), col("qa").as("qq"))
+          .crossJoin(broadcast(cb0)).crossJoin(broadcast(cb1))
+          .select(col("qid"), col("qq"),
+            map_from_entries(transform(col("cents0"), c => struct(
+              c.getField("cid").as("key"),
+              KMeans.dist2(slice(col("qq"), 1, half), c.getField("cq"))
+                .as("value")))).as("td0"),
+            map_from_entries(transform(col("cents1"), c => struct(
+              c.getField("cid").as("key"),
+              KMeans.dist2(slice(col("qq"), half + 1, half),
+                c.getField("cq")).as("value")))).as("td1"))
+        val probes = q.filter(col("id") < 5)
+          .crossJoin(broadcast(coarse))
+          .select(col("id").as("qid"),
+            posexplode(col("cents")).as(Seq("_i", "c")),
+            col("qa"))
+          .select(col("qid"), col("c").getField("cid").as("cell"),
+            KMeans.dist2(col("qa"), col("c").getField("cq")).as("cd2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cd2"), col("cell"))))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("cell"))
+        val cand = coded.join(broadcast(probes), Seq("cell"))
+          .filter(col("id") =!= col("qid"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val nCand = cand.groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_cand"))
+        val approx = cand
+          .join(broadcast(qrows.select(col("qid"), col("td0"),
+            col("td1"))), Seq("qid"))
+          .select(col("qid"), col("id"),
+            (element_at(col("td0"), col("c0"))
+              + element_at(col("td1"), col("c1"))).as("ad2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("ad2"), col("id"))))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("id"), lit(1).as("ishit"))
+        val exact = q
+          .crossJoin(broadcast(qrows.select(col("qid"), col("qq"))))
+          .filter(col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            KMeans.dist2(col("qa"), col("qq")).as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("id"))
+        exact.join(broadcast(approx), Seq("qid", "id"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("ishit").isNotNull, 1L).otherwise(0L))
+              .as("n_hit"))
+          .join(broadcast(nCand), Seq("qid"), "left")
+          .select(col("qid").as("query_id"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            col("n_exact"), col("n_hit"),
+            expr("(2 * n_hit * 1000000 + n_exact) div (2 * n_exact)")
+              .as("recall_ppm"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+             |      AS BIGINT) AS q
+             |  FROM embeddings),
+             |sv AS (SELECT vec_id, dim // 32 AS s, dim % 32 AS sd, q
+             |  FROM qv),
+             |cent AS (SELECT vec_id AS cid, s, sd, q AS cq FROM sv
+             |  WHERE vec_id < 8),
+             |d AS (
+             |  SELECT v.vec_id, v.s, c.cid,
+             |    sum((v.q - c.cq) * (v.q - c.cq)) AS d2
+             |  FROM sv v JOIN cent c ON v.s = c.s AND v.sd = c.sd
+             |  GROUP BY v.vec_id, v.s, c.cid),
+             |a AS (
+             |  SELECT vec_id, s, cid, row_number() OVER (
+             |    PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM d),
+             |asg AS (SELECT vec_id, s, cid FROM a WHERE rn = 1),
+             |ref AS (
+             |  SELECT g.s, g.cid, v.sd,
+             |    ((sum(v.q) + 1000000 * count(*)) * 2 + count(*))
+             |      // (2 * count(*)) - 1000000 AS cq
+             |  FROM asg g JOIN sv v ON v.vec_id = g.vec_id AND v.s = g.s
+             |  GROUP BY g.s, g.cid, v.sd),
+             |d2r AS (
+             |  SELECT v.vec_id, v.s, r.cid,
+             |    sum((v.q - r.cq) * (v.q - r.cq)) AS d2
+             |  FROM sv v JOIN ref r ON v.s = r.s AND v.sd = r.sd
+             |  GROUP BY v.vec_id, v.s, r.cid),
+             |a2 AS (
+             |  SELECT vec_id, s, cid, row_number() OVER (
+             |    PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM d2r),
+             |codes AS (SELECT vec_id, s, cid FROM a2 WHERE rn = 1),
+             |dcell AS (
+             |  SELECT v.vec_id, c.vec_id AS cell,
+             |    sum((v.q - c.q) * (v.q - c.q)) AS d2
+             |  FROM qv v JOIN qv c ON c.dim = v.dim AND c.vec_id < 8
+             |  GROUP BY v.vec_id, c.vec_id),
+             |acell AS (
+             |  SELECT vec_id, cell, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dcell),
+             |cellasg AS (SELECT vec_id, cell FROM acell WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS qid, cell FROM acell
+             |  WHERE vec_id < 5 AND rn <= 2),
+             |td AS (
+             |  SELECT qy.vec_id AS qid, r.s, r.cid,
+             |    sum((qy.q - r.cq) * (qy.q - r.cq)) AS d2
+             |  FROM sv qy JOIN ref r ON qy.s = r.s AND qy.sd = r.sd
+             |  WHERE qy.vec_id < 5
+             |  GROUP BY qy.vec_id, r.s, r.cid),
+             |cand AS (
+             |  SELECT p.qid, g.vec_id
+             |  FROM cellasg g JOIN probes p ON p.cell = g.cell
+             |  WHERE g.vec_id <> p.qid),
+             |nc AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid),
+             |ad AS (
+             |  SELECT n.qid, n.vec_id, sum(t.d2) AS ad2
+             |  FROM cand n
+             |  JOIN codes c ON c.vec_id = n.vec_id
+             |  JOIN td t ON t.qid = n.qid AND t.s = c.s AND t.cid = c.cid
+             |  GROUP BY n.qid, n.vec_id),
+             |ar AS (
+             |  SELECT qid, vec_id, row_number() OVER (
+             |    PARTITION BY qid ORDER BY ad2, vec_id) AS rn FROM ad),
+             |a10 AS (SELECT qid, vec_id FROM ar WHERE rn <= 10),
+             |ed AS (
+             |  SELECT qy.vec_id AS qid, v.vec_id,
+             |    sum((v.q - qy.q) * (v.q - qy.q)) AS d2
+             |  FROM sv v JOIN sv qy ON v.s = qy.s AND v.sd = qy.sd
+             |  WHERE qy.vec_id < 5 AND v.vec_id <> qy.vec_id
+             |  GROUP BY qy.vec_id, v.vec_id),
+             |er AS (
+             |  SELECT qid, vec_id, row_number() OVER (
+             |    PARTITION BY qid ORDER BY d2, vec_id) AS rn FROM ed),
+             |e10 AS (SELECT qid, vec_id FROM er WHERE rn <= 10)
+             |SELECT e.qid AS query_id,
+             |  CAST(coalesce(max(nc.n_cand), 0) AS BIGINT) AS n_cand,
+             |  CAST(count(*) AS BIGINT) AS n_exact,
+             |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_hit,
+             |  CAST((2 * sum(CASE WHEN a.vec_id IS NOT NULL
+             |          THEN 1 ELSE 0 END) * 1000000 + count(*))
+             |    // (2 * count(*)) AS BIGINT) AS recall_ppm
+             |FROM e10 e
+             |LEFT JOIN a10 a ON a.qid = e.qid AND a.vec_id = e.vec_id
+             |LEFT JOIN nc ON nc.qid = e.qid
+             |GROUP BY e.qid ORDER BY query_id""".stripMargin)))
 
   /** IVF search over a (vec_id, label, embedding) DataFrame: label is
     * the cell id (a k-means assignment in a real deployment; the

@@ -2859,5 +2859,115 @@ object TextAnalysis {
               |  p.l AS l2, p.r AS r2, CAST(sum(c) AS BIGINT) AS w2,
               |  CAST(count(*) AS BIGINT) AS n_pos
               |FROM p2 GROUP BY 1, 2, 3, 4, 5
-              |ORDER BY w2 DESC, l2, r2 LIMIT 20""".stripMargin)))
+              |ORDER BY w2 DESC, l2, r2 LIMIT 20""".stripMargin)),
+
+    // ── Q136: PER-SOURCE OLS SUFFICIENT STATISTICS — the distributed
+    // model-fit primitive: regress n_chars (y) on the token count (x)
+    // per source from ONE pass of exact sums (n, Σx, Σy, Σx², Σxy,
+    // Σy²) — the map-side-combinable Gram/moment tile every linear
+    // model, ridge step, and feature-correlation audit reduces to at
+    // 100 TB (k² numbers per task, never a second corpus pass). The
+    // slope and intercept come from Cramer's rule over the SAME exact
+    // integers (both share denominator n·Σx² − (Σx)²), reported
+    // half-up in ppm; all sums accumulate in DECIMAL(38,0) / HUGEINT
+    // so the engines stay bit-equal past int64 territory (the q117/
+    // q122 overflow rule).
+    QueryDef("q136_ols_source_stats",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("source"), size(toks).cast("long").as("x"),
+            col("n_chars").as("y"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+          .select(col("source"), col("n"),
+            col("sx").cast("long").as("sx"),
+            col("sy").cast("long").as("sy"),
+            col("sxx").cast("long").as("sxx"),
+            col("sxy").cast("long").as("sxy"),
+            col("syy").cast("long").as("syy"),
+            expr("CAST((2 * (CAST(n AS DECIMAL(38,0)) * sxy - sx * sy)"
+              + " * 1000000 + (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx))"
+              + " div (2 * nullif(CAST(n AS DECIMAL(38,0)) * sxx"
+              + " - sx * sx, 0)) AS BIGINT)").as("slope_ppm"),
+            expr("CAST((2 * (CAST(sy AS DECIMAL(38,0)) * sxx - sx * sxy)"
+              + " * 1000000 + (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx))"
+              + " div (2 * nullif(CAST(n AS DECIMAL(38,0)) * sxx"
+              + " - sx * sx, 0)) AS BIGINT)").as("icept_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH m AS (
+             |  SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS HUGEINT) AS x,
+             |    CAST(n_chars AS HUGEINT) AS y
+             |  FROM documents WHERE text IS NOT NULL),
+             |st AS (
+             |  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+             |  FROM m GROUP BY source)
+             |SELECT source, CAST(n AS BIGINT) AS n,
+             |  CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+             |  CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+             |  CAST(syy AS BIGINT) AS syy,
+             |  CAST((2 * (n * sxy - sx * sy) * 1000000
+             |      + (n * sxx - sx * sx))
+             |    // (2 * nullif(n * sxx - sx * sx, 0)) AS BIGINT)
+             |    AS slope_ppm,
+             |  CAST((2 * (sy * sxx - sx * sxy) * 1000000
+             |      + (n * sxx - sx * sx))
+             |    // (2 * nullif(n * sxx - sx * sx, 0)) AS BIGINT)
+             |    AS icept_ppm
+             |FROM st ORDER BY source""".stripMargin)),
+
+    // ── Q137: PARETO SKYLINE (max distinct tokens, min chars) — the
+    // 2-D skyline without the naive O(n²) dominance anti-join: group
+    // docs by nt (one exchange, |distinct nt| rows — bounded by the
+    // vocabulary of lengths, not the corpus), take min(chars) per nt,
+    // then a prefix-min window ORDERED BY nt DESC over that tiny
+    // grouped frame gives best_chars_above = the tightest char count
+    // among all strictly-higher-nt docs. A doc is on the frontier iff
+    // it achieves its nt group's min chars AND beats every
+    // higher-nt doc strictly (chars < prefix min) — the exact
+    // dominance rule, with equal-point pairs (neither strict) both
+    // surviving. The single-partition window touches only the grouped
+    // frame; the corpus pays one groupBy + one broadcast join back.
+    QueryDef("q137_quality_skyline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(array_distinct(toks)).cast("long").as("nt"),
+            col("n_chars").as("ch"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val g = m.groupBy(col("nt")).agg(min(col("ch")).as("mn"))
+        val w = Window.orderBy(col("nt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val front = g.withColumn("pm", min(col("mn")).over(w))
+        m.join(broadcast(front), Seq("nt"))
+          .filter(col("ch") === col("mn") &&
+            (col("pm").isNull || col("ch") < col("pm")))
+          .select(col("doc_id"), col("nt"), col("ch"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_distinct(string_split(text, ' ')))
+             |      AS BIGINT) AS nt,
+             |    n_chars AS ch
+             |  FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT nt, min(ch) AS mn FROM m GROUP BY nt),
+             |f AS (
+             |  SELECT nt, mn, min(mn) OVER (ORDER BY nt DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS pm
+             |  FROM g)
+             |SELECT m.doc_id, m.nt, m.ch
+             |FROM m JOIN f USING (nt)
+             |WHERE m.ch = f.mn AND (f.pm IS NULL OR m.ch < f.pm)
+             |ORDER BY m.doc_id""".stripMargin)))
 }

@@ -714,4 +714,123 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getLong(3) <= r.getLong(0), r.toString)
     }
   }
+
+  test("q133 cells partition the corpus; dup counts bounded by pair math") {
+    val rows = SparkEntry.queries("q133_semantic_dedup")(spark, sf)
+      .select("members", "nd_pairs", "dup_vecs").collect()
+    assert(rows.nonEmpty)
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getLong(0)).sum == nVecs,
+      "cell memberships must partition the corpus exactly")
+    rows.foreach { r =>
+      val (m, p, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(p <= m * (m - 1) / 2, s"pairs exceed cell pair space: $r")
+      assert(d <= p, s"a dropped vector needs at least one pair: $r")
+      assert(d <= math.max(0L, m - 1),
+        s"can't drop more than members-1 (one keeper survives): $r")
+    }
+  }
+
+  test("q134 per-node triangles bounded by wedges; total divisible by 3") {
+    val rows = SparkEntry.queries("q134_dup_triangles")(spark, sf)
+      .select("deg", "tri").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, tri) = (r.getLong(0), r.getLong(1))
+      assert(deg >= 1, s"only pair-graph nodes may appear: $r")
+      assert(tri <= deg * (deg - 1) / 2,
+        s"node triangles exceed its wedge count: $r")
+    }
+    assert(rows.map(_.getLong(1)).sum % 3 == 0,
+      "each triangle must be charged to exactly 3 nodes")
+  }
+
+  test("q135 pruning is monotone in file count and never loses matches") {
+    val rows = SparkEntry.queries("q135_zorder_skip")(spark, sf)
+      .select("layout", "n_buckets", "files", "files_pruned",
+        "rows_scanned", "rows_matching").collect()
+    assert(rows.length == 6)
+    val matching = rows.map(_.getLong(5)).distinct
+    assert(matching.length == 1,
+      "the box answer must not depend on layout or file count")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"pruned ≤ files: $r")
+      assert(r.getLong(4) >= r.getLong(5),
+        s"surviving files must contain every match: $r")
+    }
+    // bucket ranges nest (16 | 64 | 256 divide the same code space), so
+    // a pruned coarse file implies all its refinements pruned: scanned
+    // rows are non-increasing as files get finer, per layout.
+    for (layout <- Seq("linear", "zorder")) {
+      val curve = rows.filter(_.getString(0) == layout)
+        .sortBy(_.getLong(1)).map(_.getLong(4))
+      assert(curve.zip(curve.tail).forall { case (a, b) => b <= a },
+        s"$layout scanned-rows curve must be non-increasing: ${curve.toSeq}")
+    }
+  }
+
+  test("q136 moment sums satisfy Cauchy-Schwarz; slope defined when den>0") {
+    val rows = SparkEntry.queries("q136_ols_source_stats")(spark, sf)
+      .select("n", "sx", "sy", "sxx", "sxy", "syy", "slope_ppm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sx, sy, sxx, syy) = (BigInt(r.getLong(0)), BigInt(r.getLong(1)),
+        BigInt(r.getLong(2)), BigInt(r.getLong(3)), BigInt(r.getLong(5)))
+      assert(n * sxx - sx * sx >= 0, s"Var(x) numerator negative: $r")
+      assert(n * syy - sy * sy >= 0, s"Var(y) numerator negative: $r")
+      if (n * sxx - sx * sx > 0) assert(!r.isNullAt(6), r.toString)
+    }
+  }
+
+  test("q138 recall is exactly n_hit/10; candidates bounded by the corpus") {
+    val rows = SparkEntry.queries("q138_ivfpq_recall")(spark, sf)
+      .select("n_cand", "n_exact", "n_hit", "recall_ppm").collect()
+    assert(rows.length == 5)
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == math.min(10L, nVecs - 1), r.toString)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1), r.toString)
+      assert(r.getLong(0) <= nVecs - 1,
+        s"candidates can't exceed the corpus minus the query: $r")
+      assert(r.getLong(3) ==
+        (2 * r.getLong(2) * 1000000L + r.getLong(1)) / (2 * r.getLong(1)),
+        s"recall_ppm must be the half-up hit share: $r")
+    }
+  }
+
+  test("q139 degree mass is twice the edges; modularity sum ≤ 1") {
+    val rows = SparkEntry.queries("q139_dup_modularity")(spark, sf)
+      .select("n_nodes", "intra_edges", "deg_sum", "contrib_ppm").collect()
+    assert(rows.nonEmpty)
+    val degTotal = rows.map(_.getLong(2)).sum
+    assert(degTotal % 2 == 0, "every edge has two endpoints")
+    val m = degTotal / 2
+    assert(rows.map(_.getLong(1)).sum <= m,
+      "intra-source edges can't exceed all edges")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1, r.toString)
+      assert(2 * r.getLong(1) <= r.getLong(2),
+        s"a source's intra edges consume two of its endpoints each: $r")
+    }
+    assert(rows.map(_.getLong(3)).sum <= 1000000L,
+      "Newman modularity is bounded above by 1")
+  }
+
+  test("q137 skyline is an antichain: ch strictly increases with nt") {
+    val rows = SparkEntry.queries("q137_quality_skyline")(spark, sf)
+      .select("nt", "ch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // within an nt level every surviving doc has the same (minimal) ch
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).distinct.length == 1,
+        s"same-nt frontier docs must share the level's min chars: ${g.toSeq}")
+    }
+    // across levels, higher nt must pay strictly more chars
+    val levels = rows.distinct.sortBy(_._1)
+    levels.zip(levels.tail).foreach { case ((nt1, ch1), (nt2, ch2)) =>
+      assert(nt2 > nt1 && ch2 > ch1,
+        s"dominated level survived: ($nt1,$ch1) vs ($nt2,$ch2)")
+    }
+  }
 }
