@@ -1973,13 +1973,16 @@ object Dedup {
     // glues into one keeper group). Per-node output: degree + the
     // number of triangles the doc participates in.
     //
-    // 100 TB shape: the standard orientation trick — direct every
-    // edge toward its (degree, id)-larger endpoint, so each triangle
-    // is found exactly once and the wedge join's fan-out per node is
-    // bounded by its ORIENTED out-degree (≤ graph arboricity ≈
-    // O(sqrt(|E|)) worst case, tiny on a sparse dup graph). All three
-    // legs are hash equi-joins on doc ids; degrees ride a (id) groupBy
-    // of the pair list — never the corpus. No driver-side state.
+    // 100 TB shape: compact-forward triangle counting (Latapy 2008,
+    // public) — direct every edge toward its (degree, id)-larger
+    // endpoint, so each triangle is found exactly once and every
+    // node's ORIENTED out-degree is bounded by the graph arboricity
+    // (≈ O(sqrt(|E|)) worst case, tiny on a sparse dup graph). Wedges
+    // are then enumerated IN-ARRAY from each node's π-sorted
+    // out-neighbor list — a per-row expression over the adjacency
+    // table, not an |oriented|² self-join — and ONE equi-join against
+    // the oriented edges closes them. Degrees ride a groupBy of the
+    // pair list; the corpus is never touched. No driver-side state.
     QueryDef("q134_dup_triangles",
       (s, dir) => {
         val pairs = multiSignalPairs(s, dir)
@@ -1989,19 +1992,29 @@ object Dedup {
         val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
           .select(col("u").as("id"), col("deg"))
           .transform(graft.plans.CacheLifecycle.autoRelease)
-        // orient u -> v iff (deg(u), u) < (deg(v), v)
+        // orient u -> v iff π(u) < π(v) with π = (deg, id); carry the
+        // destination's π key so out-lists sort in π order below
         val du = deg.select(col("id").as("u"), col("deg").as("du"))
         val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
         val o = edges.join(du, "u").join(dv, "v")
           .filter(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")))
-          .select(col("u"), col("v"))
+          .select(col("u"), col("v"), col("dv"))
           .transform(graft.plans.CacheLifecycle.autoRelease)
-        val o2 = o.select(col("u").as("w1"), col("v").as("w2"))
-        val o3 = o.select(col("u").as("t1"), col("v").as("t2"))
-        val tri = o.join(o2, col("v") === col("w1"))
-          .join(o3, col("u") === col("t1") && col("w2") === col("t2"))
-          .select(col("u").as("a"), col("v").as("b"), col("w2").as("c"))
+        // π-sorted out-lists; wedge (v, w) pairs with π(v) < π(w)
+        // enumerated in-array (an oriented edge v→w can only exist
+        // with π(v) < π(w), so these are the only candidates)
+        val adj = o.groupBy(col("u"))
+          .agg(sort_array(collect_list(struct(col("dv"), col("v"))))
+            .as("nb"))
+        val wedges = adj.select(col("u"),
+          explode(expr("flatten(transform(nb, (x, i) ->" +
+            " transform(slice(nb, i + 2, size(nb))," +
+            " y -> named_struct('v', x.v, 'w', y.v))))")).as("p"))
+          .select(col("u"), col("p.v").as("v"), col("p.w").as("w"))
+        val tri = wedges.join(
+          o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+          .select(col("u").as("a"), col("v").as("b"), col("w").as("c"))
         val perNode = tri.select(col("a").as("id"))
           .union(tri.select(col("b").as("id")))
           .union(tri.select(col("c").as("id")))

@@ -1524,12 +1524,21 @@ object Similarity {
         val asg = KMeans.assignAgainst(q, KMeans.fold(seeds))
           .select(col("id"), col("qa"), col("cid"))
           .transform(graft.plans.CacheLifecycle.autoRelease)
+        // salted cell-local self-join (the q25 skew treatment): k
+        // cells = k join keys, so an unsalted join caps parallelism
+        // at k tasks however many cores the stage has. Salting by
+        // va % 8 fans each cell's pair space over 8 tasks (side B
+        // replicated 8x — B carries only (id, qa), and the pair
+        // predicate is unchanged, so the output is byte-identical).
+        val nSalt = 8
         val a = asg.select(col("cid"), col("id").as("va"),
-          col("qa").as("qa_a"))
+          col("qa").as("qa_a"), pmod(col("id"), lit(nSalt)).as("salt"))
         val b = asg.select(col("cid").as("cid_b"), col("id").as("vb"),
-          col("qa").as("qa_b"))
+          col("qa").as("qa_b"),
+          explode(array((0 until nSalt).map(i => lit(i.toLong)): _*))
+            .as("salt_b"))
         val nd = a.join(b, col("cid") === col("cid_b") &&
-            col("va") < col("vb"))
+            col("salt") === col("salt_b") && col("va") < col("vb"))
           .filter(KMeans.dist2(col("qa_a"), col("qa_b")) <= lit(thresh))
           .groupBy(col("cid"))
           .agg(count(lit(1)).as("nd_pairs"),

@@ -2969,5 +2969,81 @@ object TextAnalysis {
              |SELECT m.doc_id, m.nt, m.ch
              |FROM m JOIN f USING (nt)
              |WHERE m.ch = f.mn AND (f.pm IS NULL OR m.ch < f.pm)
-             |ORDER BY m.doc_id""".stripMargin)))
+             |ORDER BY m.doc_id""".stripMargin)),
+
+    // ── Q140: BPE TRAIN→ENCODE ROUND TRIP — the full tokenizer loop
+    // audited end-to-end: fit 2 merge rules on the corpus (the
+    // operators/BPE trainer — vocab-sized pair counts, broadcast
+    // winner, localCheckpoint per merge), then ENCODE every distinct
+    // word with the trained list (one broadcast of the folded rules,
+    // per-word double fold — the same mergeFoldSql kernel as training,
+    // so encode can never drift from fit). Top-20 words by corpus
+    // count with their segmentations. The DuckDB oracle re-derives
+    // both merges AND both encode applications from scratch — the
+    // whole train→apply pipeline replayed in SQL, not just one step
+    // (q131 audits the trainer's internal state; this audits what a
+    // tokenizer USER sees).
+    QueryDef("q140_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val rules = BPE.fit(docs, 2)
+        BPE.encode(docs, rules)
+          .select(col("tok"), col("c"),
+            array_join(col("syms"), "|").as("segs"),
+            size(col("syms")).cast("long").as("n_syms"))
+          .orderBy(col("c").desc, col("tok"))
+          .limit(20)
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(${OracleSql.plainSplit}) AS tok
+              |  FROM documents),
+              |wc AS (SELECT tok, count(*) AS c FROM tk
+              |  WHERE length(tok) >= 2 GROUP BY tok),
+              |p1 AS (
+              |  SELECT c, unnest(list_transform(range(1, length(tok)),
+              |    i -> {'l': substring(tok, i, 1),
+              |          'r': substring(tok, i + 1, 1)})) AS p
+              |  FROM wc),
+              |pc1 AS (SELECT p.l AS l, p.r AS r, sum(c) AS w
+              |  FROM p1 GROUP BY 1, 2),
+              |b1 AS (SELECT l, r FROM pc1 ORDER BY w DESC, l, r LIMIT 1),
+              |mg1 AS (
+              |  SELECT c,
+              |    list_reduce(list_transform(range(1, length(tok) + 1),
+              |        i -> [substring(tok, i, 1)]),
+              |      (acc, x) -> CASE WHEN len(acc) > 0
+              |          AND acc[-1] = b1.l AND x[1] = b1.r
+              |        THEN list_concat(acc[1:len(acc) - 1], [b1.l || b1.r])
+              |        ELSE list_concat(acc, x) END) AS syms
+              |  FROM wc CROSS JOIN b1),
+              |p2 AS (
+              |  SELECT c, unnest(list_transform(range(1, len(syms)),
+              |    i -> {'l': syms[i], 'r': syms[i + 1]})) AS p
+              |  FROM mg1 WHERE len(syms) >= 2),
+              |pc2 AS (SELECT p.l AS l, p.r AS r, sum(c) AS w
+              |  FROM p2 GROUP BY 1, 2),
+              |b2 AS (SELECT l, r FROM pc2 ORDER BY w DESC, l, r LIMIT 1),
+              |ec AS (SELECT tok, count(*) AS c FROM tk
+              |  WHERE length(tok) >= 1 GROUP BY tok),
+              |e1 AS (
+              |  SELECT tok, c,
+              |    list_reduce(list_transform(range(1, length(tok) + 1),
+              |        i -> [substring(tok, i, 1)]),
+              |      (acc, x) -> CASE WHEN len(acc) > 0
+              |          AND acc[-1] = b1.l AND x[1] = b1.r
+              |        THEN list_concat(acc[1:len(acc) - 1], [b1.l || b1.r])
+              |        ELSE list_concat(acc, x) END) AS syms
+              |  FROM ec CROSS JOIN b1),
+              |e2 AS (
+              |  SELECT tok, c,
+              |    list_reduce(list_transform(syms, x -> [x]),
+              |      (acc, x) -> CASE WHEN len(acc) > 0
+              |          AND acc[-1] = b2.l AND x[1] = b2.r
+              |        THEN list_concat(acc[1:len(acc) - 1], [b2.l || b2.r])
+              |        ELSE list_concat(acc, x) END) AS syms
+              |  FROM e1 CROSS JOIN b2)
+              |SELECT tok, CAST(c AS BIGINT) AS c,
+              |  array_to_string(syms, '|') AS segs,
+              |  CAST(len(syms) AS BIGINT) AS n_syms
+              |FROM e2 ORDER BY c DESC, tok LIMIT 20""".stripMargin)))
 }

@@ -816,6 +816,19 @@ class QueriesSpec extends AnyFunSuite {
       "Newman modularity is bounded above by 1")
   }
 
+  test("q140 segmentations reassemble the word; merges only shrink") {
+    val rows = SparkEntry.queries("q140_bpe_encode")(spark, sf)
+      .select("tok", "c", "segs", "n_syms").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, segs, n) = (r.getString(0), r.getString(2), r.getLong(3))
+      assert(segs.split("\\|", -1).mkString("") == tok,
+        s"segments must concatenate back to the word: $r")
+      assert(n >= 1 && n <= tok.length,
+        s"symbol count must sit in [1, |word|]: $r")
+    }
+  }
+
   test("q137 skyline is an antichain: ch strictly increases with nt") {
     val rows = SparkEntry.queries("q137_quality_skyline")(spark, sf)
       .select("nt", "ch").collect()
