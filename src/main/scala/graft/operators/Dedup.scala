@@ -1984,46 +1984,9 @@ object Dedup {
     // the oriented edges closes them. Degrees ride a groupBy of the
     // pair list; the corpus is never touched. No driver-side state.
     QueryDef("q134_dup_triangles",
-      (s, dir) => {
-        val pairs = multiSignalPairs(s, dir)
-          .transform(graft.plans.CacheLifecycle.autoRelease)
-        val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-          .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-          .select(col("u").as("id"), col("deg"))
-          .transform(graft.plans.CacheLifecycle.autoRelease)
-        // orient u -> v iff π(u) < π(v) with π = (deg, id); carry the
-        // destination's π key so out-lists sort in π order below
-        val du = deg.select(col("id").as("u"), col("deg").as("du"))
-        val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
-        val o = edges.join(du, "u").join(dv, "v")
-          .filter(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")))
-          .select(col("u"), col("v"), col("dv"))
-          .transform(graft.plans.CacheLifecycle.autoRelease)
-        // π-sorted out-lists; wedge (v, w) pairs with π(v) < π(w)
-        // enumerated in-array (an oriented edge v→w can only exist
-        // with π(v) < π(w), so these are the only candidates)
-        val adj = o.groupBy(col("u"))
-          .agg(sort_array(collect_list(struct(col("dv"), col("v"))))
-            .as("nb"))
-        val wedges = adj.select(col("u"),
-          explode(expr("flatten(transform(nb, (x, i) ->" +
-            " transform(slice(nb, i + 2, size(nb))," +
-            " y -> named_struct('v', x.v, 'w', y.v))))")).as("p"))
-          .select(col("u"), col("p.v").as("v"), col("p.w").as("w"))
-        val tri = wedges.join(
-          o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
-          .select(col("u").as("a"), col("v").as("b"), col("w").as("c"))
-        val perNode = tri.select(col("a").as("id"))
-          .union(tri.select(col("b").as("id")))
-          .union(tri.select(col("c").as("id")))
-          .groupBy(col("id")).agg(count(lit(1)).as("tri"))
-        deg.join(perNode, Seq("id"), "left")
-          .select(col("id").as("doc_id"), col("deg"),
-            coalesce(col("tri"), lit(0L)).as("tri"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => triangleCounts(multiSignalPairs(s, dir)
+          .transform(graft.plans.CacheLifecycle.autoRelease))
+        .orderBy(col("doc_id")),
       Some(s"""WITH $multiSignalPairsCtes,
               |tedges AS (
               |  SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -2052,6 +2015,8 @@ object Dedup {
               |ORDER BY doc_id""".stripMargin)),
 
     // Newman modularity of the near-dup graph under the SOURCE
+    // (triangleCounts — the q134 library op — is defined below the
+    // defs Seq with the other graph kernels)
     // partition — "do near-dup edges concentrate within sources?"
     // (connected components would be degenerate here: every component
     // is edge-closed, so its modularity is maximal by construction;
@@ -2143,4 +2108,56 @@ object Dedup {
               |LEFT JOIN intr i USING (source)
               |CROSS JOIN mm
               |ORDER BY n.source""".stripMargin)))
+
+  /** Per-node triangle participation over an undirected pair list
+    * (doc_a, doc_b) — q134's library op, compact-forward style
+    * (Latapy 2008): orient every edge toward its π = (degree, id)
+    * larger endpoint (each triangle then has exactly one source node
+    * that out-reaches the other two), enumerate wedge candidates
+    * IN-ARRAY from each node's π-sorted out-neighbor list (out-degree
+    * after orientation is bounded by the graph arboricity — a hub of
+    * raw degree d has out-degree ~0, so the d² wedge blowup a naive
+    * o ⨝ o self-join pays at the hub cannot happen; the
+    * GraphMetricsSpec star test pins this), and close wedges with ONE
+    * (v, w) equi-join against the oriented edges. Returns
+    * (doc_id, deg, tri) for every node of the pair graph.
+    */
+  private[graft] def triangleCounts(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("id"), col("deg"))
+      .transform(graft.plans.CacheLifecycle.autoRelease)
+    // orient u -> v iff π(u) < π(v); carry the destination's degree
+    // so out-lists below sort in π order
+    val du = deg.select(col("id").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
+    val o = edges.join(du, "u").join(dv, "v")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"), col("dv"))
+      .transform(graft.plans.CacheLifecycle.autoRelease)
+    // π-sorted out-lists; wedge (v, w) pairs with π(v) < π(w)
+    // enumerated in-array (an oriented edge v→w can only exist with
+    // π(v) < π(w), so these are the only candidates worth emitting)
+    val adj = o.groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("dv"), col("v"))))
+        .as("nb"))
+    val wedges = adj.select(col("u"),
+      explode(expr("flatten(transform(nb, (x, i) ->" +
+        " transform(slice(nb, i + 2, size(nb))," +
+        " y -> named_struct('v', x.v, 'w', y.v))))")).as("p"))
+      .select(col("u"), col("p.v").as("v"), col("p.w").as("w"))
+    val tri = wedges.join(
+      o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .select(col("u").as("a"), col("v").as("b"), col("w").as("c"))
+    val perNode = tri.select(col("a").as("id"))
+      .union(tri.select(col("b").as("id")))
+      .union(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+  }
 }

@@ -201,6 +201,49 @@ object Similarity {
        |    JOIN embeddings eb ON eb.vec_id = c.vec_b)
        |  WHERE cosine >= 0.45)""".stripMargin
 
+  /** q133's library op — SemDeDup-style per-cell near-dup stats over
+    * any (vec_id, embedding) frame: assign every vector to its nearest
+    * vec_id<8 seed cell (shared KMeans kernels, integer-exact 1e-4
+    * distances, ties to the lower cid), then mine exact near-dup pairs
+    * (quantized dist² ≤ `thresh`) ONLY within a cell. Returns
+    * (cid, members, nd_pairs, dup_vecs) — dup_vecs counts the vectors
+    * SemDeDup would drop (near-dominated by a lower-id cell-mate).
+    *
+    * The within-cell pair stage is a SALTED cell equi-join (the q25
+    * skew treatment): k cells = k join keys, so an unsalted join caps
+    * parallelism at k tasks however many cores the stage has; salting
+    * by id % 8 fans each cell's pair space over 8 tasks with the pair
+    * predicate unchanged — byte-identical output.
+    */
+  private[graft] def semanticDedup(emb: org.apache.spark.sql.DataFrame,
+      thresh: Long): org.apache.spark.sql.DataFrame = {
+    val q = KMeans.quantized(emb, "vec_id", "embedding")
+      .transform(graft.plans.CacheLifecycle.autoRelease)
+    val seeds = q.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("qa").as("cq"))
+    val asg = KMeans.assignAgainst(q, KMeans.fold(seeds))
+      .select(col("id"), col("qa"), col("cid"))
+      .transform(graft.plans.CacheLifecycle.autoRelease)
+    val nSalt = 8
+    val a = asg.select(col("cid"), col("id").as("va"),
+      col("qa").as("qa_a"), pmod(col("id"), lit(nSalt)).as("salt"))
+    val b = asg.select(col("cid").as("cid_b"), col("id").as("vb"),
+      col("qa").as("qa_b"),
+      explode(array((0 until nSalt).map(i => lit(i.toLong)): _*))
+        .as("salt_b"))
+    val nd = a.join(b, col("cid") === col("cid_b") &&
+        col("salt") === col("salt_b") && col("va") < col("vb"))
+      .filter(KMeans.dist2(col("qa_a"), col("qa_b")) <= lit(thresh))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("nd_pairs"),
+        countDistinct(col("vb")).as("dup_vecs"))
+    asg.groupBy(col("cid")).agg(count(lit(1)).as("members"))
+      .join(nd, Seq("cid"), "left")
+      .select(col("cid"), col("members"),
+        coalesce(col("nd_pairs"), lit(0L)).as("nd_pairs"),
+        coalesce(col("dup_vecs"), lit(0L)).as("dup_vecs"))
+  }
+
   /** Subspace slice i of a quantized (id, qa) frame — the PQ split
     * shared by q104 and q138 (2 subspaces × half dims).
     */
@@ -1514,42 +1557,9 @@ object Similarity {
     // SemDeDup would drop (any vector near-dominated by a lower-id
     // cell-mate).
     QueryDef("q133_semantic_dedup",
-      (s, dir) => {
-        val thresh = 140000000L // ≈1.5% of within-cell pair mass at sf0.01
-        val q = KMeans.quantized(Tables.embeddings(s, dir),
-            "vec_id", "embedding")
-          .transform(graft.plans.CacheLifecycle.autoRelease)
-        val seeds = q.filter(col("id") < 8)
-          .select(col("id").as("cid"), col("qa").as("cq"))
-        val asg = KMeans.assignAgainst(q, KMeans.fold(seeds))
-          .select(col("id"), col("qa"), col("cid"))
-          .transform(graft.plans.CacheLifecycle.autoRelease)
-        // salted cell-local self-join (the q25 skew treatment): k
-        // cells = k join keys, so an unsalted join caps parallelism
-        // at k tasks however many cores the stage has. Salting by
-        // va % 8 fans each cell's pair space over 8 tasks (side B
-        // replicated 8x — B carries only (id, qa), and the pair
-        // predicate is unchanged, so the output is byte-identical).
-        val nSalt = 8
-        val a = asg.select(col("cid"), col("id").as("va"),
-          col("qa").as("qa_a"), pmod(col("id"), lit(nSalt)).as("salt"))
-        val b = asg.select(col("cid").as("cid_b"), col("id").as("vb"),
-          col("qa").as("qa_b"),
-          explode(array((0 until nSalt).map(i => lit(i.toLong)): _*))
-            .as("salt_b"))
-        val nd = a.join(b, col("cid") === col("cid_b") &&
-            col("salt") === col("salt_b") && col("va") < col("vb"))
-          .filter(KMeans.dist2(col("qa_a"), col("qa_b")) <= lit(thresh))
-          .groupBy(col("cid"))
-          .agg(count(lit(1)).as("nd_pairs"),
-            countDistinct(col("vb")).as("dup_vecs"))
-        asg.groupBy(col("cid")).agg(count(lit(1)).as("members"))
-          .join(nd, Seq("cid"), "left")
-          .select(col("cid"), col("members"),
-            coalesce(col("nd_pairs"), lit(0L)).as("nd_pairs"),
-            coalesce(col("dup_vecs"), lit(0L)).as("dup_vecs"))
-          .orderBy(col("cid"))
-      },
+      // thresh ≈ 1.5% of the within-cell pair mass at sf0.01
+      (s, dir) => semanticDedup(Tables.embeddings(s, dir), 140000000L)
+        .orderBy(col("cid")),
       Some("""WITH qv AS (
              |  SELECT vec_id,
              |    generate_subscripts(embedding, 1) - 1 AS dim,
