@@ -1585,5 +1585,119 @@ object Relational {
              |    AS BIGINT) AS rows_scanned,
              |  CAST(sum(hits) AS BIGINT) AS rows_matching
              |FROM files GROUP BY layout, n_buckets
-             |ORDER BY layout, n_buckets""".stripMargin)))
+             |ORDER BY layout, n_buckets""".stripMargin)),
+
+    // ── Q141: BEHAVIORAL TRIGRAMS — sequential pattern mining over
+    // the per-user event stream: the top-20 most frequent 3-step
+    // event-type sequences (consecutive by (ts, event_id) order).
+    // q106 models single transitions (the Markov edge list); this is
+    // the order-3 pattern table a funnel designer or anomaly rule
+    // miner reads. NULL event_type normalizes to '' BEFORE the leads
+    // so a hole in the stream is a real symbol (and the tie-break
+    // sort never compares engine-specific NULL order).
+    //
+    // 100 TB shape: ONE user-keyed window exchange (the q105/q36
+    // exchange the events family already pays) produces both leads in
+    // a single pass; the trigram table is bounded by |event types|³ —
+    // vocabulary-sized, not corpus-sized — so the count groupBy
+    // map-side-combines to almost nothing and top-20 rides a
+    // TakeOrderedAndProject, never a global sort.
+    QueryDef("q141_behavior_trigrams",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            coalesce(col("event_type"), lit("")).as("a"))
+          .select(col("a"), lead(col("a"), 1).over(w).as("b"),
+            lead(col("a"), 2).over(w).as("c"))
+          .filter(col("b").isNotNull && col("c").isNotNull)
+          .groupBy(col("a"), col("b"), col("c"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+          .limit(20)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id,
+             |    coalesce(event_type, '') AS a
+             |  FROM events),
+             |g AS (
+             |  SELECT a, lead(a, 1) OVER w AS b, lead(a, 2) OVER w AS c
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+             |FROM g WHERE b IS NOT NULL AND c IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY n DESC, a, b, c LIMIT 20""".stripMargin)),
+
+    // ── Q142: AS-OF TOLERANCE SWEEP — q19's as-of join staleness knob
+    // as a measured curve: the fraction of clicks whose latest
+    // at-or-before purchase is within 1 min / 10 min / 1 h / 1 d. A
+    // production as-of join always carries a tolerance (match against
+    // arbitrarily stale reference data silently, or drop?); this
+    // reports exactly what each setting would keep. ONE as-of pass
+    // (q19's union + last(ignoreNulls) ordered window — no range-join
+    // candidate explosion), then the 4-point sweep fans out over a
+    // literal array; tolerance sets nest so the curve is provably
+    // monotone (pinned in QueriesSpec).
+    QueryDef("q142_asof_tolerance_sweep",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("ts_ms"))
+          .filter(col("event_type").isin("click", "purchase"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"),
+            when(col("event_type") === "purchase", 0).otherwise(1),
+            col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val asof = e.withColumn("purchase_ts",
+            last(when(col("event_type") === "purchase", col("ts_ms")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select((col("ts_ms") - col("purchase_ts")).as("staleness_ms"))
+        asof
+          .select(col("staleness_ms"),
+            explode(array(lit(60000L), lit(600000L), lit(3600000L),
+              lit(86400000L))).as("tolerance_ms"))
+          .groupBy(col("tolerance_ms"))
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(when(col("staleness_ms").isNotNull &&
+              col("staleness_ms") <= col("tolerance_ms"), 1L)
+              .otherwise(0L)).as("n_matched"))
+          .select(col("tolerance_ms"), col("n_clicks"), col("n_matched"),
+            expr("(2 * n_matched * 1000000 + n_clicks)"
+              + " div (2 * nullif(n_clicks, 0))").as("match_ppm"))
+          .orderBy(col("tolerance_ms"))
+      },
+      Some("""WITH tagged AS (
+             |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |w AS (
+             |  SELECT *,
+             |    last_value(CASE WHEN event_type = 'purchase' THEN ts_ms END
+             |      IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts_ms,
+             |        CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+             |        event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS purchase_ts
+             |  FROM tagged),
+             |st AS (
+             |  SELECT ts_ms - purchase_ts AS staleness_ms
+             |  FROM w WHERE event_type = 'click'),
+             |tol AS (SELECT CAST(unnest([60000, 600000, 3600000,
+             |  86400000]) AS BIGINT) AS tolerance_ms)
+             |SELECT t.tolerance_ms,
+             |  CAST(count(*) AS BIGINT) AS n_clicks,
+             |  CAST(sum(CASE WHEN s.staleness_ms IS NOT NULL
+             |    AND s.staleness_ms <= t.tolerance_ms
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             |  CAST((2 * sum(CASE WHEN s.staleness_ms IS NOT NULL
+             |      AND s.staleness_ms <= t.tolerance_ms THEN 1 ELSE 0 END)
+             |      * 1000000 + count(*))
+             |    // (2 * nullif(count(*), 0)) AS BIGINT) AS match_ppm
+             |FROM st s CROSS JOIN tol t
+             |GROUP BY t.tolerance_ms
+             |ORDER BY t.tolerance_ms""".stripMargin)))
 }

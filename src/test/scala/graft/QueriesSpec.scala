@@ -829,6 +829,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q141 trigram counts are ranked and bounded by the event count") {
+    val rows = SparkEntry.queries("q141_behavior_trigrams")(spark, sf)
+      .select("n").collect().map(_.getLong(0))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.zip(rows.tail).forall { case (x, y) => y <= x },
+      "top-20 must come back in non-increasing count order")
+    val nEvents = graft.operators.Tables.events(spark, sf).count()
+    assert(rows.sum <= nEvents,
+      "a user with k events contributes k-2 trigrams, so the total is bounded")
+  }
+
+  test("q142 match curve is monotone in tolerance; denominators constant") {
+    val rows = SparkEntry.queries("q142_asof_tolerance_sweep")(spark, sf)
+      .select("tolerance_ms", "n_clicks", "n_matched", "match_ppm")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(1)).distinct.length == 1,
+      "the click population must not depend on the tolerance")
+    val matched = rows.map(_.getLong(2))
+    assert(matched.zip(matched.tail).forall { case (x, y) => y >= x },
+      "tolerance sets nest, so matches are non-decreasing")
+    rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L))
+  }
+
   test("q137 skyline is an antichain: ch strictly increases with nt") {
     val rows = SparkEntry.queries("q137_quality_skyline")(spark, sf)
       .select("nt", "ch").collect()
