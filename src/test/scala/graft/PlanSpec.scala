@@ -971,4 +971,31 @@ class PlanSpec extends AnyFunSuite {
       assert(!exec.contains("CartesianProduct"), exec.take(2000))
     } finally spark.catalog.clearCache()
   }
+
+  test("q135: scan reads only the two layout dims (user_id, ts)") {
+    val p = plan("q135_zorder_skip")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("user_id", "ts").forall(read.contains) &&
+      !read.contains("props") && !read.contains("event_type") &&
+      !read.contains("value"), read)
+  }
+
+  test("q136: scan reads only (source, text, n_chars); nulls pushed") {
+    val p = plan("q136_ols_source_stats")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("source", "text", "n_chars").forall(read.contains) &&
+      !read.contains("lang") && !read.contains("doc_id"), read)
+    assert(p.contains("PushedFilters: [IsNotNull(text)]"), p.take(1500))
+  }
+
+  test("q141: trigram top-20 is TakeOrderedAndProject, never a global sort") {
+    val p = plan("q141_behavior_trigrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q142: as-of sweep is a window pass — no join operator at all") {
+    val p = plan("q142_asof_tolerance_sweep")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
 }
