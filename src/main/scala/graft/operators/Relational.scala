@@ -1699,5 +1699,78 @@ object Relational {
              |    // (2 * nullif(count(*), 0)) AS BIGINT) AS match_ppm
              |FROM st s CROSS JOIN tol t
              |GROUP BY t.tolerance_ms
-             |ORDER BY t.tolerance_ms""".stripMargin)))
+             |ORDER BY t.tolerance_ms""".stripMargin)),
+
+    // ── Q143: AUDIENCE-OVERLAP MATRIX — exact Jaccard between the
+    // user sets of every event-type pair ("of the users who ever
+    // purchase, how many also error?"). The naive shape self-joins
+    // the (user, type) table on user_id — quadratic in per-user
+    // activity; this one pays ONE user-keyed exchange to fold each
+    // user's distinct type set (bounded by |types|, the vocabulary),
+    // enumerates that set's pairs IN-ARRAY (the q134 wedge kernel:
+    // ≤ C(|types|, 2) rows per user), and counts — every frame after
+    // the fold is vocabulary-sized. Zero-overlap pairs appear via the
+    // tiny type-grid left join, so the matrix is always complete.
+    QueryDef("q143_audience_overlap",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isNotNull)
+          .select(col("user_id"), col("event_type")).distinct()
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val ua = ev.groupBy(col("event_type")).agg(count(lit(1)).as("ua"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val um = ev.groupBy(col("user_id"))
+          .agg(sort_array(collect_set(col("event_type"))).as("tset"))
+        val both = um.select(
+          explode(expr("flatten(transform(tset, (x, i) ->" +
+            " transform(slice(tset, i + 2, size(tset))," +
+            " y -> named_struct('ta', x, 'tb', y))))")).as("p"))
+          .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+          .agg(count(lit(1)).as("users_both"))
+        val grid = ua.select(col("event_type").as("type_a"))
+          .crossJoin(ua.select(col("event_type").as("type_b")))
+          .filter(col("type_a") < col("type_b"))
+        grid
+          .join(broadcast(both), Seq("type_a", "type_b"), "left")
+          .join(broadcast(ua.select(col("event_type").as("type_a"),
+            col("ua").as("users_a"))), Seq("type_a"))
+          .join(broadcast(ua.select(col("event_type").as("type_b"),
+            col("ua").as("users_b"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"),
+            col("users_a"), col("users_b"),
+            coalesce(col("users_both"), lit(0L)).as("users_both"))
+          .withColumn("jaccard_ppm",
+            expr("(2 * users_both * 1000000"
+              + " + (users_a + users_b - users_both))"
+              + " div (2 * nullif(users_a + users_b - users_both, 0))"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT user_id, event_type FROM events
+             |  WHERE event_type IS NOT NULL),
+             |ua AS (SELECT event_type, count(*) AS ua FROM ev
+             |  GROUP BY event_type),
+             |bt AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    count(*) AS users_both
+             |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b
+             |  FROM ua a CROSS JOIN ua b
+             |  WHERE a.event_type < b.event_type)
+             |SELECT g.type_a, g.type_b,
+             |  CAST(x.ua AS BIGINT) AS users_a,
+             |  CAST(y.ua AS BIGINT) AS users_b,
+             |  CAST(coalesce(b.users_both, 0) AS BIGINT) AS users_both,
+             |  CAST((2 * coalesce(b.users_both, 0) * 1000000
+             |      + (x.ua + y.ua - coalesce(b.users_both, 0)))
+             |    // (2 * nullif(x.ua + y.ua - coalesce(b.users_both, 0),
+             |      0)) AS BIGINT) AS jaccard_ppm
+             |FROM grid g
+             |LEFT JOIN bt b ON b.type_a = g.type_a AND b.type_b = g.type_b
+             |JOIN ua x ON x.event_type = g.type_a
+             |JOIN ua y ON y.event_type = g.type_b
+             |ORDER BY g.type_a, g.type_b""".stripMargin)))
 }

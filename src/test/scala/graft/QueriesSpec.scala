@@ -853,6 +853,22 @@ class QueriesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L))
   }
 
+  test("q143 matrix is the complete type grid; overlaps bounded") {
+    val rows = SparkEntry.queries("q143_audience_overlap")(spark, sf)
+      .select("users_a", "users_b", "users_both", "jaccard_ppm").collect()
+    val nTypes = graft.operators.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type").isNotNull)
+      .select("event_type").distinct().count()
+    assert(rows.length == nTypes * (nTypes - 1) / 2,
+      "every unordered type pair must appear, zero-overlap included")
+    rows.foreach { r =>
+      val (a, b, both, j) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(both <= math.min(a, b), s"overlap exceeds a side: $r")
+      assert(j >= 0 && j <= 1000000L, r.toString)
+    }
+  }
+
   test("q137 skyline is an antichain: ch strictly increases with nt") {
     val rows = SparkEntry.queries("q137_quality_skyline")(spark, sf)
       .select("nt", "ch").collect()
