@@ -307,4 +307,33 @@ class ShuffleBytesSpec extends AnyFunSuite {
       s"window + reused exchange must beat the re-join twin: " +
         s"engine=$engine naive=$naive")
   }
+
+  test("q143 type-set fold shuffles less than the user_id self-join twin") {
+    // the engine folds each user's distinct type set once and
+    // enumerates pairs in-array (vocabulary-bounded fan-out); the
+    // naive twin self-joins the (user, type) table on user_id,
+    // shuffling it twice and emitting the pair fan THROUGH the join
+    val engine = shuffleBytes(
+      SparkEntry.queries("q143_audience_overlap")(spark, sf))
+    val ev = graft.operators.Tables.events(spark, sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type")).distinct()
+    val a = ev.select(col("user_id"), col("event_type").as("ta"))
+    val b = ev.select(col("user_id"), col("event_type").as("tb"))
+    val naiveAct = a.join(b, Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("users_both"))
+    val naive =
+      try {
+        // forbid broadcasting a side: at 100 TB the distinct
+        // (user, type) table is corpus-scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffleBytes(naiveAct)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(engine > 0)
+    assert(engine < naive,
+      s"set fold + in-array pairs must beat the self-join twin: " +
+        s"engine=$engine naive=$naive")
+  }
 }
