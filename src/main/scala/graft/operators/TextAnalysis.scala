@@ -3045,5 +3045,57 @@ object TextAnalysis {
               |SELECT tok, CAST(c AS BIGINT) AS c,
               |  array_to_string(syms, '|') AS segs,
               |  CAST(len(syms) AS BIGINT) AS n_syms
-              |FROM e2 ORDER BY c DESC, tok LIMIT 20""".stripMargin)))
+              |FROM e2 ORDER BY c DESC, tok LIMIT 20""".stripMargin)),
+
+    // ── Q144: TOKEN-MASS LENGTH PERCENTILES — per source, the doc
+    // length at which cumulative TOKEN mass crosses 50% / 90% of the
+    // source's total ("half the training tokens live in docs shorter
+    // than L"). Doc-count percentiles (q64/q79) answer a different
+    // question: a corpus can be 90% short docs by count while long
+    // docs carry most of the token budget — THIS is the number a
+    // context-length or truncation policy actually trades against.
+    // Exact integer weighted order statistic: one (source)-keyed
+    // window cumsum ordered by (n_chars, doc_id), thresholds as
+    // integer cross-multiplications (2·cum ≥ tot, 10·cum ≥ 9·tot) —
+    // no doubles, no interpolation ambiguity between engines.
+    QueryDef("q144_token_mass_lengths",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("source"), col("doc_id"), col("n_chars").as("ch"),
+            size(toks).cast("long").as("tok"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("ch"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy(col("source"))
+        m.withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("tot", sum(col("tok")).over(wt))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("tot")).as("total_tokens"),
+            min(when(col("cum") * 2 >= col("tot"), col("ch")))
+              .as("p50_mass_len"),
+            min(when(col("cum") * 10 >= col("tot") * 9, col("ch")))
+              .as("p90_mass_len"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH m AS (
+             |  SELECT source, doc_id, n_chars AS ch,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM documents WHERE text IS NOT NULL),
+             |c AS (
+             |  SELECT source, ch, tok,
+             |    sum(tok) OVER (PARTITION BY source ORDER BY ch, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(tok) OVER (PARTITION BY source) AS tot
+             |  FROM m)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(max(tot) AS BIGINT) AS total_tokens,
+             |  min(CASE WHEN cum * 2 >= tot THEN ch END)
+             |    AS p50_mass_len,
+             |  min(CASE WHEN cum * 10 >= tot * 9 THEN ch END)
+             |    AS p90_mass_len
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)))
 }

@@ -869,6 +869,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q144 mass percentiles are ordered and within the length range") {
+    val rows = SparkEntry.queries("q144_token_mass_lengths")(spark, sf)
+      .select("source", "n_docs", "total_tokens", "p50_mass_len",
+        "p90_mass_len").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getLong(3), r.getLong(4))
+      assert(p50 <= p90,
+        s"the 90% mass crossing can't precede the 50% one: $r")
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 0, r.toString)
+    }
+  }
+
   test("q137 skyline is an antichain: ch strictly increases with nt") {
     val rows = SparkEntry.queries("q137_quality_skyline")(spark, sf)
       .select("nt", "ch").collect()
