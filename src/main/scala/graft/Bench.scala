@@ -104,6 +104,19 @@ object BenchStats {
       factor: Double): Boolean =
     suspectVsCold(cold, warm) ||
       ref.exists(r => suspectVsRef(warm, r, factor))
+
+  /** Fold one end-of-run re-pass observation into a
+    * (warmMin, spread, passes) record: min-estimator on the warm time,
+    * spread tracks max/min across all observations. Pure — the
+    * re-pass's flag-clearing behavior is unit-tested against a
+    * synthetic co-tenant burst in BenchStatsSpec without Spark.
+    */
+  def foldObservation(warmMin: Double, spread: Double, passes: Int,
+      obs: Double): (Double, Double, Int) = {
+    val mx = math.max(warmMin * spread, obs)
+    val mn = math.min(warmMin, obs)
+    (mn, mx / mn, passes + 1)
+  }
 }
 
 object Bench {
@@ -217,10 +230,37 @@ object Bench {
     // across every reference-bearing query. A flat co-tenant box (r7:
     // 1.3-1.45x uniform) yields factor ~1.4 and 0 suspects; a genuinely
     // regressed query sits ABOVE 2x the box-wide factor and still flags.
-    val hostFactor = BenchStats.hostFactor(timings.collect {
+    def runFactor(): Double = BenchStats.hostFactor(timings.collect {
       case (k, (_, w, _, _)) if refTimes.contains(k) =>
         BenchStats.ratioVsRef(w, refTimes(k))
     }.toSeq)
+
+    // End-of-run suspect re-pass: every suspect recorded in r8 was a
+    // transient co-tenant burst that had already ENDED by the time a
+    // reader re-ran the query — so re-time each still-suspect query
+    // once now, after the main loop (one warm pass each; a burst that
+    // has passed clears its flag inside the artifact, a genuine
+    // regression re-measures slow and keeps it). Runs before the
+    // final factor/flag computation so the cleared timings also feed
+    // the factor estimate. Disable with SPARK_GRAFT_SUSPECT_REPASS=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_SUSPECT_REPASS", "1") != "0") {
+      val f0 = runFactor()
+      val stillSuspect = timings.collect {
+        case (k, (c, w, _, _))
+          if BenchStats.suspect(c, w, refTimes.get(k), f0) => k
+      }.toSeq
+      stillSuspect.foreach { k =>
+        SparkEntry.queries.get(k).foreach { fn =>
+          try {
+            val obs = timeOnce(fn)
+            val (c, w, s, n) = timings(k)
+            val (w2, s2, n2) = BenchStats.foldObservation(w, s, n, obs)
+            timings(k) = (c, w2, s2, n2)
+          } catch { case _: Throwable => () } // keep the recorded timing
+        }
+      }
+    }
+    val hostFactor = runFactor()
     val final_ = timings.map { case (k, (c, w, s, n)) =>
       val ratioAdj = refTimes.get(k).map(r =>
         BenchStats.ratioVsRef(w, r) / hostFactor)

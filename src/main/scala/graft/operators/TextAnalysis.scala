@@ -2880,7 +2880,14 @@ object TextAnalysis {
             col("n_chars").as("y"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"),
-            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            // sx/sy accumulate as DECIMAL too: the slope/intercept
+            // exprs below multiply sx*sy and sx*sx, which as
+            // long*long would wrap silently (ANSI off) once a
+            // source's token sum passes ~3e9 — decimal sums make
+            // every downstream product DECIMAL(38), matching the
+            // HUGEINT oracle bit-for-bit.
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
             sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
             sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
             sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))

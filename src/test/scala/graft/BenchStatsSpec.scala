@@ -82,4 +82,32 @@ class BenchStatsSpec extends AnyFunSuite {
     val f = BenchStats.hostFactor(ratios)
     assert(math.abs(f - 1.4) < 1e-9)
   }
+
+  test("end-of-run re-pass clears a transient co-tenant burst") {
+    // Synthetic load: one query's warm passes all landed inside a
+    // co-tenant burst (3x its ref on an otherwise-clean box) — suspect
+    // at the end of the main loop. The burst has ENDED by the end of
+    // the run; the single re-pass observation folds in a clean time
+    // and the flag clears inside the artifact (r8: all 4 recorded
+    // suspects were exactly this).
+    val warms = refs.map(_ * 1.0) // clean box elsewhere: factor 1.0
+    val f = BenchStats.hostFactor(refs.zip(warms).map { case (r, w) =>
+      BenchStats.ratioVsRef(w, r) })
+    val (ref0, burstWarm, cleanObs) = (0.5, 1.5, 0.52)
+    assert(BenchStats.suspect(cold = 1.6, warm = burstWarm,
+      ref = Some(ref0), factor = f), "burst must flag at end of loop")
+    val (w2, s2, n2) =
+      BenchStats.foldObservation(burstWarm, 1.05, 2, cleanObs)
+    assert(w2 == cleanObs && n2 == 3)
+    assert(s2 > 2.5, "spread must record the burst-vs-clean range")
+    assert(!BenchStats.suspect(cold = 1.6, warm = w2, ref = Some(ref0),
+      factor = f), "one clean re-pass observation rescinds the flag")
+  }
+
+  test("re-pass fold never loosens: a still-slow regression keeps its flag") {
+    val (w2, _, _) = BenchStats.foldObservation(1.5, 1.0, 2, 1.6)
+    assert(w2 == 1.5, "min estimator: a slower re-pass cannot raise warm")
+    assert(BenchStats.suspect(cold = 1.6, warm = w2, ref = Some(0.5),
+      factor = 1.0), "genuine regression re-measures slow and stays flagged")
+  }
 }

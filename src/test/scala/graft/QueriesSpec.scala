@@ -812,8 +812,11 @@ class QueriesSpec extends AnyFunSuite {
       assert(2 * r.getLong(1) <= r.getLong(2),
         s"a source's intra edges consume two of its endpoints each: $r")
     }
-    assert(rows.map(_.getLong(3)).sum <= 1000000L,
-      "Newman modularity is bounded above by 1")
+    // Each per-source contrib_ppm is half-up rounded, so the sum can
+    // exceed the true (≤ 1) modularity by up to 0.5 ppm per source —
+    // allow exactly that rounding slack.
+    assert(rows.map(_.getLong(3)).sum <= 1000000L + (rows.length + 1) / 2,
+      "Newman modularity is bounded above by 1 (plus per-source rounding)")
   }
 
   test("q140 segmentations reassemble the word; merges only shrink") {
