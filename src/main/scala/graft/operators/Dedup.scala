@@ -396,7 +396,10 @@ object Dedup {
     * The sh column adds 8 bytes/doc to the cache.
     */
   private[graft] def tripleSigs(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    // self-sufficient for library callers that never touched Tables
+    // (which registers the graft_* codegen expressions on read)
+    graft.plans.GraftFunctions.ensure(docs.sparkSession)
     docs.select(col("doc_id"),
       call_function("graft_minhash_bands",
         coalesce(col("text"), lit("")),
@@ -405,6 +408,7 @@ object Dedup {
         coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"),
       call_function("graft_simhash",
         coalesce(col("text"), lit("")), lit(2)).as("sh"))
+  }
 
   /** [[multiSignalPairs]] over any (doc_id, text) frame. */
   private[graft] def multiSignalPairsFrom(docs: org.apache.spark.sql.DataFrame)
@@ -421,6 +425,96 @@ object Dedup {
         .select(col("doc_a"), col("doc_b")))
       .distinct()
   }
+
+  // ─── PAIRS STORE ────────────────────────────────────────────────
+  // The mined near-dup pair list as a write-once corpus ASSET: at
+  // 100 TB the multi-signal pair list is the expensive artifact of a
+  // curation snapshot — mined once, persisted, then read by every
+  // consumer (components / keeper selection / per-source rates /
+  // storage savings / triangles / modularity / cross-modal audits)
+  // instead of re-mined per query. Provenance flags record WHICH
+  // miner produced each pair, so consumers can ablate signals
+  // without re-mining (q71-vs-q132 style diffs become store scans).
+
+  /** Bit weights for miner provenance (internal union encoding). */
+  private val W_EXACT = 1
+  private val W_MINHASH = 2
+  private val W_SIMHASH = 4
+  private val W_PPJOIN = 8
+  private val W_EMBED = 16
+
+  /** Mine the full multi-signal pair list WITH provenance:
+    * (doc_a, doc_b, src_exact, src_minhash, src_simhash, src_ppjoin,
+    * src_embed), doc_a < doc_b, one row per undirected pair, flags
+    * OR-ed across miners.
+    *
+    * Signals: exact = min-star edges within identical-text groups
+    * (a window min per text-hash partition — LINEAR in group size,
+    * sufficient for connectivity; never the all-pairs quadratic);
+    * minhash / simhash / ppjoin share ONE [[tripleSigs]] signature
+    * scan of the corpus; embed = the q54 banded-LSH + exact-cosine
+    * miner over `embeddings` (vec_id ≡ doc_id in this corpus),
+    * optional because not every corpus snapshot carries embeddings.
+    */
+  def minePairs(docs: org.apache.spark.sql.DataFrame,
+      embeddings: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    def tag(df: org.apache.spark.sql.DataFrame, w: Int) =
+      df.select(col("doc_a"), col("doc_b"), lit(w).as("w"))
+    import org.apache.spark.sql.expressions.Window
+    val exact = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("doc_a"), col("doc_id").as("doc_b"))
+    val shared = tripleSigs(docs).transform(graft.plans.CacheLifecycle.autoRelease)
+    val tagged = tag(exact, W_EXACT)
+      .union(tag(minhashPairsFrom(shared), W_MINHASH))
+      .union(tag(simhashPairsFromSigs(shared.select(col("doc_id"), col("sh"))),
+        W_SIMHASH))
+      .union(tag(ppjoinPairsFrom(shared.select(col("doc_id"), col("hl"))),
+        W_PPJOIN))
+    val all = embeddings.map(e => tagged.union(tag(
+      Similarity.embedNearDupPairsFrom(e)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      W_EMBED))).getOrElse(tagged)
+    all.groupBy(col("doc_a"), col("doc_b"))
+      .agg(expr("bit_or(w)").as("flags"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("flags").bitwiseAND(W_EXACT) > 0).as("src_exact"),
+        (col("flags").bitwiseAND(W_MINHASH) > 0).as("src_minhash"),
+        (col("flags").bitwiseAND(W_SIMHASH) > 0).as("src_simhash"),
+        (col("flags").bitwiseAND(W_PPJOIN) > 0).as("src_ppjoin"),
+        (col("flags").bitwiseAND(W_EMBED) > 0).as("src_embed"))
+  }
+
+  /** Persist a mined pair list at `path`. Rows are sorted by pair key
+    * within partitions (row-group locality + delta-friendly encoding
+    * for the BIGINT id columns). At deployment scale the store would
+    * be a bucketed table on doc_a so the graph kernels' first
+    * exchange is co-located; plain parquet keeps the harness
+    * dependency-free.
+    */
+  def writePairsStore(pairs: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    pairs.sortWithinPartitions(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a pair store back, normalizing provenance: appended
+    * increments ([[graft.streaming.IncrementalDedup]]) may re-record
+    * a pair under a new signal or redeliver one, so flags are OR-ed
+    * per undirected pair on read — readers always see one row per
+    * pair, whatever the write history.
+    */
+  def readPairsStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("src_exact")).as("src_exact"),
+        max(col("src_minhash")).as("src_minhash"),
+        max(col("src_simhash")).as("src_simhash"),
+        max(col("src_ppjoin")).as("src_ppjoin"),
+        max(col("src_embed")).as("src_embed"))
 
   /** q99's prefix-containment miner over any (doc_id, text) frame:
     * verified (doc_a, doc_b, nt_a, nt_b) pairs where doc_a's full
@@ -1965,6 +2059,88 @@ object Dedup {
               |SELECT keeper, count(*) AS n_docs,
               |  array_to_string(list_sort(list(id)), ',') AS members
               |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin)),
+
+    // ── Q145: PAIRS-STORE ROUND-TRIP AUDIT — mine the provenance-
+    // tagged multi-signal pair list ONCE ([[minePairs]]: exact +
+    // minhash + simhash + ppjoin + embed), persist it as the corpus's
+    // dedup asset ([[writePairsStore]]), read it back
+    // ([[readPairsStore]]), and report per-signal inventory (pair
+    // count, distinct endpoints, an id checksum) PLUS the
+    // store-vs-fresh drift count. The DuckDB oracle re-derives every
+    // signal from the raw tables and predicts n_mismatch = 0 — a
+    // store round trip that loses, garbles, or double-counts pairs
+    // makes the Spark side emit nonzero drift or a wrong checksum
+    // and the query goes red.
+    //
+    // 100 TB shape: this is the asset-producing pass of a curation
+    // snapshot — the pair list is mined once (all text signals off
+    // ONE signature scan, the embed signal off one banded equi-join),
+    // written sorted, and every downstream consumer (components,
+    // keepers, rates, savings, graph metrics) reads the store instead
+    // of re-mining. The audit itself is linear in the pair list: one
+    // exceptAll both ways (hash aggregates) + one explode/groupBy
+    // over ≤ 6× the pair rows.
+    QueryDef("q145_pairs_store",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val fresh = minePairs(docs, Some(Tables.embeddings(s, dir)))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_pairs_store_" +
+          new java.io.File(dir).getName
+        writePairsStore(fresh, path)
+        val store = readPairsStore(s, path)
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val drift = store.exceptAll(fresh).union(fresh.exceptAll(store))
+          .agg(count(lit(1)).as("n_mismatch"))
+        store.select(col("doc_a"), col("doc_b"),
+            explode(expr("filter(array(" +
+              "IF(src_exact, 'exact', NULL)," +
+              "IF(src_minhash, 'minhash', NULL)," +
+              "IF(src_simhash, 'simhash', NULL)," +
+              "IF(src_ppjoin, 'ppjoin', NULL)," +
+              "IF(src_embed, 'embed', NULL)," +
+              "'total'), x -> x IS NOT NULL)")).as("signal"))
+          .groupBy(col("signal"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("doc_a")).as("n_left"),
+            countDistinct(col("doc_b")).as("n_right"),
+            sum((col("doc_a") * lit(1000003L) + col("doc_b"))
+              .cast("decimal(38,0)")).cast("long").as("id_checksum"))
+          .crossJoin(broadcast(drift))
+          .orderBy(col("signal"))
+      },
+      Some(s"""WITH $multiSignalPairsCtes,
+              |${Similarity.embedNearDupCtes},
+              |ex AS (
+              |  SELECT mn AS doc_a, doc_id AS doc_b FROM (
+              |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS mn
+              |    FROM documents WHERE text IS NOT NULL)
+              |  WHERE doc_id <> mn),
+              |tagged AS (
+              |  SELECT doc_a, doc_b, 'exact' AS signal FROM ex
+              |  UNION
+              |  SELECT doc_a, doc_b, 'minhash' FROM verified_mh
+              |  WHERE (2 * inter * 1000000 + un) // (2 * un) >= 700000
+              |  UNION
+              |  SELECT doc_a, doc_b, 'simhash' FROM ham_sh
+              |  WHERE hamming <= 3
+              |  UNION
+              |  SELECT doc_a, doc_b, 'ppjoin' FROM verified_pp
+              |  WHERE 2 * inter >= un
+              |  UNION
+              |  SELECT vec_a, vec_b, 'embed' FROM empairs),
+              |tall AS (
+              |  SELECT * FROM tagged
+              |  UNION ALL
+              |  SELECT DISTINCT doc_a, doc_b, 'total' AS signal
+              |  FROM tagged)
+              |SELECT signal, CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(count(DISTINCT doc_a) AS BIGINT) AS n_left,
+              |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_right,
+              |  CAST(sum(doc_a * 1000003 + doc_b) AS BIGINT)
+              |    AS id_checksum,
+              |  CAST(0 AS BIGINT) AS n_mismatch
+              |FROM tall GROUP BY signal ORDER BY signal""".stripMargin)),
 
     // Degree-oriented triangle counting over the multi-signal dup
     // graph — a dedup-QUALITY metric: triangles measure how clique-like

@@ -497,26 +497,31 @@ object VideoAnalytics {
     // scene-composition signal behind co-occurrence-aware sampling
     // and anomaly rules ("a boat and a traffic light in one frame").
     //
-    // 100 TB shape: ONE distinct (frame, class) table (map-side
-    // combinable; persisted — supports, the frame total, and both
-    // self-join sides all read it), a frame-keyed self-join whose
-    // sides reuse that frame (the measured q83 lesson), and a pair
-    // groupBy bounded by 80² classes. Lift in DECIMAL(38,0):
-    // n_ab·n_frames·10⁶ overflows int64 on a 100 TB frame count.
+    // 100 TB shape: ONE frame-keyed exchange folds each frame's
+    // distinct class set (bounded by the 80-class vocabulary), then
+    // pairs are enumerated IN-ARRAY from the sorted set (the q143
+    // audience-overlap / q134 wedge kernel: ≤ C(|classes|, 2) rows
+    // per frame, no frame-keyed self-join — the former self-join paid
+    // a second exchange plus a per-frame quadratic probe). Supports
+    // and the frame total are projections of the SAME persisted
+    // per-frame fold. Pair groupBy stays bounded by 80². Lift in
+    // DECIMAL(38,0): n_ab·n_frames·10⁶ overflows int64 on a 100 TB
+    // frame count.
     QueryDef("q29_class_cooccurrence",
       (s, dir) => {
-        val fc = detections(s, dir)
+        val fsets = detections(s, dir)
           .filter(col("confidence") >= 0.5)
-          .select(col("frame_id"), col("object_class")).distinct()
+          .groupBy(col("frame_id"))
+          .agg(sort_array(collect_set(col("object_class"))).as("cs"))
           .transform(graft.plans.CacheLifecycle.autoRelease)
-        val sup = fc.groupBy(col("object_class")).agg(count(lit(1)).as("nc"))
-        val nf = fc.agg(countDistinct(col("frame_id")).as("n_frames"))
-        val pairs = fc.as("a")
-          .join(fc.as("b"),
-            col("a.frame_id") === col("b.frame_id") &&
-              col("a.object_class") < col("b.object_class"))
-          .groupBy(col("a.object_class").as("class_a"),
-            col("b.object_class").as("class_b"))
+        val sup = fsets.select(explode(col("cs")).as("object_class"))
+          .groupBy(col("object_class")).agg(count(lit(1)).as("nc"))
+        val nf = fsets.agg(count(lit(1)).as("n_frames"))
+        val pairs = fsets.select(
+          explode(expr("flatten(transform(cs, (x, i) ->" +
+            " transform(slice(cs, i + 2, size(cs))," +
+            " y -> named_struct('ca', x, 'cb', y))))")).as("p"))
+          .groupBy(col("p.ca").as("class_a"), col("p.cb").as("class_b"))
           .agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 5)
         pairs

@@ -55,9 +55,23 @@ object IncrementalDedup {
     *   Same-batch duplicates are classified against the PRE-batch
     *   store either way (micro-batch atomicity).
     */
+  /** @param pairsStorePath when set, every classified batch APPENDS
+    *   its discovered duplicate pairs to the
+    *   [[graft.operators.Dedup.readPairsStore]]-compatible store at
+    *   this path — exact matches as `src_exact`, simhash-band near
+    *   matches as `src_simhash` (provenance = how the pair was
+    *   found). The batch snapshot is mined once
+    *   ([[graft.operators.Dedup.minePairs]]); the stream keeps the
+    *   store current between snapshots. Appends may re-record a pair
+    *   (redelivery, exact pairs also band-matching); the store READER
+    *   OR-normalizes per pair, so append stays blind-write cheap —
+    *   the right trade at 100 TB where the increment path must never
+    *   read-modify-write the full store.
+    */
   final class Index(spark: SparkSession,
       onHash: Option[LongAccumulator] = None,
-      ingestClassified: Boolean = true) {
+      ingestClassified: Boolean = true,
+      pairsStorePath: Option[String] = None) {
 
     private var exactIdx: DataFrame =
       spark.createDataFrame(java.util.Collections.emptyList[Row](), exactSchema)
@@ -141,12 +155,29 @@ object IncrementalDedup {
     def classifyAndIngest(batch: DataFrame): DataFrame = {
       val hd = hashed(batch).persist()
       hd.count() // one hashing pass, shared by classify AND ingest
-      val ex = hd.join(exactIdx, "h")
+      val exPairs = hd.join(exactIdx, "h")
+        .select(col("doc_id"), col("c_id"))
+      val ex = exPairs
         .groupBy(col("doc_id")).agg(min(col("c_id")).as("ex_match"))
-      val near = bandsOf(hd)
+      val nearPairs = bandsOf(hd)
         .join(bandIdx, Seq("band_idx", "band_val"))
         .filter(bit_count(col("sh").bitwiseXOR(col("c_sh"))) <= HAMMING_MAX)
+        .select(col("doc_id"), col("c_id"))
+      val near = nearPairs
         .groupBy(col("doc_id")).agg(min(col("c_id")).as("near_match"))
+      // append this batch's discovered pairs to the corpus pair store
+      // (blind append; the reader OR-normalizes — see class doc)
+      pairsStorePath.foreach { p =>
+        def norm(df: DataFrame, exact: Boolean) = df.select(
+          least(col("doc_id"), col("c_id")).as("doc_a"),
+          greatest(col("doc_id"), col("c_id")).as("doc_b"),
+          lit(exact).as("src_exact"), lit(false).as("src_minhash"),
+          lit(!exact).as("src_simhash"), lit(false).as("src_ppjoin"),
+          lit(false).as("src_embed"))
+        norm(exPairs, exact = true).union(norm(nearPairs, exact = false))
+          .distinct()
+          .write.mode("append").parquet(p)
+      }
       val out = hd.select(col("doc_id"))
         .join(ex, Seq("doc_id"), "left")
         .join(near, Seq("doc_id"), "left")

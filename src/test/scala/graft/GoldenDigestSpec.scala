@@ -37,9 +37,10 @@ object GoldenDigest {
   val queries: Seq[String] = Seq(
     // q27/q38 graduated to full DuckDB oracles in round 8 (the repo's
     // own HLL-register / integer-histogram replays replaced Spark's
-    // engine-specific approx_count_distinct / percentile_approx)
-    "q20_pipeline_detections", "q21_pipeline_segments",
-    "q22_pipeline_stats", "q23_pipeline_rates",
+    // engine-specific approx_count_distinct / percentile_approx);
+    // q20/q22/q23 graduated in round 9 (relational replay of the
+    // stateful fold + synthetic detector from the frames dump)
+    "q21_pipeline_segments",
     "q60_media_features", "q61_media_frame_sample", "q62_media_resize")
 
   val sfs: Seq[String] = Seq("0.01", "0.1")
