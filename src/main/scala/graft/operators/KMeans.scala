@@ -30,11 +30,30 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Exactness domain of the 1e-4 quantization: |q| ≤ 1.1e7 (real
+    * components |x| ≤ 1100 — every published embedding space sits far
+    * inside). Within the domain every pairwise diff is ≤ 2.2e7, its
+    * square ≤ 4.84e14, and a 64-dim sum ≤ 3.1e16 — inside int64 AND
+    * inside double's 2^53 integer window, so both the per-dim integer
+    * fold and the fused graft_dot double expansion are exact and
+    * equal. Components beyond the domain SATURATE deterministically
+    * instead of overflowing an ANSI multiply mid-pass (the
+    * EdgeCaseEmbeddingsSpec 1e6-magnitude fixture; a single absurd
+    * vector must not kill a 100 TB scoring job).
+    */
+  private[graft] val QCLAMP = 11000000L
+
+  /** The shared quantize expression — round to 1e-4, clamp to the
+    * exactness domain.
+    */
+  private[graft] def qcol(x: Column): Column =
+    least(greatest(round(x.cast("double") * 10000).cast("long"),
+      lit(-QCLAMP)), lit(QCLAMP))
+
   /** Quantized-vector projection: (id, qa array<long>) at 1e-4. */
   private[graft] def quantized(e: DataFrame, idCol: String, vecCol: String): DataFrame =
     e.select(col(idCol).as("id"),
-      transform(col(vecCol), x => round(x.cast("double") * 10000)
-        .cast("long")).as("qa"))
+      transform(col(vecCol), x => qcol(x)).as("qa"))
 
   /** Squared L2 distance between two quantized arrays, exact int64. */
   private[graft] def dist2(a: Column, b: Column): Column =

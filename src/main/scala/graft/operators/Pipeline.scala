@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * synthetic frame stream (the reference's de-facto harness is its mock
   * producer — SURVEY.md §5).
   *
-  * Round 9: q20/q22/q23 carry FULL DuckDB oracles. The stateful fold
+  * Round 9: q20-q23 carry FULL DuckDB oracles. The stateful fold
   * (VideoPipeline.processFrames) is replayed relationally from a
   * parquet dump of the deterministic generated frames
   * ([[ensureFramesDump]]): the per-frame 32-bin byte histogram and
@@ -23,11 +23,9 @@ import org.apache.spark.sql.functions._
   * replays the synthetic detector (DetectionKernels.syntheticDetect)
   * — wraparound 31·h+b rolling hash, per-k derived confidence/class/
   * box — in exact integer + float32 arithmetic (conf values verified
-  * bit-equal across engines for all 75 possible mantissas).
-  *
-  * q21 stays digest-pinned: its rows carry the segment byte sizes and
-  * object-key paths whose replay adds nothing over q22's segment
-  * counts/timestamps (same flush events).
+  * bit-equal across engines for all 75 possible mantissas). q21's
+  * oracle further replays the segment bounds, payload byte sums, and
+  * the OSS object-key formatting.
   *
   * 3 streams × 25 fps × 400 s = 30 000 frames → per stream: 2 full
   * 3-minute segments + keyframes from both rules.
@@ -197,12 +195,38 @@ object Pipeline {
               |ORDER BY stream_id, frame_id, object_class, confidence"""
         .stripMargin)),
 
-    // q21 rows carry the OSS object keys + byte sizes (same flush
-    // events q22 oracles); digest-pinned — see class doc.
+    // ── Q21: the segment side-output (OSS object-key scheme,
+    // sink/OSSVideoSink.java:48-57) — full oracle: segment bounds
+    // from the flush replay (start = previous flush + 1, else the
+    // stream's first frame; the flushed segment INCLUDES the trigger
+    // frame), byte sizes summed from the dumped frame payloads, and
+    // the videos/{stream}/{yyyyMMdd/HH}/{stream}_{start}.mp4 key
+    // formatted from the segment start in UTC.
     QueryDef("q21_pipeline_segments",
-      (s, dir) => VideoPipeline.segmentRows(events(s))
-        .orderBy(col("stream_id"), col("start_time")),
-      None),
+      (s, dir) => {
+        ensureFramesDump(s)
+        VideoPipeline.segmentRows(events(s))
+          .orderBy(col("stream_id"), col("start_time"))
+      },
+      Some(s"""WITH $frameFoldCtes,
+              |segb AS (
+              |  SELECT g.stream_id, g.seq AS fseq,
+              |    coalesce(lag(g.seq) OVER (PARTITION BY g.stream_id
+              |      ORDER BY g.seq) + 1, p.s0) AS sseq
+              |  FROM segs g JOIN params p USING (stream_id))
+              |SELECT b.stream_id, fs.ts AS start_time, fe.ts AS end_time,
+              |  'videos/' || b.stream_id || '/'
+              |    || strftime(make_timestamp(fs.ts * 1000), '%Y%m%d/%H')
+              |    || '/' || b.stream_id || '_' || fs.ts || '.mp4' AS path,
+              |  CAST(b.fseq - b.sseq + 1 AS INT) AS frame_count,
+              |  (SELECT sum(len(x.bytes)) FROM fr x
+              |   WHERE x.stream_id = b.stream_id
+              |     AND x.seq BETWEEN b.sseq AND b.fseq) AS file_size,
+              |  fe.ts - fs.ts AS duration_ms
+              |FROM segb b
+              |JOIN fr fs ON fs.stream_id = b.stream_id AND fs.seq = b.sseq
+              |JOIN fr fe ON fe.stream_id = b.stream_id AND fe.seq = b.fseq
+              |ORDER BY b.stream_id, start_time""".stripMargin)),
 
     // ── Q22: event inventory per (stream, kind) — full oracle:
     // detections = the keyframe set, segments = the flush set, both

@@ -44,6 +44,22 @@ object Similarity {
       s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
       .mkString(" + ")
 
+  /** Cosine of `embedding` against the fixed query vector. Zero-norm
+    * vectors score −2 — below the cosine range, so they rank
+    * deterministically LAST (after every real score, ties by id) and
+    * never cross a similarity threshold: a zero embedding has no
+    * direction, and an ANSI division by its zero norm must not kill a
+    * 100 TB scoring pass (EdgeCaseEmbeddingsSpec's fixture). Inactive
+    * on any corpus without zero vectors — bit-identical to the plain
+    * division the DuckDB oracles replay.
+    */
+  private def cosQueryCol: Column = {
+    val n = VectorKernels.norm(col("embedding"))
+    when(n === 0d, lit(-2.0))
+      .otherwise(VectorKernels.dotConst(col("embedding"), queryVec) /
+        (n * lit(math.sqrt(qNorm2))))
+  }
+
   /** q120's truncation sweep points — nested prefixes of the vector. */
   private val TRUNC_DIMS: Seq[Int] = Seq(8, 16, 32, 64)
 
@@ -144,6 +160,10 @@ object Similarity {
     val e = emb
       .select(col("vec_id"), col("embedding"), bucket.as("bucket"),
         VectorKernels.norm(col("embedding")).as("nrm"))
+      // zero-norm vectors have no direction: they can never pass a
+      // positive cosine threshold, and dividing by their norm under
+      // ANSI kills the pass — exclude them from the miner up front
+      .filter(col("nrm") > 0d)
       .transform(graft.plans.CacheLifecycle.autoRelease) // both self-join sides; one bucket-UDF pass
 
     val sliced = e.select(col("vec_id"), col("embedding"), col("bucket"),
@@ -292,8 +312,7 @@ object Similarity {
     // ── Q50: brute-force cosine top-10 against a constant query vector.
     QueryDef("q50_knn_query",
       (s, dir) => {
-        val cos = VectorKernels.dotConst(col("embedding"), queryVec) /
-          (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qNorm2)))
+        val cos = cosQueryCol
         Tables.embeddings(s, dir)
           .select(col("vec_id"), cos.as("cos_raw"))
           .orderBy(col("cos_raw").desc, col("vec_id"))
@@ -322,8 +341,9 @@ object Similarity {
             VectorKernels.norm(col("embedding")).as("qn"))
         val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
           VectorKernels.norm(col("embedding")).as("cn"))
-        val cos = VectorKernels.dot(col("qe"), col("ce")) /
-          (col("qn") * col("cn"))
+        val cos = when(col("qn") * col("cn") === 0d, lit(-2.0))
+          .otherwise(VectorKernels.dot(col("qe"), col("ce")) /
+            (col("qn") * col("cn"))) // zero-norm: rank last (cosQueryCol doc)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos_raw").desc, col("cand_id"))
         broadcast(q).join(c, col("query_id") =!= col("cand_id"))
@@ -365,7 +385,7 @@ object Similarity {
       (s, dir) => Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("label"), col("dim"),
-          round(col("v").cast("double") * 10000).cast("long").as("q"))
+          KMeans.qcol(col("v")).as("q"))
         .groupBy(col("label"), col("dim"))
         .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
         .select(col("label"), col("dim"),
@@ -411,8 +431,7 @@ object Similarity {
         val bucket = VectorKernels.lshBucket(col("embedding"), DIM, nPlanes)
         // query bucket, same pure-Scala kernel the executor UDF runs
         val qBucket = VectorKernels.bucketOf(queryVec.toArray, nPlanes)
-        val cos = VectorKernels.dotConst(col("embedding"), queryVec) /
-          (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qNorm2)))
+        val cos = cosQueryCol
         Tables.embeddings(s, dir)
           .withColumn("bucket", bucket)
           .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= 28)
@@ -600,8 +619,7 @@ object Similarity {
         val qscore = aggregate(
           zip_with(ccodes, qcodes, (a, b) => a * b),
           lit(0L), (acc, v) => acc + v)
-        val cos = VectorKernels.dotConst(col("embedding"), queryVec) /
-          (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qNorm2)))
+        val cos = cosQueryCol
         e.crossJoin(broadcast(sqCodebook(e)))
           .select(col("vec_id"), qscore.as("qscore"), cos.as("cosine"))
           .orderBy(col("qscore").desc, col("vec_id"))
@@ -660,7 +678,7 @@ object Similarity {
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("dim", "v")))
           .select(col("vec_id"), col("label"), col("dim"),
-            round(col("v").cast("double") * 10000).cast("long").as("q"))
+            KMeans.qcol(col("v")).as("q"))
         val cent = qv.groupBy(col("label"), col("dim"))
           .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
           .select(col("label"), col("dim"),
@@ -776,7 +794,7 @@ object Similarity {
         val cent = Tables.embeddings(s, dir)
           .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .select(col("label"), col("dim"),
-            round(col("v").cast("double") * 10000).cast("long").as("q"))
+            KMeans.qcol(col("v")).as("q"))
           .groupBy(col("label"), col("dim"))
           .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
           .select(col("label"), col("dim"),
@@ -847,8 +865,7 @@ object Similarity {
     QueryDef("q95_ann_recall",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val cosQ = VectorKernels.dotConst(col("embedding"), queryVec) /
-          (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qNorm2)))
+        val cosQ = cosQueryCol
         val scored = e.select(col("vec_id"), col("label"), cosQ.as("cos_raw"))
           .transform(graft.plans.CacheLifecycle.autoRelease)
         val exact = scored
@@ -1170,8 +1187,7 @@ object Similarity {
       (s, dir) => {
         graft.plans.TopK.ensure(s)
         val e = Tables.embeddings(s, dir)
-        val cosQ = VectorKernels.dotConst(col("embedding"), queryVec) /
-          (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qNorm2)))
+        val cosQ = cosQueryCol
         val scored = e.select(col("vec_id"), col("label"),
             cosQ.as("cos_raw"))
           .transform(graft.plans.CacheLifecycle.autoRelease)
@@ -1459,8 +1475,7 @@ object Similarity {
         val nPlanes = 64
         val bucket = VectorKernels.lshBucket(col("embedding"), DIM, nPlanes)
         val qBucket = VectorKernels.bucketOf(queryVec.toArray, nPlanes)
-        val cos = VectorKernels.dotConst(col("embedding"), queryVec) /
-          (VectorKernels.norm(col("embedding")) * lit(math.sqrt(qNorm2)))
+        val cos = cosQueryCol
         val scored = Tables.embeddings(s, dir)
           .select(col("vec_id"),
             bit_count(bucket.bitwiseXOR(lit(qBucket))).cast("long")
@@ -1850,7 +1865,7 @@ object Similarity {
     val cent = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("label"), col("dim"),
-        round(col("v").cast("double") * 10000).cast("long").as("q"))
+        KMeans.qcol(col("v")).as("q"))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
       .select(col("label"), col("dim"),

@@ -38,9 +38,9 @@ object GoldenDigest {
     // q27/q38 graduated to full DuckDB oracles in round 8 (the repo's
     // own HLL-register / integer-histogram replays replaced Spark's
     // engine-specific approx_count_distinct / percentile_approx);
-    // q20/q22/q23 graduated in round 9 (relational replay of the
-    // stateful fold + synthetic detector from the frames dump)
-    "q21_pipeline_segments",
+    // q20-q23 graduated in round 9 (relational replay of the
+    // stateful fold + synthetic detector + segment/key-scheme from
+    // the frames dump)
     "q60_media_features", "q61_media_frame_sample", "q62_media_resize")
 
   val sfs: Seq[String] = Seq("0.01", "0.1")
