@@ -2083,8 +2083,14 @@ object Dedup {
     QueryDef("q145_pairs_store",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // localCheckpoint, not autoRelease: the store WRITE is its own
+        // action, after which autoRelease would drop the cache and the
+        // drift audit would re-mine the whole 5-signal union from
+        // scratch (measured ~2x the query). The mined list is a deep
+        // lineage with two separate consuming actions — exactly the
+        // q134 truncation rule.
         val fresh = minePairs(docs, Some(Tables.embeddings(s, dir)))
-          .transform(graft.plans.CacheLifecycle.autoRelease)
+          .localCheckpoint()
         val path = s"${sys.props("java.io.tmpdir")}/graft_pairs_store_" +
           new java.io.File(dir).getName
         writePairsStore(fresh, path)
