@@ -124,29 +124,122 @@ object Multimodal {
             s"i -> substring(payload, i*64 + 1, 64)), " +
             s"(x, i) -> i % $stride = 0)")).as(Seq("frame_idx", "frame_bytes")))
 
+  /** Oracle-side dump of the synthetic media table (payload bytes as
+    * signed ints, once per JVM — the q20 frames-dump pattern): the
+    * stub "decode" steps are deterministic byte arithmetic, so DuckDB
+    * can replay features / frame sampling / resize sizing exactly and
+    * the three media queries carry full oracles instead of digests.
+    */
+  private val mediaPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_media.parquet"
+
+  @volatile private var mediaDumped = false
+  private def ensureMediaDump(s: SparkSession): Unit = synchronized {
+    if (!mediaDumped) {
+      import s.implicits._
+      mediaTable(s)
+        .map(m => (m.media_id, m.kind, m.payload.map(_.toInt).toSeq))
+        .toDF("media_id", "kind", "bytes")
+        .coalesce(2)
+        .write.mode("overwrite").parquet(mediaPath)
+      mediaDumped = true
+    }
+  }
+
+  private lazy val mediaCte: String =
+    s"""md AS (SELECT media_id, kind, bytes
+       |  FROM '$mediaPath/*.parquet')""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    // Rows-only: payload features are hash-of-bytes semantics with no
-    // ANSI-SQL twin; determinism is unit-tested.
+    // ── Q60: stub feature extraction — full oracle: unsigned-byte
+    // mean (integer sum, one exact double division), 32-bin histogram
+    // entropy (p = c/n exact doubles; the ln-based terms agree far
+    // below the comparator's 9 significant digits, and the media
+    // table is FIXED data, so a green compare is deterministic), and
+    // dominant bin with the fold's first-wins tie rule (strict > ⇒
+    // lowest bin wins ⇒ ORDER BY c DESC, bin).
     QueryDef("q60_media_features",
-      (s, dir) => extractFeatures(mediaTable(s))
-        .select(col("media_id"), col("kind"),
-          col("features.mean_byte").as("mean_byte"),
-          col("features.entropy").as("entropy"),
-          col("features.dominant_bin").as("dominant_bin"),
-          col("features.size_bytes").as("size_bytes"))
-        .orderBy(col("media_id")),
-      None),
+      (s, dir) => {
+        ensureMediaDump(s)
+        extractFeatures(mediaTable(s))
+          .select(col("media_id"), col("kind"),
+            col("features.mean_byte").as("mean_byte"),
+            col("features.entropy").as("entropy"),
+            col("features.dominant_bin").as("dominant_bin"),
+            col("features.size_bytes").as("size_bytes"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH $mediaCte,
+              |ub AS (
+              |  SELECT media_id, kind, (b + 256) % 256 AS b
+              |  FROM (SELECT media_id, kind, unnest(bytes) AS b FROM md)),
+              |ag AS (
+              |  SELECT media_id, kind, count(*) AS n, sum(b) AS s
+              |  FROM ub GROUP BY 1, 2),
+              |hb AS (
+              |  SELECT media_id, b // 8 AS bin, count(*) AS c
+              |  FROM ub GROUP BY 1, 2),
+              |dom AS (
+              |  SELECT media_id, bin FROM (
+              |    SELECT media_id, bin, row_number() OVER (
+              |      PARTITION BY media_id ORDER BY c DESC, bin) AS rn
+              |    FROM hb)
+              |  WHERE rn = 1),
+              |ent AS (
+              |  SELECT h.media_id,
+              |    -sum((CAST(h.c AS DOUBLE) / a.n)
+              |      * ln(CAST(h.c AS DOUBLE) / a.n) / ln(2)) AS entropy
+              |  FROM hb h JOIN ag a USING (media_id)
+              |  GROUP BY h.media_id)
+              |SELECT a.media_id, a.kind,
+              |  CAST(a.s AS DOUBLE) / a.n AS mean_byte,
+              |  e.entropy,
+              |  CAST(d.bin AS INT) AS dominant_bin,
+              |  CAST(a.n AS BIGINT) AS size_bytes
+              |FROM ag a JOIN dom d USING (media_id)
+              |JOIN ent e USING (media_id)
+              |ORDER BY a.media_id""".stripMargin)),
+
+    // ── Q61: stub I-frame sampling — full oracle: every 4th 64-byte
+    // block of each video payload; counts and byte sums are pure
+    // integer arithmetic over the payload length.
     QueryDef("q61_media_frame_sample",
-      (s, dir) => sampleFrames(mediaTable(s))
-        .groupBy(col("media_id"))
-        .agg(count(lit(1)).as("n_frames"),
-          sum(length(col("frame_bytes"))).as("sampled_bytes"))
-        .orderBy(col("media_id")),
-      None),
+      (s, dir) => {
+        ensureMediaDump(s)
+        sampleFrames(mediaTable(s))
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("frame_bytes"))).as("sampled_bytes"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH $mediaCte
+              |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+              |  CAST(sum(least(64, n - i * 64)) AS BIGINT)
+              |    AS sampled_bytes
+              |FROM (
+              |  SELECT media_id, len(bytes) AS n,
+              |    unnest(generate_series(0, len(bytes) // 64 - 1, 4))
+              |      AS i
+              |  FROM md WHERE kind = 'video')
+              |GROUP BY media_id ORDER BY media_id""".stripMargin)),
+
+    // ── Q62: stub thumbnailer — full oracle: output size is
+    // ceil(len / ceil(len/64)) with the metadata dims rewritten.
     QueryDef("q62_media_resize",
-      (s, dir) => resizeStub(mediaTable(s)).toDF()
-        .select(col("media_id"), col("kind"), col("width"), col("height"),
-          length(col("payload")).cast("long").as("thumb_bytes"))
-        .orderBy(col("media_id")),
-      None))
+      (s, dir) => {
+        ensureMediaDump(s)
+        resizeStub(mediaTable(s)).toDF()
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            length(col("payload")).cast("long").as("thumb_bytes"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH $mediaCte
+              |SELECT media_id, kind,
+              |  CAST(320 AS INT) AS width, CAST(180 AS INT) AS height,
+              |  CAST((n + st - 1) // st AS BIGINT) AS thumb_bytes
+              |FROM (
+              |  SELECT media_id, kind, len(bytes) AS n,
+              |    greatest(1, (len(bytes) + 63) // 64) AS st
+              |  FROM md)
+              |ORDER BY media_id""".stripMargin)))
 }

@@ -35,13 +35,14 @@ object GoldenDigest {
     * a rows-only query without a digest fails the completeness test).
     */
   val queries: Seq[String] = Seq(
-    // q27/q38 graduated to full DuckDB oracles in round 8 (the repo's
-    // own HLL-register / integer-histogram replays replaced Spark's
-    // engine-specific approx_count_distinct / percentile_approx);
-    // q20-q23 graduated in round 9 (relational replay of the
-    // stateful fold + synthetic detector + segment/key-scheme from
-    // the frames dump)
-    "q60_media_features", "q61_media_frame_sample", "q62_media_resize")
+    // EMPTY as of round 9: every query carries a DuckDB oracle.
+    // q27/q38 graduated in round 8 (HLL-register / integer-histogram
+    // replays); q20-q23 and q60-q62 graduated in round 9 (relational
+    // replay of the pipeline fold, synthetic detector, segment/key
+    // scheme, and media-stub byte arithmetic from deterministic
+    // frames/media dumps). The machinery stays for any future
+    // rows-only query.
+  )
 
   val sfs: Seq[String] = Seq("0.01", "0.1")
   def sfDir(sf: String) = s"/root/testdata/sf$sf"
