@@ -336,4 +336,40 @@ class ShuffleBytesSpec extends AnyFunSuite {
       s"set fold + in-array pairs must beat the self-join twin: " +
         s"engine=$engine naive=$naive")
   }
+
+  test("q29 per-frame class-set fold shuffles less than the frame self-join") {
+    // The round-9 q29 rewrite, measured in the direction it was won:
+    // the old shape pays the distinct's (frame, class) exchange PLUS
+    // two frame_id re-exchanges for the self-join sides; the fold
+    // pays ONE frame_id exchange of partial collect_sets and
+    // enumerates pairs in-array (bounded by the 80-class vocabulary).
+    val det = SparkEntry.queries("q29_class_cooccurrence") // force registration
+    assert(det != null)
+    val base = graft.operators.VideoAnalytics.detections(spark, sf)
+      .filter(col("confidence") >= 0.5)
+    val fc = base.select(col("frame_id"), col("object_class")).distinct()
+    val selfJoin = fc.as("a").join(fc.as("b"),
+        col("a.frame_id") === col("b.frame_id") &&
+          col("a.object_class") < col("b.object_class"))
+      .groupBy(col("a.object_class"), col("b.object_class"))
+      .agg(count(lit(1)))
+    val fold = base
+      .groupBy(col("frame_id"))
+      .agg(sort_array(collect_set(col("object_class"))).as("cs"))
+      .select(explode(expr("flatten(transform(cs, (x, i) ->" +
+        " transform(slice(cs, i + 2, size(cs))," +
+        " y -> named_struct('ca', x, 'cb', y))))")).as("p"))
+      .groupBy(col("p.ca"), col("p.cb")).agg(count(lit(1)))
+    val (joinBytes, foldBytes) =
+      try {
+        // forbid broadcasting a side: at 100 TB the distinct
+        // (frame, class) table is corpus-scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (shuffleBytes(selfJoin), shuffleBytes(fold))
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(foldBytes > 0, "expected a real exchange in the fold")
+    assert(foldBytes < joinBytes,
+      s"one set-fold exchange must beat distinct + self-join: " +
+        s"fold=$foldBytes join=$joinBytes")
+  }
 }
