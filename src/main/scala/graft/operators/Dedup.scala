@@ -2148,6 +2148,91 @@ object Dedup {
               |  CAST(0 AS BIGINT) AS n_mismatch
               |FROM tall GROUP BY signal ORDER BY signal""".stripMargin)),
 
+    // ── Q146: SIGNAL-ABLATION REPORT — the analysis the provenance
+    // flags exist for: per miner, how many pairs it finds, how many
+    // ONLY it finds (its unique recall contribution — the pairs that
+    // vanish if the signal is dropped), and how many docs it touches.
+    // The tuning question behind every multi-signal dedup budget
+    // ("can we stop paying for simhash?") answered from ONE mining
+    // pass — no per-ablation re-mine, no store dependency (q145 owns
+    // the store round trip; this reads the provenance frame
+    // directly).
+    //
+    // 100 TB shape: one [[minePairs]] pass (all text signals off one
+    // signature scan), then pure linear arithmetic over the pair
+    // list: flag count per pair, one explode to (signal, endpoint),
+    // two bounded groupBys (≤ 5 signals × pairs).
+    QueryDef("q146_signal_ablation",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val pairs = minePairs(docs, Some(Tables.embeddings(s, dir)))
+          .withColumn("nf",
+            col("src_exact").cast("int") + col("src_minhash").cast("int")
+              + col("src_simhash").cast("int") + col("src_ppjoin").cast("int")
+              + col("src_embed").cast("int"))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        // one row per (signal, endpoint): pair/unique counts halve the
+        // row count back; doc reach is a distinct over endpoints
+        val tall = pairs.select(col("doc_a"), col("doc_b"), col("nf"),
+            explode(expr("filter(array(" +
+              "IF(src_exact, 'exact', NULL)," +
+              "IF(src_minhash, 'minhash', NULL)," +
+              "IF(src_simhash, 'simhash', NULL)," +
+              "IF(src_ppjoin, 'ppjoin', NULL)," +
+              "IF(src_embed, 'embed', NULL)), x -> x IS NOT NULL)"))
+              .as("signal"))
+          .select(col("signal"), col("nf"),
+            explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        tall.groupBy(col("signal"))
+          .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+            (sum(when(col("nf") === 1, 1L).otherwise(0L)) / 2)
+              .cast("long").as("n_unique"),
+            countDistinct(col("d")).as("n_docs"))
+          .withColumn("uniq_ppm",
+            expr("(2 * n_unique * 1000000 + n_pairs)"
+              + " div (2 * n_pairs)"))
+          .orderBy(col("signal"))
+      },
+      Some(s"""WITH $multiSignalPairsCtes,
+              |${Similarity.embedNearDupCtes},
+              |exq AS (
+              |  SELECT mn AS doc_a, doc_id AS doc_b FROM (
+              |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text)
+              |      AS mn
+              |    FROM documents WHERE text IS NOT NULL)
+              |  WHERE doc_id <> mn),
+              |flags AS (
+              |  SELECT doc_a, doc_b, 'exact' AS signal FROM exq
+              |  UNION
+              |  SELECT doc_a, doc_b, 'minhash' FROM verified_mh
+              |  WHERE (2 * inter * 1000000 + un) // (2 * un) >= 700000
+              |  UNION
+              |  SELECT doc_a, doc_b, 'simhash' FROM ham_sh
+              |  WHERE hamming <= 3
+              |  UNION
+              |  SELECT doc_a, doc_b, 'ppjoin' FROM verified_pp
+              |  WHERE 2 * inter >= un
+              |  UNION
+              |  SELECT vec_a, vec_b, 'embed' FROM empairs),
+              |pp AS (
+              |  SELECT doc_a, doc_b, count(*) AS nf FROM flags
+              |  GROUP BY 1, 2),
+              |ep AS (
+              |  SELECT f.signal, p.nf, f.doc_a AS d
+              |  FROM flags f JOIN pp p USING (doc_a, doc_b)
+              |  UNION ALL
+              |  SELECT f.signal, p.nf, f.doc_b
+              |  FROM flags f JOIN pp p USING (doc_a, doc_b))
+              |SELECT signal,
+              |  CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+              |  CAST(sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END) // 2
+              |    AS BIGINT) AS n_unique,
+              |  CAST(count(DISTINCT d) AS BIGINT) AS n_docs,
+              |  CAST((2 * (sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END) // 2)
+              |      * 1000000 + count(*) // 2)
+              |    // (2 * (count(*) // 2)) AS BIGINT) AS uniq_ppm
+              |FROM ep GROUP BY signal ORDER BY signal""".stripMargin)),
+
     // Degree-oriented triangle counting over the multi-signal dup
     // graph — a dedup-QUALITY metric: triangles measure how clique-like
     // the near-dup clusters are (a transitive miner closes its wedges;
