@@ -2874,37 +2874,10 @@ object TextAnalysis {
     // q122 overflow rule).
     QueryDef("q136_ols_source_stats",
       (s, dir) => {
-        Tables.documents(s, dir)
+        olsSufficientStats(Tables.documents(s, dir)
           .filter(col("text").isNotNull)
           .select(col("source"), size(toks).cast("long").as("x"),
-            col("n_chars").as("y"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n"),
-            // sx/sy accumulate as DECIMAL too: the slope/intercept
-            // exprs below multiply sx*sy and sx*sx, which as
-            // long*long would wrap silently (ANSI off) once a
-            // source's token sum passes ~3e9 — decimal sums make
-            // every downstream product DECIMAL(38), matching the
-            // HUGEINT oracle bit-for-bit.
-            sum(col("x").cast("decimal(38,0)")).as("sx"),
-            sum(col("y").cast("decimal(38,0)")).as("sy"),
-            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
-            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
-            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
-          .select(col("source"), col("n"),
-            col("sx").cast("long").as("sx"),
-            col("sy").cast("long").as("sy"),
-            col("sxx").cast("long").as("sxx"),
-            col("sxy").cast("long").as("sxy"),
-            col("syy").cast("long").as("syy"),
-            expr("CAST((2 * (CAST(n AS DECIMAL(38,0)) * sxy - sx * sy)"
-              + " * 1000000 + (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx))"
-              + " div (2 * nullif(CAST(n AS DECIMAL(38,0)) * sxx"
-              + " - sx * sx, 0)) AS BIGINT)").as("slope_ppm"),
-            expr("CAST((2 * (CAST(sy AS DECIMAL(38,0)) * sxx - sx * sxy)"
-              + " * 1000000 + (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx))"
-              + " div (2 * nullif(CAST(n AS DECIMAL(38,0)) * sxx"
-              + " - sx * sx, 0)) AS BIGINT)").as("icept_ppm"))
+            col("n_chars").as("y")))
           .orderBy(col("source"))
       },
       Some("""WITH m AS (
@@ -3104,5 +3077,338 @@ object TextAnalysis {
              |    AS p50_mass_len,
              |  min(CASE WHEN cum * 10 >= tot * 9 THEN ch END)
              |    AS p90_mass_len
-             |FROM c GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q147: TF-IDF PROBE COSINE — sparse-vector text retrieval, the
+    // query-the-corpus shape: score every document against a fixed
+    // probe set (doc_id % 100 = 7) by weighted-bigram cosine. The
+    // scalable formulation is the point: probe vectors are BROADCAST
+    // (a query set is small by definition), so the corpus pays one
+    // feature scan + one broadcast hash join + one (probe, doc)
+    // aggregation — NO corpus self-join (the all-pairs variant is
+    // O(Σ df²); the LSH/minhash family already covers that need).
+    // Weights stay integer-exact cross-engine: idf is the bit-length
+    // of N div df (a log2-quantized idf, length(bin(...)) in both
+    // engines — no FP log whose last ulp could flip a rounding), and
+    // cos² is reported half-up in ppm from DECIMAL(38,0) products
+    // (dot² ≈ 1.4e36 at N=1e10 still fits). At deployment scale the
+    // bigram strings would dictionary-encode to int ids before the
+    // shuffle; at test SFs the ~930-key vocabulary is the cheap part.
+    QueryDef("q147_tfidf_probe_cosine",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        val feats = docs.select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"), explode(bigramsOfT).as("b"))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("tf"))
+          .transform(graft.plans.CacheLifecycle.autoRelease) // df + weight scans
+        val n = docs.agg(count(lit(1)).as("n"))
+        val dfq = feats.groupBy(col("b")).agg(count(lit(1)).as("df"))
+        val w = feats.join(dfq, "b").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("b"),
+            (col("tf").cast("decimal(38,0)") *
+              length(expr("bin(n div df)"))).as("w"))
+          .transform(graft.plans.CacheLifecycle.autoRelease) // norms + dots
+        val nrm = w.groupBy(col("doc_id"))
+          .agg(sum(expr("w * w")).as("nw"))
+          .transform(graft.plans.CacheLifecycle.autoRelease) // both cosine sides
+        val probes = w.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("probe_id"), col("b"), col("w").as("wp"))
+        w.join(broadcast(probes), "b")
+          .filter(col("doc_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("doc_id"))
+          .agg(sum(expr("w * wp")).as("dot"))
+          .join(nrm, "doc_id")
+          .join(broadcast(nrm.filter(col("doc_id") % 100 === 7)
+            .select(col("doc_id").as("probe_id"), col("nw").as("np"))),
+            "probe_id")
+          .select(col("probe_id"), col("doc_id"),
+            col("dot").cast("long").as("dot_w"),
+            expr("CAST((2 * dot * dot * 1000000 + nw * np)"
+              + " div (2 * nw * np) AS BIGINT)").as("cos2_ppm"))
+          .orderBy(col("cos2_ppm").desc, col("probe_id"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents WHERE text IS NOT NULL),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |    i -> t[i] || ' ' || t[i + 1])) AS b
+             |  FROM d),
+             |tf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY 1, 2),
+             |dfq AS (SELECT b, count(*) AS df FROM tf GROUP BY b),
+             |w AS (
+             |  SELECT t.doc_id, t.b,
+             |    CAST(t.tf AS HUGEINT) * length(bin(n // f.df)) AS w
+             |  FROM tf t JOIN dfq f USING (b) CROSS JOIN nn),
+             |nrm AS (SELECT doc_id, sum(w * w) AS nw FROM w GROUP BY doc_id),
+             |dots AS (
+             |  SELECT p.doc_id AS probe_id, c.doc_id, sum(c.w * p.w) AS dot
+             |  FROM w c JOIN w p ON p.b = c.b
+             |  WHERE p.doc_id % 100 = 7 AND c.doc_id <> p.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT probe_id, dots.doc_id, CAST(dot AS BIGINT) AS dot_w,
+             |  CAST((2 * dot * dot * 1000000 + a.nw * b.nw)
+             |    // (2 * a.nw * b.nw) AS BIGINT) AS cos2_ppm
+             |FROM dots
+             |JOIN nrm a ON a.doc_id = dots.doc_id
+             |JOIN nrm b ON b.doc_id = dots.probe_id
+             |ORDER BY cos2_ppm DESC, probe_id, dots.doc_id
+             |LIMIT 20""".stripMargin)),
+
+    // ── Q148: CROSS-SOURCE QUANTILE NORMALIZATION — map every doc's
+    // n_chars to the CORPUS value at its within-source quantile, the
+    // score-calibration step a multi-source recipe needs before
+    // length cutoffs mean the same thing everywhere. Scalable shape:
+    // the corpus pays one per-source rank window (partitioned — no
+    // global sort) and one groupBy(n_chars); the global CDF lives on
+    // the tiny distinct-value frame (the q137/q144 trick — bounded by
+    // the vocabulary of lengths, not the corpus), and each doc finds
+    // its normalized value via a BROADCAST interval join against that
+    // frame (cum_prev ≤ p < cum matches exactly one row). Target
+    // position p = ((r−1)·(N−1)) div (n_s−1): rank-arithmetic only,
+    // no percent_rank doubles, so both engines agree bit-for-bit.
+    QueryDef("q148_quantile_normalize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("n_chars").as("ch"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("ch"), col("doc_id"))))
+          .withColumn("ns", count(lit(1)).over(
+            Window.partitionBy(col("source"))))
+          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val nTot = m.agg(count(lit(1)).as("n_all"))
+        val cdf = m.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.orderBy(col("ch"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("ch").as("v"), (col("cum") - col("cnt")).as("lo"),
+            col("cum").as("hi"))
+        m.crossJoin(broadcast(nTot))
+          // (r−1)·(N−1) as long*long wraps past ~1e10 docs — decimal
+          // product per the q117/q122 overflow rule
+          .withColumn("p", expr("IF(ns = 1, CAST(0 AS DECIMAL(38,0))," +
+            " (CAST(r - 1 AS DECIMAL(38,0)) * (n_all - 1)) div (ns - 1))"))
+          .join(broadcast(cdf), col("p") >= col("lo") && col("p") < col("hi"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("v")).as("min_norm"),
+            max(col("v")).as("max_norm"),
+            sum(col("v")).as("sum_norm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, source, n_chars AS ch,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS r,
+             |    count(*) OVER (PARTITION BY source) AS ns,
+             |    count(*) OVER () AS n_all
+             |  FROM documents WHERE text IS NOT NULL),
+             |cdf AS (
+             |  SELECT ch AS v,
+             |    sum(cnt) OVER (ORDER BY ch) - cnt AS lo,
+             |    sum(cnt) OVER (ORDER BY ch) AS hi
+             |  FROM (SELECT ch, count(*) AS cnt FROM m GROUP BY ch)),
+             |px AS (
+             |  SELECT source,
+             |    CASE WHEN ns = 1 THEN 0
+             |         ELSE (CAST(r - 1 AS HUGEINT) * (n_all - 1))
+             |           // (ns - 1) END AS p
+             |  FROM m)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(v) AS min_norm, max(v) AS max_norm,
+             |  CAST(sum(v) AS BIGINT) AS sum_norm
+             |FROM px JOIN cdf ON p >= lo AND p < hi
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q149: TEMPERATURE-SCALED SOURCE MIXING — the LLM data-recipe
+    // primitive: sampling weights p_s ∝ n_s^τ for τ ∈ {1, ½, ¼}
+    // (natural / sqrt / fourth-root smoothing) with the per-source
+    // boost over the natural share. One corpus pass (count per
+    // source); all recipe math runs on the |sources|·|τ| frame.
+    // Exact cross-engine arithmetic: n^½ = floor(sqrt(n)) is stable
+    // in IEEE doubles for n < 2⁵² (sqrt is correctly rounded and
+    // √n for non-square n sits ≥ 1/(2√n+1) from an integer — far
+    // beyond one ulp), n^¼ = isqrt(isqrt(n)) by the nested-floor
+    // identity, and shares/boosts are half-up ppm over DECIMAL(38,0)
+    // (w·N·10⁶ ≈ 1e26 at N=1e10 docs — exact).
+    QueryDef("q149_temperature_mix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val src = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val wAll = Window.partitionBy(col("tau_ppm"))
+        src.select(col("source"), col("n_docs"),
+            explode(array(lit(1000000L), lit(500000L), lit(250000L)))
+              .as("tau_ppm"))
+          .withColumn("w", expr("CASE tau_ppm WHEN 1000000 THEN n_docs" +
+            " WHEN 500000 THEN CAST(floor(sqrt(CAST(n_docs AS DOUBLE)))" +
+            " AS BIGINT)" +
+            " ELSE CAST(floor(sqrt(floor(sqrt(CAST(n_docs AS DOUBLE)))))" +
+            " AS BIGINT) END"))
+          .withColumn("tw", sum(col("w")).over(wAll))
+          .withColumn("tn", sum(col("n_docs")).over(wAll))
+          .select(col("tau_ppm"), col("source"), col("n_docs"), col("w"),
+            expr("CAST((2 * CAST(w AS DECIMAL(38,0)) * 1000000 + tw)"
+              + " div (2 * CAST(tw AS DECIMAL(38,0))) AS BIGINT)")
+              .as("share_ppm"),
+            expr("CAST((2 * CAST(w AS DECIMAL(38,0)) * tn * 1000000"
+              + " + CAST(tw AS DECIMAL(38,0)) * n_docs)"
+              + " div (2 * CAST(tw AS DECIMAL(38,0)) * n_docs)"
+              + " AS BIGINT)").as("boost_ppm"))
+          .orderBy(col("tau_ppm"), col("source"))
+      },
+      Some("""WITH src AS (
+             |  SELECT source, count(*) AS n_docs FROM documents
+             |  WHERE text IS NOT NULL GROUP BY source),
+             |g AS (
+             |  SELECT source, n_docs, tau_ppm,
+             |    CASE tau_ppm WHEN 1000000 THEN n_docs
+             |      WHEN 500000 THEN
+             |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+             |      ELSE CAST(floor(sqrt(floor(sqrt(
+             |        CAST(n_docs AS DOUBLE))))) AS BIGINT) END AS w
+             |  FROM src, unnest([1000000, 500000, 250000]) AS t(tau_ppm)),
+             |tot AS (
+             |  SELECT *, sum(w) OVER (PARTITION BY tau_ppm) AS tw,
+             |    sum(n_docs) OVER (PARTITION BY tau_ppm) AS tn
+             |  FROM g)
+             |SELECT CAST(tau_ppm AS BIGINT) AS tau_ppm, source,
+             |  n_docs, w,
+             |  CAST((2 * CAST(w AS HUGEINT) * 1000000 + tw)
+             |    // (2 * CAST(tw AS HUGEINT)) AS BIGINT) AS share_ppm,
+             |  CAST((2 * CAST(w AS HUGEINT) * tn * 1000000
+             |      + CAST(tw AS HUGEINT) * n_docs)
+             |    // (2 * CAST(tw AS HUGEINT) * n_docs) AS BIGINT)
+             |    AS boost_ppm
+             |FROM tot ORDER BY tau_ppm, source""".stripMargin)),
+
+    // ── Q150: CONTEXT-WINDOW CHUNKING — the RAG/embedding-ingest
+    // splitter: 64-token chunks at stride 48 (16-token overlap),
+    // 1→N per doc via an in-plan sequence explode (no UDF, no
+    // driver loop; the multimodal q61 frame-sample shape applied to
+    // text). Reports, per source, the chunk inventory a pipeline
+    // budgets by: chunk count, token mass INCLUDING overlap (what
+    // the embedding bill actually charges — overlap_ppm pins the
+    // stride tax), and distinct chunk texts (chunk-granularity
+    // dedup: boilerplate repeats at chunk level even when docs
+    // differ — at deployment scale the distinct would run on
+    // 8-byte chunk hashes / a sketch, q101's territory; the exact
+    // string distinct here keeps the oracle bit-checkable). Chunk
+    // boundaries are pure integer arithmetic — ceil-div chunk
+    // counts, slice windows — identical in both engines.
+    QueryDef("q150_context_chunks",
+      (s, dir) => {
+        val C = 64
+        val S = 48
+        val d = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("source"), col("doc_id"), toks.as("t"))
+          .withColumn("nt", size(col("t")).cast("long"))
+          .filter(col("nt") >= 1)
+          .withColumn("nch", expr(s"IF(nt <= $C, 1L," +
+            s" (nt - $C + ${S - 1}) div $S + 1)"))
+          .transform(graft.plans.CacheLifecycle.autoRelease) // doc + chunk aggs
+        val docAgg = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("nt_sum"))
+        d.select(col("source"), col("doc_id"), col("t"), col("nt"),
+            explode(expr("sequence(0L, nch - 1)")).as("i"))
+          .select(col("source"),
+            expr(s"array_join(slice(t, CAST(i * $S + 1 AS INT), $C), ' ')")
+              .as("chunk"),
+            least(lit(C.toLong), col("nt") - col("i") * S).as("ct"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("ct")).as("tok_mass"),
+            countDistinct(col("chunk")).as("n_uniq_chunks"))
+          .join(broadcast(docAgg), "source")
+          .select(col("source"), col("n_docs"), col("n_chunks"),
+            col("tok_mass"), col("n_uniq_chunks"),
+            // overlap tax: (mass − corpus tokens)/corpus tokens, half-up
+            // ppm in DECIMAL (mass·10⁶ passes int64 at ~9e12 tokens)
+            expr("CAST((2 * CAST(tok_mass - nt_sum AS DECIMAL(38,0))"
+              + " * 1000000 + nt_sum)"
+              + " div (2 * CAST(nt_sum AS DECIMAL(38,0))) AS BIGINT)")
+              .as("overlap_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id, string_split(text, ' ') AS t
+             |  FROM documents WHERE text IS NOT NULL),
+             |d2 AS (
+             |  SELECT source, doc_id, t, CAST(len(t) AS BIGINT) AS nt,
+             |    CASE WHEN len(t) <= 64 THEN 1
+             |         ELSE (len(t) - 64 + 47) // 48 + 1 END AS nch
+             |  FROM d WHERE len(t) >= 1),
+             |ch AS (
+             |  SELECT source,
+             |    array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS chunk,
+             |    least(64, nt - i * 48) AS ct
+             |  FROM d2, unnest(range(0, nch)) AS u(i)),
+             |da AS (
+             |  SELECT source, count(*) AS n_docs, sum(nt) AS nt_sum
+             |  FROM d2 GROUP BY source),
+             |ca AS (
+             |  SELECT source, count(*) AS n_chunks, sum(ct) AS tok_mass,
+             |    count(DISTINCT chunk) AS n_uniq_chunks
+             |  FROM ch GROUP BY source)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_chunks AS BIGINT) AS n_chunks,
+             |  CAST(tok_mass AS BIGINT) AS tok_mass,
+             |  CAST(n_uniq_chunks AS BIGINT) AS n_uniq_chunks,
+             |  CAST((2 * CAST(tok_mass - nt_sum AS HUGEINT) * 1000000
+             |      + nt_sum)
+             |    // (2 * CAST(nt_sum AS HUGEINT)) AS BIGINT)
+             |    AS overlap_ppm
+             |FROM ca JOIN da USING (source)
+             |ORDER BY source""".stripMargin)))
+
+  /** OLS sufficient statistics + ppm slope/intercept over a
+    * (source, x: long, y: long) frame — the q136 kernel, extracted so
+    * OverflowSpec can drive it with synthetic values past int64
+    * territory. Every sum AND every downstream product is
+    * DECIMAL(38,0): as long*long, sx*sy wraps silently (ANSI off)
+    * once a source's token sum passes ~3e9. The decimal aggregates
+    * carry `_d` names distinct from the long report aliases, so the
+    * slope/intercept expressions can never rebind to the down-cast
+    * columns whatever lateral-column-alias precedence a future Spark
+    * picks (round-8 advice, hardened round 9; today's resolution was
+    * verified correct — child output wins over lateral aliases).
+    * Slope/intercept share the Cramer denominator n·Σx² − (Σx)² and
+    * report half-up ppm via `x div y` (truncating integral division
+    * after adding half the denominator — exact for the non-negative
+    * numerators OLS produces on count data).
+    */
+  private[graft] def olsSufficientStats(
+      xy: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    xy.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx_d"),
+        sum(col("y").cast("decimal(38,0)")).as("sy_d"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx_d"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy_d"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy_d"))
+      .select(col("source"), col("n"),
+        col("sx_d").cast("long").as("sx"),
+        col("sy_d").cast("long").as("sy"),
+        col("sxx_d").cast("long").as("sxx"),
+        col("sxy_d").cast("long").as("sxy"),
+        col("syy_d").cast("long").as("syy"),
+        expr("CAST((2 * (CAST(n AS DECIMAL(38,0)) * sxy_d - sx_d * sy_d)"
+          + " * 1000000 + (CAST(n AS DECIMAL(38,0)) * sxx_d"
+          + " - sx_d * sx_d))"
+          + " div (2 * nullif(CAST(n AS DECIMAL(38,0)) * sxx_d"
+          + " - sx_d * sx_d, 0)) AS BIGINT)").as("slope_ppm"),
+        expr("CAST((2 * (CAST(sy_d AS DECIMAL(38,0)) * sxx_d"
+          + " - sx_d * sxy_d)"
+          + " * 1000000 + (CAST(n AS DECIMAL(38,0)) * sxx_d"
+          + " - sx_d * sx_d))"
+          + " div (2 * nullif(CAST(n AS DECIMAL(38,0)) * sxx_d"
+          + " - sx_d * sx_d, 0)) AS BIGINT)").as("icept_ppm"))
 }

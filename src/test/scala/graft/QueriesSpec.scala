@@ -902,4 +902,101 @@ class QueriesSpec extends AnyFunSuite {
         s"dominated level survived: ($nt1,$ch1) vs ($nt2,$ch2)")
     }
   }
+
+  test("q147 cosine is a bounded ranked probe score, no self-matches") {
+    val rows = SparkEntry.queries("q147_tfidf_probe_cosine")(spark, sf)
+      .select("probe_id", "doc_id", "dot_w", "cos2_ppm").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 100 == 7, s"probe must be from the probe set: $r")
+      assert(r.getLong(1) != r.getLong(0), s"self-match must be excluded: $r")
+      assert(r.getLong(2) > 0, s"a surfaced pair shares at least a bigram: $r")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L,
+        s"cos² is in [0, 1]: $r")
+    }
+    val scores = rows.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => b <= a },
+      "top-20 must come back in non-increasing cos² order")
+  }
+
+  test("q148 normalized values are corpus chars; p=0 hits the global min") {
+    val q = SparkEntry.queries("q148_quantile_normalize")(spark, sf)
+      .select("source", "n_docs", "min_norm", "max_norm", "sum_norm")
+      .collect()
+    assert(q.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("text IS NOT NULL")
+    val chars = docs.select("n_chars").collect().map(_.getLong(0))
+    assert(q.map(_.getLong(1)).sum == chars.length,
+      "every doc must normalize to exactly one value")
+    q.foreach { r =>
+      val (n, mn, mx, sm) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(mn >= chars.min && mx <= chars.max,
+        s"normalized values must be real corpus char counts: $r")
+      assert(mn <= mx && sm >= n * mn && sm <= n * mx, r.toString)
+      // rank 1 in every source maps to target position 0 = global min
+      assert(mn == chars.min,
+        s"each source's rank-1 doc must normalize to the global min: $r")
+    }
+  }
+
+  test("q150 chunk counts and token mass match the stride arithmetic") {
+    val q = SparkEntry.queries("q150_context_chunks")(spark, sf)
+      .select("source", "n_docs", "n_chunks", "tok_mass", "n_uniq_chunks",
+        "overlap_ppm").collect()
+    assert(q.nonEmpty)
+    // independent recompute of the 64/48 stride arithmetic per doc
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("text IS NOT NULL")
+      .selectExpr("source", "size(split(text, ' ')) AS nt").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong)).filter(_._2 >= 1)
+    val exp = docs.groupBy(_._1).map { case (src, g) =>
+      val chunks = g.map { case (_, nt) =>
+        if (nt <= 64) 1L else (nt - 64 + 47) / 48 + 1 }
+      val mass = g.map { case (_, nt) =>
+        val nch = if (nt <= 64) 1L else (nt - 64 + 47) / 48 + 1
+        (0L until nch).map(i => math.min(64L, nt - i * 48)).sum }
+      src -> (g.length.toLong, chunks.sum, mass.sum, g.map(_._2).sum)
+    }
+    q.foreach { r =>
+      val (nd, nc, tm, nu) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      val (en, ec, em, ent) = exp(r.getString(0))
+      assert(nd == en && nc == ec && tm == em,
+        s"stride arithmetic mismatch for ${r.getString(0)}: " +
+          s"got ($nd,$nc,$tm) want ($en,$ec,$em)")
+      assert(nu >= 1 && nu <= nc, s"distinct chunks bounded by chunks: $r")
+      val expPpm = (2 * (tm - ent) * 1000000L + ent) / (2 * ent)
+      assert(r.getLong(5) == expPpm, s"overlap tax must be half-up ppm: $r")
+    }
+  }
+
+  test("q149 shares sum to 1; temperature flattens anti-monotonically") {
+    val rows = SparkEntry.queries("q149_temperature_mix")(spark, sf)
+      .select("tau_ppm", "source", "n_docs", "w", "share_ppm", "boost_ppm")
+      .collect()
+    assert(rows.nonEmpty)
+    val byTau = rows.groupBy(_.getLong(0))
+    assert(byTau.keySet == Set(250000L, 500000L, 1000000L))
+    byTau.foreach { case (tau, g) =>
+      // half-up rounding adds at most 0.5 ppm per source in each
+      // direction (the q139 slack rule)
+      val slack = (g.length + 1) / 2
+      val tot = g.map(_.getLong(4)).sum
+      assert(tot >= 1000000L - slack && tot <= 1000000L + slack,
+        s"tau=$tau shares must sum to ~1: $tot")
+      if (tau == 1000000L)
+        g.foreach(r => assert(r.getLong(5) == 1000000L,
+          s"natural sampling boosts nothing: $r"))
+      else {
+        // w = n^tau: flattening boosts small sources over large ones
+        val byN = g.sortBy(_.getLong(2))
+        val boosts = byN.map(_.getLong(5))
+        assert(boosts.zip(boosts.tail).forall { case (a, b) => b <= a },
+          s"tau=$tau boost must be anti-monotone in source size: " +
+            byN.map(r => (r.getLong(2), r.getLong(5))).toSeq)
+      }
+    }
+  }
 }
