@@ -998,4 +998,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
     assert(p.contains("Window"), p.take(2000))
   }
+
+  test("q147: probe retrieval broadcasts every join side; top-20 is TakeOrdered") {
+    try {
+      val p = plan("q147_tfidf_probe_cosine")
+      // probe vectors, probe norms, df table: all broadcast — the
+      // corpus is never the build side and never sort-merge-shuffled
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        "corpus must meet probes via broadcast only")
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(!p.contains("CartesianProduct"), "scalar graft must broadcast")
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-20 must not be a global sort")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q148: CDF lookup is a broadcast interval join; ranks never re-sort") {
+    try {
+      val p = plan("q148_quantile_normalize")
+      // the cum_prev <= p < cum lookup: broadcast nested loop against
+      // the tiny distinct-length frame — never a shuffle join
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        "the corpus side must not shuffle for the CDF lookup")
+      // the corpus pays exactly ONE source-keyed exchange — it lives
+      // inside the shared cached frame (the tree print repeats the
+      // cached subtree per scan, so count against the cache prints);
+      // both rank windows share it and the final groupBy(source)
+      // reuses its partitioning (partial+final, no exchange between)
+      val srcExchanges = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(source"))
+      val cachePrints = p.linesIterator.count(_.contains("InMemoryRelation"))
+      assert(srcExchanges <= cachePrints && cachePrints > 0,
+        s"a source exchange outside the shared cache: $srcExchanges " +
+          s"vs $cachePrints cache prints:\n${p.take(1500)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q149: recipe math is joinless — one corpus aggregation, tiny windows") {
+    val p = plan("q149_temperature_mix")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p.take(1500))
+  }
+
+  test("q150: chunk explode never re-shuffles; doc aggregate joins broadcast") {
+    try {
+      val p = plan("q150_context_chunks")
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        "the per-source back-join must broadcast")
+    } finally spark.catalog.clearCache()
+  }
 }
