@@ -3104,20 +3104,21 @@ object TextAnalysis {
           .transform(graft.plans.CacheLifecycle.autoRelease) // df + weight scans
         val n = docs.agg(count(lit(1)).as("n"))
         val dfq = feats.groupBy(col("b")).agg(count(lit(1)).as("df"))
+        // w itself fits long (≤ tf·34 ≈ 3e5 at N=1e10) — cache and
+        // shuffle 8-byte weights; only the PRODUCTS go decimal
         val w = feats.join(dfq, "b").crossJoin(broadcast(n))
           .select(col("doc_id"), col("b"),
-            (col("tf").cast("decimal(38,0)") *
-              length(expr("bin(n div df)"))).as("w"))
+            (col("tf") * length(expr("bin(n div df)"))).cast("long").as("w"))
           .transform(graft.plans.CacheLifecycle.autoRelease) // norms + dots
         val nrm = w.groupBy(col("doc_id"))
-          .agg(sum(expr("w * w")).as("nw"))
+          .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("nw"))
           .transform(graft.plans.CacheLifecycle.autoRelease) // both cosine sides
         val probes = w.filter(col("doc_id") % 100 === 7)
           .select(col("doc_id").as("probe_id"), col("b"), col("w").as("wp"))
         w.join(broadcast(probes), "b")
           .filter(col("doc_id") =!= col("probe_id"))
           .groupBy(col("probe_id"), col("doc_id"))
-          .agg(sum(expr("w * wp")).as("dot"))
+          .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * wp")).as("dot"))
           .join(nrm, "doc_id")
           .join(broadcast(nrm.filter(col("doc_id") % 100 === 7)
             .select(col("doc_id").as("probe_id"), col("nw").as("np"))),
