@@ -372,4 +372,41 @@ class ShuffleBytesSpec extends AnyFunSuite {
       s"one set-fold exchange must beat distinct + self-join: " +
         s"fold=$foldBytes join=$joinBytes")
   }
+
+  test("q147 probe broadcast shuffles less than the shuffle-join twin") {
+    // The q147 design claim measured: scoring the corpus against a
+    // small probe set must BROADCAST the probe vectors — the shuffle
+    // twin re-exchanges the whole posting table by bigram (string
+    // keys, corpus-scale) just to meet a few probe rows. The upstream
+    // feature build is cached and materialized first so both twins
+    // pay zero upstream shuffle and the measurement isolates the join.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+    val feats = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) < 2 THEN CAST(array() AS ARRAY<STRING>)" +
+          " ELSE zip_with(slice(t, 1, size(t) - 1)," +
+          " slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b)) END"))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      feats.count() // materialize: both twins read the cache
+      val probes = feats.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("probe_id"), col("b"), col("tf").as("tfp"))
+      def score(joined: DataFrame): DataFrame = joined
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(sum(col("tf") * col("tfp")).as("dot"))
+      val bcastBytes = shuffleBytes(score(
+        feats.join(broadcast(probes), "b")))
+      val shufBytes = shuffleBytes(score(
+        feats.hint("shuffle_hash").join(probes.hint("shuffle_hash"), "b")))
+      assert(bcastBytes > 0, "the (probe, doc) aggregation still exchanges")
+      assert(bcastBytes < shufBytes,
+        s"probe broadcast must beat re-exchanging the posting table: " +
+          s"broadcast=$bcastBytes shuffle=$shufBytes")
+    } finally feats.unpersist()
+  }
 }
