@@ -37,7 +37,7 @@ STORE = Path(tempfile.gettempdir()) / f"graft_pairs_store_{Path(SF_DIR).name}"
 def run_verify():
     # q145 mines + persists the pair store; q132/q134/q139 dump the
     # Spark-side graph results this tool compares against.
-    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT} q145,q132,q134,q139']
+    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT} q145,q132,q134,q139,q71,q73,q96']
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-4000:], r.stderr[-2000:])
@@ -144,6 +144,55 @@ CROSS JOIN mm
 ORDER BY n.source"""
 
 
+# shared component fixpoint over the TEXT pair list (q71/q73/q96 input)
+COMP = f"""pairs AS (SELECT doc_a, doc_b FROM store WHERE {TEXT}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (SELECT src AS id, min(dst) AS keeper FROM reach GROUP BY src)"""
+
+Q71 = f"""
+WITH RECURSIVE {COMP}
+SELECT keeper, count(*) AS n_docs,
+  array_to_string(list_sort(list(id)), ',') AS members
+FROM comp GROUP BY keeper ORDER BY keeper"""
+
+Q73 = f"""
+WITH RECURSIVE {COMP},
+scored AS (
+  SELECT c.keeper AS lbl, c.id AS doc_id, d.n_chars AS len
+  FROM comp c JOIN documents d ON d.doc_id = c.id),
+keep AS (
+  SELECT lbl, doc_id AS keeper_id FROM (
+    SELECT lbl, doc_id, row_number() OVER (
+      PARTITION BY lbl ORDER BY len DESC, doc_id) AS rn
+    FROM scored)
+  WHERE rn = 1)
+SELECT s.doc_id, k.keeper_id,
+  s.doc_id = k.keeper_id AS is_keeper
+FROM scored s JOIN keep k ON k.lbl = s.lbl
+ORDER BY s.doc_id"""
+
+Q96 = f"""
+WITH RECURSIVE {COMP},
+per AS (
+  SELECT c.keeper AS lbl, count(*) AS sz,
+    sum(d.n_chars) AS bytes, max(d.n_chars) AS kept
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+  GROUP BY c.keeper)
+SELECT sz AS cluster_size,
+  CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(sum(sz) AS BIGINT) AS n_docs,
+  CAST(sum(sz) - count(*) AS BIGINT) AS n_removable,
+  CAST(sum(bytes - kept) AS BIGINT) AS bytes_removable
+FROM per GROUP BY sz ORDER BY sz"""
+
+
 def main():
     if "--skip-verify" not in sys.argv:
         run_verify()
@@ -156,7 +205,10 @@ def main():
     failures = 0
     for name, sql in [("q132_multi_signal_4way", Q132),
                       ("q134_dup_triangles", Q134),
-                      ("q139_dup_modularity", Q139)]:
+                      ("q139_dup_modularity", Q139),
+                      ("q71_multi_signal_components", Q71),
+                      ("q73_dedup_keepers", Q73),
+                      ("q96_dup_cluster_stats", Q96)]:
         gn, gr = table_rows(con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'"))
         en, er = table_rows(con.sql(sql))
         if gn != en:

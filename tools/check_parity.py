@@ -4,6 +4,13 @@ run graft.Verify (via sbt) at a given SF, then for each query compare
 the Spark parquet result against the DuckDB oracle SQL (columns sorted
 by name, values hashed). Usage:
     python3 tools/check_parity.py [sfDir] [outDir] [--skip-verify]
+                                  [--oracle-timeout=SECONDS]
+An oracle exceeding the per-query timeout is reported as skipped,
+not passed/failed. The default (900 s) never fires at sf0.01 (the
+slowest miner replay, q134, runs ~215 s there); pass a lower value
+for an sf0.1 sweep, where the char-level miner replays spill
+unboundedly — their sf0.1 evidence is check_graph_sf01.py's
+pair-store replay.
 """
 import json
 import math
@@ -49,23 +56,62 @@ def table_rows(rel):
     return names, sorted(rows)
 
 
+def run_with_timeout(con, sql, seconds):
+    """table_rows(con.sql(sql)), interrupted after `seconds`. The
+    char-level miner-replay oracles (q71/q132/q134/q139/q145/q146
+    family) are seconds at sf0.01 but spill unboundedly at sf0.1 —
+    a timed-out oracle is reported as skipped (the sf0.1 evidence for
+    those queries is tools/check_graph_sf01.py's pair-store replay),
+    never as a pass or a failure.
+    """
+    import threading
+    out, err = [], []
+
+    def work():
+        try:
+            out.append(table_rows(con.sql(sql)))
+        except Exception as e:  # includes InterruptException
+            err.append(e)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        con.interrupt()
+        t.join(30)
+        return None
+    if err:
+        raise err[0]
+    return out[0]
+
+
 def main():
     if "--skip-verify" not in sys.argv:
         run_verify()
+    timeout = 900.0
+    for a in sys.argv:
+        if a.startswith("--oracle-timeout="):
+            timeout = float(a.split("=", 1)[1])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     failures = 0
+    timed_out = []
     for name in sorted(p.name for p in OUT.iterdir() if p.is_dir()):
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
         if name not in oracle:
             print(f"  {name}: rows-only ({len(got.fetchall())} rows)")
             continue
-        exp = con.sql(oracle[name])
+        res = run_with_timeout(con, oracle[name], timeout)
+        if res is None:
+            timed_out.append(name)
+            print(f"⏱ {name}: oracle timed out after {timeout:.0f}s — "
+                  "heavy miner replay; at sf0.1 use check_graph_sf01.py")
+            continue
+        en, er = res
         gn, gr = table_rows(con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'"))
-        en, er = table_rows(exp)
         if gn != en:
             print(f"✗ {name}: COLUMN MISMATCH spark={gn} oracle={en}")
             failures += 1
@@ -89,6 +135,8 @@ def main():
     for m in missing:
         print(f"✗ {m}: oracle declared but no spark result")
         failures += 1
+    if timed_out:
+        print(f"timed-out oracles ({len(timed_out)}): {','.join(timed_out)}")
     sys.exit(1 if failures else 0)
 
 
