@@ -11,6 +11,18 @@ object Verify {
       case Array(sf, out)    => (sf, out, Seq.empty[String])
       case Array(sf, out, f) => (sf, out, f.split(",").toSeq)
     }
+    // Repoint the oracle side-file base at OUR outDir before any
+    // query runs: the frames/media dumps and the q145 pair store then
+    // land next to the parquet results the driver reads, making the
+    // correctness artifact self-contained — immune to /tmp lifecycle
+    // and to concurrent runs in other directories (round-9 verdict
+    // task 1a: a /tmp dump overwritten mid-compare zeroed the round).
+    // dumps live in the _dumps/ subdirectory so query-result dirs
+    // remain the only toplevel entries a result iterator sees
+    val outAbs = new java.io.File(outDir).getAbsolutePath
+    val dumpDir = s"$outAbs/_dumps"
+    graft.operators.OracleDump.baseDir = dumpDir
+    val sfName = new java.io.File(sfDir).getName
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_AQE sweeps the adaptive-execution axis (Spark 4
     // defaults AQE + skew-join ON, so the unset default already runs
@@ -69,8 +81,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // resolve the dump-path placeholders against this run's outDir —
+    // written AFTER the queries (so every referenced dump exists)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(graft.operators.OracleDump.resolveSql(v, dumpDir, sfName))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

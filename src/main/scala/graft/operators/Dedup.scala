@@ -674,9 +674,12 @@ object Dedup {
           .as("sig"))
   }
 
-  /** The miner-union portion of [[multiSignalCompCtes]] — terminates
-    * in CTE `pairs`. q87 consumes it directly (membership needs no
-    * reachability fixpoint).
+  /** The full char-level 3-miner union replay, terminating in CTE
+    * `pairs`. Since round 10 only q145 consumes it — the pair-store
+    * anchor re-derives every signal from the raw tables; all other
+    * graph/report oracles replay from the anchored store
+    * ([[storePairsCtes]]) to keep the sf0.01 oracle suite inside the
+    * driver's time budget (round-9 verdict task 2).
     */
   private lazy val multiSignalPairsCtes: String =
     s"""${minhashVerifiedCtes("_mh")},
@@ -690,8 +693,34 @@ object Dedup {
        |  UNION
        |  SELECT doc_a, doc_b FROM verified_pp WHERE 2 * inter >= un)""".stripMargin
 
-  private lazy val multiSignalCompCtes: String =
-    s"""$multiSignalPairsCtes,
+  /** Oracle-side glob of the q145 pair store. Tokens resolve to
+    * Verify's outDir + SF name when oracle_sql.json is written, so
+    * the compare artifact is self-contained (round-9 verdict task 1a).
+    */
+  private def storeGlob: String =
+    s"'${OracleDump.DirToken}/graft_pairs_store_${OracleDump.SfToken}" +
+      "/*.parquet'"
+
+  /** Store-backed twin of [[multiSignalPairsCtes]]: the same 3-signal
+    * `pairs` edge list read back from the q145 pair store instead of
+    * re-mined char-level in SQL. q145 itself keeps the FULL re-mine +
+    * zero-drift audit (the store's independent anchor); the graph and
+    * report oracles replay their own math over the anchored edges —
+    * the tools/check_graph_sf01.py contract, promoted to the sf0.01
+    * gate because the six char-level miner replays were minutes each
+    * in DuckDB and put the driver's whole correctness artifact at the
+    * mercy of a time budget (round-9 verdict task 2).
+    */
+  private def storePairsCtes: String =
+    s"""pairs AS (
+       |  SELECT doc_a, doc_b FROM $storeGlob
+       |  WHERE src_minhash OR src_simhash OR src_ppjoin)""".stripMargin
+
+  /** Reachability-fixpoint components over the store-backed edge
+    * list (the q63 recursive-CTE shape).
+    */
+  private def storeCompCtes: String =
+    s"""$storePairsCtes,
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -1258,7 +1287,7 @@ object Dedup {
           .select(col("lbl").as("keeper"), col("n_docs"), col("members"))
           .orderBy(col("keeper"))
       },
-      Some(s"""WITH RECURSIVE $multiSignalCompCtes
+      Some(s"""WITH RECURSIVE $storeCompCtes
               |SELECT keeper, count(*) AS n_docs,
               |  array_to_string(list_sort(list(id)), ',') AS members
               |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin)),
@@ -1298,7 +1327,7 @@ object Dedup {
             (col("doc_id") === col("keeper_id")).as("is_keeper"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE $multiSignalCompCtes,
+      Some(s"""WITH RECURSIVE $storeCompCtes,
               |scored AS (
               |  SELECT c.keeper AS lbl, c.id AS doc_id,
               |    d.n_chars AS len
@@ -1579,7 +1608,7 @@ object Dedup {
               + " div (2 * n_docs)").as("dup_ppm"))
           .orderBy(col("source"))
       },
-      Some(s"""WITH $multiSignalPairsCtes,
+      Some(s"""WITH $storePairsCtes,
               |mem AS (
               |  SELECT DISTINCT doc_id FROM (
               |    SELECT doc_a AS doc_id FROM pairs
@@ -1689,7 +1718,7 @@ object Dedup {
             sum(col("bytes") - col("kept")).as("bytes_removable"))
           .orderBy(col("cluster_size"))
       },
-      Some(s"""WITH RECURSIVE $multiSignalCompCtes,
+      Some(s"""WITH RECURSIVE $storeCompCtes,
               |per AS (
               |  SELECT c.keeper AS lbl, count(*) AS sz,
               |    sum(d.n_chars) AS bytes, max(d.n_chars) AS kept
@@ -2040,12 +2069,10 @@ object Dedup {
           .select(col("lbl").as("keeper"), col("n_docs"), col("members"))
           .orderBy(col("keeper"))
       },
-      Some(s"""WITH RECURSIVE $multiSignalPairsCtes,
-              |${Similarity.embedNearDupCtes},
-              |pairs4 AS (
-              |  SELECT doc_a, doc_b FROM pairs
-              |  UNION
-              |  SELECT vec_a, vec_b FROM empairs),
+      Some(s"""WITH RECURSIVE pairs4 AS (
+              |  SELECT doc_a, doc_b FROM $storeGlob
+              |  WHERE src_minhash OR src_simhash OR src_ppjoin
+              |     OR src_embed),
               |edges AS (
               |  SELECT doc_a AS a, doc_b AS b FROM pairs4
               |  UNION ALL SELECT doc_b, doc_a FROM pairs4),
@@ -2091,9 +2118,13 @@ object Dedup {
         // q134 truncation rule.
         val fresh = minePairs(docs, Some(Tables.embeddings(s, dir)))
           .localCheckpoint()
-        val path = s"${sys.props("java.io.tmpdir")}/graft_pairs_store_" +
-          new java.io.File(dir).getName
-        writePairsStore(fresh, path)
+        // atomic-rename publication under OracleDump.baseDir: the
+        // downstream graph/report oracles read this store at DuckDB
+        // time, so it must land with the Verify results and never be
+        // observable half-written (round-9 verdict tasks 1a/5)
+        val path = OracleDump.publish(
+          s"graft_pairs_store_${new java.io.File(dir).getName}")(
+          writePairsStore(fresh, _))
         val store = readPairsStore(s, path)
           .transform(graft.plans.CacheLifecycle.autoRelease)
         val drift = store.exceptAll(fresh).union(fresh.exceptAll(store))
@@ -2193,36 +2224,23 @@ object Dedup {
               + " div (2 * n_pairs)"))
           .orderBy(col("signal"))
       },
-      Some(s"""WITH $multiSignalPairsCtes,
-              |${Similarity.embedNearDupCtes},
-              |exq AS (
-              |  SELECT mn AS doc_a, doc_id AS doc_b FROM (
-              |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text)
-              |      AS mn
-              |    FROM documents WHERE text IS NOT NULL)
-              |  WHERE doc_id <> mn),
-              |flags AS (
-              |  SELECT doc_a, doc_b, 'exact' AS signal FROM exq
-              |  UNION
-              |  SELECT doc_a, doc_b, 'minhash' FROM verified_mh
-              |  WHERE (2 * inter * 1000000 + un) // (2 * un) >= 700000
-              |  UNION
-              |  SELECT doc_a, doc_b, 'simhash' FROM ham_sh
-              |  WHERE hamming <= 3
-              |  UNION
-              |  SELECT doc_a, doc_b, 'ppjoin' FROM verified_pp
-              |  WHERE 2 * inter >= un
-              |  UNION
-              |  SELECT vec_a, vec_b, 'embed' FROM empairs),
-              |pp AS (
-              |  SELECT doc_a, doc_b, count(*) AS nf FROM flags
-              |  GROUP BY 1, 2),
+      Some(s"""WITH st AS (
+              |  SELECT doc_a, doc_b,
+              |    CAST(src_exact AS INT) + CAST(src_minhash AS INT)
+              |      + CAST(src_simhash AS INT) + CAST(src_ppjoin AS INT)
+              |      + CAST(src_embed AS INT) AS nf,
+              |    unnest(list_filter([
+              |      CASE WHEN src_exact THEN 'exact' END,
+              |      CASE WHEN src_minhash THEN 'minhash' END,
+              |      CASE WHEN src_simhash THEN 'simhash' END,
+              |      CASE WHEN src_ppjoin THEN 'ppjoin' END,
+              |      CASE WHEN src_embed THEN 'embed' END],
+              |      x -> x IS NOT NULL)) AS signal
+              |  FROM $storeGlob),
               |ep AS (
-              |  SELECT f.signal, p.nf, f.doc_a AS d
-              |  FROM flags f JOIN pp p USING (doc_a, doc_b)
+              |  SELECT signal, nf, doc_a AS d FROM st
               |  UNION ALL
-              |  SELECT f.signal, p.nf, f.doc_b
-              |  FROM flags f JOIN pp p USING (doc_a, doc_b))
+              |  SELECT signal, nf, doc_b FROM st)
               |SELECT signal,
               |  CAST(count(*) // 2 AS BIGINT) AS n_pairs,
               |  CAST(sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END) // 2
@@ -2253,7 +2271,7 @@ object Dedup {
     QueryDef("q134_dup_triangles",
       (s, dir) => triangleCounts(multiSignalPairs(s, dir))
         .orderBy(col("doc_id")),
-      Some(s"""WITH $multiSignalPairsCtes,
+      Some(s"""WITH $storePairsCtes,
               |tedges AS (
               |  SELECT doc_a AS u, doc_b AS v FROM pairs
               |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -2340,7 +2358,7 @@ object Dedup {
               + " AS BIGINT)").as("contrib_ppm"))
           .orderBy(col("source"))
       },
-      Some(s"""WITH $multiSignalPairsCtes,
+      Some(s"""WITH $storePairsCtes,
               |ws AS (
               |  SELECT p.doc_a, p.doc_b, da.source AS src_a,
               |    db.source AS src_b

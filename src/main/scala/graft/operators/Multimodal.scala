@@ -130,25 +130,21 @@ object Multimodal {
     * can replay features / frame sampling / resize sizing exactly and
     * the three media queries carry full oracles instead of digests.
     */
-  private val mediaPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_media.parquet"
+  private val mediaName = "graft_media.parquet"
 
-  @volatile private var mediaDumped = false
-  private def ensureMediaDump(s: SparkSession): Unit = synchronized {
-    if (!mediaDumped) {
+  private def ensureMediaDump(s: SparkSession): Unit =
+    OracleDump.ensure(mediaName) { tmp =>
       import s.implicits._
       mediaTable(s)
         .map(m => (m.media_id, m.kind, m.payload.map(_.toInt).toSeq))
         .toDF("media_id", "kind", "bytes")
         .coalesce(2)
-        .write.mode("overwrite").parquet(mediaPath)
-      mediaDumped = true
+        .write.parquet(tmp)
     }
-  }
 
   private lazy val mediaCte: String =
     s"""md AS (SELECT media_id, kind, bytes
-       |  FROM '$mediaPath/*.parquet')""".stripMargin
+       |  FROM '${OracleDump.DirToken}/$mediaName/*.parquet')""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     // ── Q60: stub feature extraction — full oracle: unsigned-byte

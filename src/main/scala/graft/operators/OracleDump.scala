@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+/** Owner of the oracle SIDE-FILES — the parquet dumps a few oracles
+  * replay instead of the raw tables (the q20-q23 frames dump, the
+  * q60-q62 media dump, the q145 pair store). Three invariants, all
+  * learned the hard way (round-9 verdict: the driver's correctness
+  * artifact came back empty after a side-file race):
+  *
+  *  1. A reader NEVER sees a half-written dump: writers produce into
+  *     a uniquely-named sibling directory and publish with one atomic
+  *     rename ([[ensure]]/[[publish]]) — never `mode("overwrite")`
+  *     in place, whose delete-then-commit window a concurrent DuckDB
+  *     scan can fall into.
+  *  2. Distinct JVMs never share a dump path by accident: the default
+  *     [[baseDir]] is a per-JVM unique directory under the system
+  *     tmpdir (removed on JVM exit), so a test suite and a bench run
+  *     racing each other is impossible by construction.
+  *  3. The correctness artifact is SELF-CONTAINED: graft.Verify
+  *     repoints [[baseDir]] at its own outDir before running any
+  *     query, and the oracle SQL references dumps through the
+  *     [[DirToken]]/[[SfToken]] placeholders that Verify resolves
+  *     when it writes oracle_sql.json — the dumps travel with the
+  *     parquet results the driver already reads, immune to tmpdir
+  *     lifecycle and to concurrent runs in other directories.
+  */
+object OracleDump {
+
+  /** Placeholder for the dump base directory inside oracle SQL;
+    * resolved by graft.Verify to the absolute outDir at dump time.
+    */
+  val DirToken = "__GRAFT_DUMP_DIR__"
+
+  /** Placeholder for the scale-factor directory NAME (e.g. "sf0.01")
+    * inside oracle SQL — dump names that vary by SF embed it so two
+    * SFs never alias one dump.
+    */
+  val SfToken = "__GRAFT_SF__"
+
+  private val defaultDir: Path = Paths.get(
+    sys.props("java.io.tmpdir"),
+    s"graft_dumps_${UUID.randomUUID().toString.take(8)}")
+
+  /** Where dumps land. Defaults to a per-JVM unique tmpdir (invariant
+    * 2); graft.Verify sets it to the driver's outDir (invariant 3).
+    */
+  @volatile var baseDir: String = defaultDir.toString
+
+  sys.addShutdownHook {
+    deleteRecursively(defaultDir) // only ever the per-JVM scratch dir
+  }
+
+  /** Resolve a dump name against the current [[baseDir]]. */
+  def path(name: String): String =
+    Paths.get(baseDir, name).toAbsolutePath.toString
+
+  /** Resolve the SQL-side placeholders ([[DirToken]], [[SfToken]])
+    * against a concrete out directory + SF name — what Verify applies
+    * to every oracle before writing oracle_sql.json.
+    */
+  def resolveSql(sql: String, dumpDir: String, sfName: String): String =
+    sql.replace(DirToken, dumpDir).replace(SfToken, sfName)
+
+  private val completed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write-once publication: the first call per (JVM, resolved path)
+    * materializes the dump via `write(tmpPath)` and renames it into
+    * place atomically; later calls are no-ops. For dumps whose
+    * content is a pure function of fixed parameters (frames, media).
+    */
+  def ensure(name: String)(write: String => Unit): String = synchronized {
+    val target = Paths.get(path(name))
+    val key = target.toString
+    if (!completed.contains(key)) {
+      writeAndSwap(target, write)
+      completed.add(key)
+    }
+    key
+  }
+
+  /** Always-write publication with the same atomic swap — for dumps
+    * a query must genuinely re-produce each run (the q145 pair-store
+    * round trip IS the thing under test).
+    */
+  def publish(name: String)(write: String => Unit): String = synchronized {
+    val target = Paths.get(path(name))
+    writeAndSwap(target, write)
+    completed.add(target.toString)
+    target.toString
+  }
+
+  private def writeAndSwap(target: Path, write: String => Unit): Unit = {
+    val parent = target.toAbsolutePath.getParent
+    Files.createDirectories(parent)
+    val tmp = parent.resolve(
+      s".${target.getFileName}.tmp-${UUID.randomUUID().toString.take(8)}")
+    write(tmp.toString)
+    // stale dump from a PRIOR process at a reused outDir: replace it.
+    // (Concurrent processes never share a path — invariant 2 — so the
+    // delete-then-rename window has no reader to race.)
+    deleteRecursively(target)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteRecursively(tmp) // lost a same-path race: keep the winner
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        try s.forEach(deleteRecursively(_)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+}

@@ -41,24 +41,22 @@ object Pipeline {
     * DuckDB replays both the unsigned histogram bins and the SIGNED
     * rolling detector hash from them). Content is a pure function of
     * the fixed generator parameters, so one dump per JVM suffices and
-    * every SF sees identical frames.
+    * every SF sees identical frames. Published through [[OracleDump]]
+    * (write-once, atomic rename) so a concurrent reader never sees a
+    * half-written dir and the dump lands under Verify's outDir.
     */
-  private val framesPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_pipeline_frames.parquet"
+  private val framesName = "graft_pipeline_frames.parquet"
 
-  @volatile private var framesDumped = false
-  private def ensureFramesDump(s: SparkSession): Unit = synchronized {
-    if (!framesDumped) {
+  private def ensureFramesDump(s: SparkSession): Unit =
+    OracleDump.ensure(framesName) { tmp =>
       import s.implicits._
       FrameGenerator.framesDs(s, streams = 3, fps = 25, durationSec = 400)
         .map(f => (f.streamId, f.frameId, f.frameSequence.toLong,
           f.timestamp, f.frameData.map(_.toInt).toSeq))
         .toDF("stream_id", "frame_id", "seq", "ts", "bytes")
         .coalesce(4)
-        .write.mode("overwrite").parquet(framesPath)
-      framesDumped = true
+        .write.parquet(tmp)
     }
-  }
 
   /** Shared relational replay of the VideoPipeline fold (SQL CTE
     * fragment; see class doc for the derivation):
@@ -82,7 +80,7 @@ object Pipeline {
   private lazy val frameFoldCtes: String =
     s"""fr AS (
        |  SELECT stream_id, frame_id, seq, ts, bytes
-       |  FROM '$framesPath/*.parquet'),
+       |  FROM '${OracleDump.DirToken}/$framesName/*.parquet'),
        |hb AS (
        |  SELECT stream_id, seq, ((byte + 256) % 256) // 8 AS bin,
        |    count(*) AS c

@@ -101,6 +101,13 @@ object TextAnalysis {
       + when(c < 0, two64).otherwise(lit(0)))
       .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
 
+  /** q147's probe-set bound: at most this many probe documents are
+    * ever broadcast, whatever the corpus size (first-N candidates by
+    * the mix64(doc_id) permutation — the q108 cap kernel). PlanSpec
+    * pins both the constant and the TakeOrdered shape.
+    */
+  private[graft] val ProbeCap = 16
+
   /** q48's probe join, pre-aggregation: src0 ("test") 5-gram hash
     * occurrences LEFT-joined against the DISTINCT non-src0 ("train")
     * 5-gram hash set. Split out so ScaleGrowthSpec can drive the real
@@ -3081,19 +3088,32 @@ object TextAnalysis {
 
     // ── Q147: TF-IDF PROBE COSINE — sparse-vector text retrieval, the
     // query-the-corpus shape: score every document against a fixed
-    // probe set (doc_id % 100 = 7) by weighted-bigram cosine. The
-    // scalable formulation is the point: probe vectors are BROADCAST
-    // (a query set is small by definition), so the corpus pays one
-    // feature scan + one broadcast hash join + one (probe, doc)
-    // aggregation — NO corpus self-join (the all-pairs variant is
-    // O(Σ df²); the LSH/minhash family already covers that need).
+    // probe set by weighted-bigram cosine. The scalable formulation is
+    // the point: probe vectors are BROADCAST (a query set is small by
+    // definition), so the corpus pays one feature scan + one broadcast
+    // hash join + one (probe, doc) aggregation — NO corpus self-join
+    // (the all-pairs variant is O(Σ df²); the LSH/minhash family
+    // already covers that need). The probe set is BOUNDED IN THE
+    // OPERATOR, not by data luck: candidates (doc_id % 100 = 7) are
+    // capped to the first ProbeCap by the corpus-wide mix64(doc_id)
+    // permutation (the q108 cap kernel — a TakeOrdered, never a global
+    // sort), so the broadcast is ≤ ProbeCap postings lists at ANY
+    // corpus size — at 100 TB "1% of the corpus" is not broadcastable,
+    // a capped query set is.
     // Weights stay integer-exact cross-engine: idf is the bit-length
     // of N div df (a log2-quantized idf, length(bin(...)) in both
     // engines — no FP log whose last ulp could flip a rounding), and
-    // cos² is reported half-up in ppm from DECIMAL(38,0) products
-    // (dot² ≈ 1.4e36 at N=1e10 still fits). At deployment scale the
-    // bigram strings would dictionary-encode to int ids before the
-    // shuffle; at test SFs the ~930-key vocabulary is the cheap part.
+    // cos² is reported half-up in ppm from DECIMAL(38,0) products.
+    // Exactness envelope: 2·dot²·10⁶ + nw·np must fit DECIMAL(38,0),
+    // so the formula is exact while dot and √(nw·np) stay ≤ ~7·10¹⁵
+    // (true by orders of magnitude at every tested SF; Spark ANSI-off
+    // would NULL past it and DuckDB would raise, so the envelope is
+    // load-bearing). Past it, divide dot, nw and np by one common
+    // power of two before the ppm step — cos² = dot²/(nw·np) is
+    // scale-invariant, so the ratio survives the rescale exactly.
+    // At deployment scale the bigram strings would dictionary-encode
+    // to int ids before the shuffle; at test SFs the ~930-key
+    // vocabulary is the cheap part.
     QueryDef("q147_tfidf_probe_cosine",
       (s, dir) => {
         val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
@@ -3113,15 +3133,26 @@ object TextAnalysis {
         val nrm = w.groupBy(col("doc_id"))
           .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("nw"))
           .transform(graft.plans.CacheLifecycle.autoRelease) // both cosine sides
-        val probes = w.filter(col("doc_id") % 100 === 7)
-          .select(col("doc_id").as("probe_id"), col("b"), col("w").as("wp"))
+        // explicit probe bound: first ProbeCap candidates by the
+        // mix64(doc_id) permutation — a TakeOrdered over the tiny
+        // candidate filter, so the broadcast stays ≤ ProbeCap
+        // postings lists at any corpus size
+        val probeIds = docs.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id"),
+            unsignedDec(call_function("graft_mix64", col("doc_id"))).as("u"))
+          .orderBy(col("u"), col("doc_id")).limit(ProbeCap)
+          .select(col("doc_id").as("probe_id"))
+        val probes = w.join(broadcast(probeIds),
+            col("doc_id") === col("probe_id"))
+          .select(col("probe_id"), col("b"), col("w").as("wp"))
         w.join(broadcast(probes), "b")
           .filter(col("doc_id") =!= col("probe_id"))
           .groupBy(col("probe_id"), col("doc_id"))
           .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * wp")).as("dot"))
           .join(nrm, "doc_id")
-          .join(broadcast(nrm.filter(col("doc_id") % 100 === 7)
-            .select(col("doc_id").as("probe_id"), col("nw").as("np"))),
+          .join(broadcast(nrm.join(broadcast(probeIds),
+              col("doc_id") === col("probe_id"))
+            .select(col("probe_id"), col("nw").as("np"))),
             "probe_id")
           .select(col("probe_id"), col("doc_id"),
             col("dot").cast("long").as("dot_w"),
@@ -3130,9 +3161,16 @@ object TextAnalysis {
           .orderBy(col("cos2_ppm").desc, col("probe_id"), col("doc_id"))
           .limit(20)
       },
-      Some("""WITH d AS (
+      Some(s"""WITH d AS (
              |  SELECT doc_id, string_split(text, ' ') AS t
              |  FROM documents WHERE text IS NOT NULL),
+             |pc AS (
+             |  SELECT doc_id, CAST(doc_id AS HUGEINT) AS z
+             |  FROM d WHERE doc_id % 100 = 7),
+             |${OracleSql.mix64Ctes("doc_id", "pc", "_p")},
+             |pids AS (
+             |  SELECT doc_id AS probe_id FROM mixed_p
+             |  ORDER BY m, doc_id LIMIT $ProbeCap),
              |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
              |bg AS (
              |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
@@ -3148,7 +3186,8 @@ object TextAnalysis {
              |dots AS (
              |  SELECT p.doc_id AS probe_id, c.doc_id, sum(c.w * p.w) AS dot
              |  FROM w c JOIN w p ON p.b = c.b
-             |  WHERE p.doc_id % 100 = 7 AND c.doc_id <> p.doc_id
+             |  JOIN pids ON pids.probe_id = p.doc_id
+             |  WHERE c.doc_id <> p.doc_id
              |  GROUP BY 1, 2)
              |SELECT probe_id, dots.doc_id, CAST(dot AS BIGINT) AS dot_w,
              |  CAST((2 * dot * dot * 1000000 + a.nw * b.nw)

@@ -1008,8 +1008,14 @@ class PlanSpec extends AnyFunSuite {
         "corpus must meet probes via broadcast only")
       assert(p.contains("BroadcastHashJoin"), p.take(1500))
       assert(!p.contains("CartesianProduct"), "scalar graft must broadcast")
-      assert(p.contains("TakeOrderedAndProject"),
-        "top-20 must not be a global sort")
+      // the probe SET is bounded in the operator: a TakeOrdered picks
+      // the first ProbeCap ids by the mix64 permutation (one for the
+      // cap, one for the final top-20 — never a global sort), so the
+      // broadcast is provably ≤ ProbeCap postings lists at any corpus
+      assert(graft.operators.TextAnalysis.ProbeCap <= 64,
+        "probe cap must stay broadcast-sized")
+      assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2,
+        s"probe-cap + top-20 must both be TakeOrdered:\n${p.take(1500)}")
     } finally spark.catalog.clearCache()
   }
 
@@ -1021,17 +1027,31 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
       assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
         "the corpus side must not shuffle for the CDF lookup")
-      // the corpus pays exactly ONE source-keyed exchange — it lives
-      // inside the shared cached frame (the tree print repeats the
-      // cached subtree per scan, so count against the cache prints);
-      // both rank windows share it and the final groupBy(source)
-      // reuses its partitioning (partial+final, no exchange between)
-      val srcExchanges = p.linesIterator.count(l =>
-        l.contains("Exchange hashpartitioning(source"))
-      val cachePrints = p.linesIterator.count(_.contains("InMemoryRelation"))
-      assert(srcExchanges <= cachePrints && cachePrints > 0,
-        s"a source exchange outside the shared cache: $srcExchanges " +
-          s"vs $cachePrints cache prints:\n${p.take(1500)}")
+      // the corpus pays exactly ONE source-keyed exchange and it lives
+      // INSIDE the shared cached frame: walk the tree print and demand
+      // every 'Exchange hashpartitioning(source' line sit beneath an
+      // InMemoryRelation node (depth = first-letter column — child
+      // lines print deeper than their parent). A source exchange at
+      // the top level would mean the corpus re-shuffles outside the
+      // cache; zero source exchanges would mean the cached frame lost
+      // its clustering contract. (Tightened per round-9 advice: the
+      // old count proxy passed N rogue exchanges against N prints.)
+      def depth(l: String): Int = l.indexWhere(_.isLetter)
+      var cacheStack = List.empty[Int]
+      var inside, outside = 0
+      p.linesIterator.foreach { l =>
+        val d = depth(l)
+        if (d >= 0) {
+          cacheStack = cacheStack.dropWhile(_ >= d)
+          if (l.contains("Exchange hashpartitioning(source")) {
+            if (cacheStack.nonEmpty) inside += 1 else outside += 1
+          }
+          if (l.contains("InMemoryRelation")) cacheStack ::= d
+        }
+      }
+      assert(outside == 0 && inside > 0,
+        s"source exchanges: $inside inside / $outside outside the " +
+          s"shared cache:\n${p.take(1500)}")
     } finally spark.catalog.clearCache()
   }
 

@@ -5,12 +5,23 @@ the Spark parquet result against the DuckDB oracle SQL (columns sorted
 by name, values hashed). Usage:
     python3 tools/check_parity.py [sfDir] [outDir] [--skip-verify]
                                   [--oracle-timeout=SECONDS]
-An oracle exceeding the per-query timeout is reported as skipped,
-not passed/failed. The default (900 s) never fires at sf0.01 (the
-slowest miner replay, q134, runs ~215 s there); pass a lower value
-for an sf0.1 sweep, where the char-level miner replays spill
-unboundedly — their sf0.1 evidence is check_graph_sf01.py's
-pair-store replay.
+                                  [--json=PATH]
+
+Robustness contract (round-9 verdict task 1: the driver's artifact came
+back empty after ONE oracle raised): every per-query failure — wrong
+rows, a raising oracle, a missing result dir — is RECORDED and the
+sweep continues; nothing aborts the run. Each oracle runs on its own
+DuckDB cursor (two threads must never share a connection), and a
+cursor whose query survives interrupt+grace is abandoned, not reused.
+Only queries in HEAVY_TIMEOUT_OK may be skipped on timeout (q145 is
+the one remaining full char-level miner re-mine, which spills
+unboundedly at sf0.1 — its sf0.1 evidence is check_graph_sf01.py's
+pair-store replay); a timeout anywhere else counts as a failure.
+
+A driver-format per-query summary (rows/schema/hash match) is written
+to --json (default /root/repo/correctness_out.json) so the round's
+correctness surface can be adjudicated from the repo even if the
+driver-side artifact is lost again.
 """
 import json
 import math
@@ -24,6 +35,12 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Queries whose oracle is ALLOWED to be skipped on timeout: the full
+# char-level multi-signal re-mine (the q145 store anchor). Everything
+# else must finish inside the budget or the sweep fails — a silent
+# skip outside this list would hide a regression (round-9 advice).
+HEAVY_TIMEOUT_OK = {"q145_pairs_store"}
 
 
 def run_verify():
@@ -57,19 +74,19 @@ def table_rows(rel):
 
 
 def run_with_timeout(con, sql, seconds):
-    """table_rows(con.sql(sql)), interrupted after `seconds`. The
-    char-level miner-replay oracles (q71/q132/q134/q139/q145/q146
-    family) are seconds at sf0.01 but spill unboundedly at sf0.1 —
-    a timed-out oracle is reported as skipped (the sf0.1 evidence for
-    those queries is tools/check_graph_sf01.py's pair-store replay),
-    never as a pass or a failure.
+    """table_rows(cur.sql(sql)) on a FRESH cursor, interrupted after
+    `seconds`. Returns (result, err, timed_out). The cursor is private
+    to the worker thread; if the worker survives interrupt + grace the
+    cursor is abandoned (never reused), so a stuck oracle cannot
+    corrupt later queries on the shared connection.
     """
     import threading
+    cur = con.cursor()
     out, err = [], []
 
     def work():
         try:
-            out.append(table_rows(con.sql(sql)))
+            out.append(table_rows(cur.sql(sql)))
         except Exception as e:  # includes InterruptException
             err.append(e)
 
@@ -77,43 +94,86 @@ def run_with_timeout(con, sql, seconds):
     t.start()
     t.join(seconds)
     if t.is_alive():
-        con.interrupt()
+        cur.interrupt()
         t.join(30)
-        return None
+        if t.is_alive():
+            print("  (worker survived interrupt — cursor abandoned)")
+        return None, None, True
+    cur.close()
     if err:
-        raise err[0]
-    return out[0]
+        return None, err[0], False
+    return out[0], None, False
 
 
 def main():
     if "--skip-verify" not in sys.argv:
         run_verify()
     timeout = 900.0
+    json_path = Path("/root/repo/correctness_out.json")
     for a in sys.argv:
         if a.startswith("--oracle-timeout="):
             timeout = float(a.split("=", 1)[1])
+        if a.startswith("--json="):
+            json_path = Path(a.split("=", 1)[1])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    report = {}
     failures = 0
     timed_out = []
-    for name in sorted(p.name for p in OUT.iterdir() if p.is_dir()):
-        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
-        if name not in oracle:
-            print(f"  {name}: rows-only ({len(got.fetchall())} rows)")
+
+    def record(name, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
+    # toplevel dirs are query results; _dumps/ holds the oracle
+    # side-files Verify published (frames/media dumps, pair store)
+    for name in sorted(p.name for p in OUT.iterdir()
+                       if p.is_dir() and not p.name.startswith("_")):
+        try:
+            gn, gr = table_rows(con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'"))
+        except Exception as e:
+            print(f"✗ {name}: spark result unreadable: {e}")
+            record(name, err=f"spark result unreadable: {e}")
+            failures += 1
             continue
-        res = run_with_timeout(con, oracle[name], timeout)
-        if res is None:
-            timed_out.append(name)
-            print(f"⏱ {name}: oracle timed out after {timeout:.0f}s — "
-                  "heavy miner replay; at sf0.1 use check_graph_sf01.py")
+        if name not in oracle:
+            print(f"  {name}: rows-only ({len(gr)} rows)")
+            record(name, rows_match=len(gr) > 0, schema_match=True,
+                   hash_match=True, spark_rows=len(gr),
+                   err=None if gr else "rows-only check found 0 rows")
+            continue
+        res, err, was_timeout = run_with_timeout(con, oracle[name], timeout)
+        if was_timeout:
+            if name in HEAVY_TIMEOUT_OK:
+                timed_out.append(name)
+                print(f"⏱ {name}: oracle timed out after {timeout:.0f}s — "
+                      "allowlisted heavy re-mine; at sf0.1 its evidence "
+                      "is check_graph_sf01.py")
+                record(name, spark_rows=len(gr),
+                       err=f"oracle timeout {timeout:.0f}s (allowlisted)")
+            else:
+                print(f"✗ {name}: oracle TIMED OUT after {timeout:.0f}s "
+                      "(not allowlisted) — counted as failure")
+                record(name, spark_rows=len(gr),
+                       err=f"oracle timeout {timeout:.0f}s")
+                failures += 1
+            continue
+        if err is not None:
+            print(f"✗ {name}: oracle raised: {err}")
+            record(name, spark_rows=len(gr), err=f"oracle raised: {err}")
+            failures += 1
             continue
         en, er = res
-        gn, gr = table_rows(con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'"))
         if gn != en:
             print(f"✗ {name}: COLUMN MISMATCH spark={gn} oracle={en}")
+            record(name, rows_match=len(gr) == len(er), schema_match=False,
+                   spark_rows=len(gr), oracle_rows=len(er),
+                   err="column mismatch")
             failures += 1
         elif gr != er:
             print(f"✗ {name}: ROW MISMATCH ({len(gr)} vs {len(er)} rows)")
@@ -128,15 +188,29 @@ def main():
                     print(f"    spark-only sample: {sorted(only_g)[:2]}")
                 if only_e:
                     print(f"    oracle-only sample: {sorted(only_e)[:2]}")
+            record(name, rows_match=len(gr) == len(er), schema_match=True,
+                   spark_rows=len(gr), oracle_rows=len(er),
+                   err="row/hash mismatch")
             failures += 1
         else:
             print(f"✓ {name}: {len(gr)} rows match")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(gr), oracle_rows=len(er))
     missing = set(oracle) - {p.name for p in OUT.iterdir() if p.is_dir()}
-    for m in missing:
+    for m in sorted(missing):
         print(f"✗ {m}: oracle declared but no spark result")
+        record(m, err="oracle declared but no spark result")
         failures += 1
     if timed_out:
         print(f"timed-out oracles ({len(timed_out)}): {','.join(timed_out)}")
+    try:
+        json_path.write_text(json.dumps(
+            {"sf_dir": SF_DIR, "out_dir": str(OUT), "failures": failures,
+             "queries": report}, indent=2))
+        print(f"wrote {json_path} ({len(report)} queries, "
+              f"{failures} failures)")
+    except OSError as e:
+        print(f"could not write {json_path}: {e}")
     sys.exit(1 if failures else 0)
 
 
