@@ -2393,7 +2393,159 @@ object Dedup {
               |LEFT JOIN degs g USING (source)
               |LEFT JOIN intr i USING (source)
               |CROSS JOIN mm
-              |ORDER BY n.source""".stripMargin)))
+              |ORDER BY n.source""".stripMargin)),
+
+    // ── Q151: SOFT-DEDUP SAMPLING WEIGHTS — the downweight-instead-
+    // of-drop alternative to q73's keeper election: every member of a
+    // near-dup component gets sampling weight 1/|component| (the
+    // cluster's total mass stays one document's worth — the common
+    // soft-dedup recipe when hard deletion is too aggressive, cf. the
+    // duplication-aware sampling discussed around SemDeDup/D4), docs
+    // outside any component keep weight 1. Output is the per-source
+    // weights MANIFEST summary a training recipe consumes: raw docs,
+    // dup members, effective mass after weighting, and the mass the
+    // weighting removed. Weight = (2·10⁶ + csz) div (2·csz) — half-up
+    // integer ppm per doc, so the per-source sums are exact in both
+    // engines.
+    //
+    // 100 TB shape: the component label table is bounded by the pair
+    // GRAPH (docs in no near-dup pair never enter it), so labels and
+    // cluster sizes are dimension-sized at any corpus scale — sizes
+    // broadcast onto labels, the labeled members broadcast onto the
+    // corpus (one LEFT broadcast join; the corpus-sized side never
+    // shuffles for the join), and the report is one source-keyed
+    // aggregation. In production the pairs come from the q145 store
+    // (mined once); the oracle replays exactly that contract.
+    QueryDef("q151_soft_dedup_weights",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+        val comp = connectedComponents(multiSignalPairs(s, dir))
+        val sizes = comp.groupBy(col("lbl")).agg(count(lit(1)).as("csz"))
+        val mem = comp.join(broadcast(sizes), "lbl")
+          .select(col("id").as("doc_id"), col("csz"))
+        docs.join(broadcast(mem), Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("csz").isNull, lit(1000000L))
+              .otherwise(expr("(2 * 1000000 + csz) div (2 * csz)"))
+              .as("wppm"),
+            when(col("csz").isNull, 0L).otherwise(1L).as("is_mem"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("is_mem")).as("n_dup_members"),
+            sum(col("wppm")).as("eff_mass_ppm"))
+          .withColumn("removed_mass_ppm",
+            col("n_docs") * lit(1000000L) - col("eff_mass_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE $storeCompCtes,
+              |sizes AS (
+              |  SELECT keeper, count(*) AS csz FROM comp GROUP BY keeper),
+              |mem AS (
+              |  SELECT c.id AS doc_id, s.csz
+              |  FROM comp c JOIN sizes s ON s.keeper = c.keeper),
+              |w AS (
+              |  SELECT d.source,
+              |    CASE WHEN m.doc_id IS NULL THEN 1000000
+              |         ELSE (2 * 1000000 + m.csz) // (2 * m.csz) END
+              |      AS wppm,
+              |    CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END AS is_mem
+              |  FROM documents d LEFT JOIN mem m USING (doc_id))
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(is_mem) AS BIGINT) AS n_dup_members,
+              |  CAST(sum(wppm) AS BIGINT) AS eff_mass_ppm,
+              |  CAST(count(*) * 1000000 - sum(wppm) AS BIGINT)
+              |    AS removed_mass_ppm
+              |FROM w GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Q152: LEAKAGE-FREE TRAIN/VAL/TEST SPLIT — the constructive
+    // counterpart to q77's leakage AUDIT: a doc-level hash split (q56)
+    // puts near-duplicates of training docs into the eval set, which
+    // inflates eval scores; the fix every careful recipe applies is to
+    // split at the near-dup COMPONENT granularity — the split unit is
+    // the q71 component label (or the doc itself if unpaired), routed
+    // through the SAME 90/5/5 mix64 rule as q56, so two near-dup docs
+    // can never straddle a split boundary. The query emits the
+    // per-(split, source) census AND measures its own guarantee:
+    // n_cross_pairs counts mined pairs whose endpoints landed in
+    // different splits — structurally zero, and the oracle re-derives
+    // the zero rather than assuming it.
+    //
+    // 100 TB shape: the label table is bounded by the pair graph, so
+    // unit assignment is one broadcast LEFT join onto the corpus (the
+    // corpus never shuffles for it); the mix64 split rule is a per-row
+    // expression; the guarantee check broadcasts the bounded pair list
+    // onto the labeled corpus twice (the q87 membership shape); the
+    // census is one bounded (split, source) aggregation. Pairs come
+    // from one mining pass (the q145 store in production),
+    // localCheckpoint-ed because the splitter AND the guarantee check
+    // both consume them (the q134/q139 deep-lineage rule).
+    QueryDef("q152_leakage_free_split",
+      (s, dir) => {
+        val dec20 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(20, 0)
+        val dec38 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0)
+        val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+          .cast(dec38)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+        val pairs = multiSignalPairs(s, dir).localCheckpoint()
+        val comp = connectedComponents(pairs)
+        val m = call_function("graft_mix64", col("unit"))
+        val u = (m.cast(dec20) + when(m < 0, two64).otherwise(lit(0)))
+          .cast(dec38)
+        val lab = docs
+          .join(broadcast(comp), col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("lbl"), col("doc_id")).as("unit"))
+          .withColumn("u", u)
+          .withColumn("split",
+            when(col("u") * 10 < two64 * 9, "train")
+              .when(col("u") * 20 < two64 * 19, "val")
+              .otherwise("test"))
+          .transform(graft.plans.CacheLifecycle.autoRelease) // census + check
+        val sa = lab.select(col("doc_id"), col("split"))
+        val leak = sa
+          .join(broadcast(pairs), col("doc_id") === col("doc_a"))
+          .select(col("split").as("split_a"), col("doc_b"))
+        val nLeaks = sa
+          .join(broadcast(leak), col("doc_id") === col("doc_b"))
+          .filter(col("split") =!= col("split_a"))
+          .agg(count(lit(1)).as("n_cross_pairs"))
+        lab.groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("unit")).as("n_units"))
+          .crossJoin(broadcast(nLeaks))
+          .orderBy(col("split"), col("source"))
+      },
+      Some(s"""WITH RECURSIVE $storeCompCtes,
+              |un AS (
+              |  SELECT d.doc_id, d.source,
+              |    coalesce(c.keeper, d.doc_id) AS unit
+              |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+              |h0 AS (
+              |  SELECT doc_id, source, unit, CAST(unit AS HUGEINT) AS z
+              |  FROM un),
+              |${OracleSql.mix64Ctes("doc_id, source, unit", "h0")},
+              |lab AS (
+              |  SELECT doc_id, source, unit,
+              |    CASE WHEN m * 10 < 9 * ${OracleSql.MOD} THEN 'train'
+              |         WHEN m * 20 < 19 * ${OracleSql.MOD} THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM mixed),
+              |leak AS (
+              |  SELECT count(*) AS n_cross_pairs
+              |  FROM pairs p
+              |  JOIN lab a ON a.doc_id = p.doc_a
+              |  JOIN lab b ON b.doc_id = p.doc_b
+              |  WHERE a.split <> b.split)
+              |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(DISTINCT unit) AS BIGINT) AS n_units,
+              |  CAST(l.n_cross_pairs AS BIGINT) AS n_cross_pairs
+              |FROM lab CROSS JOIN leak l
+              |GROUP BY split, source, l.n_cross_pairs
+              |ORDER BY split, source""".stripMargin)))
 
   /** Per-node triangle participation over an undirected pair list
     * (doc_a, doc_b) — q134's library op, compact-forward style

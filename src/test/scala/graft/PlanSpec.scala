@@ -1061,6 +1061,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p.take(1500))
   }
 
+  test("q151/q152: component tables broadcast onto the corpus, never SMJ") {
+    try {
+      for (q <- Seq("q151_soft_dedup_weights", "q152_leakage_free_split")) {
+        val p = plan(q)
+        // the label/size/pair tables are bounded by the pair GRAPH —
+        // they must be the broadcast build side; the corpus-sized scan
+        // must never shuffle for a join (CC internals are behind the
+        // localCheckpoint truncation, so the query plan is exactly the
+        // consumer shape)
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+          s"$q: corpus must meet the component tables via broadcast:\n" +
+            p.take(1500))
+        assert(p.contains("BroadcastHashJoin") &&
+          p.contains("LeftOuter"), s"$q: ${p.take(1500)}")
+      }
+    } finally spark.catalog.clearCache()
+  }
+
   test("q150: chunk explode never re-shuffles; doc aggregate joins broadcast") {
     try {
       val p = plan("q150_context_chunks")

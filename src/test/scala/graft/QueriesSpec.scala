@@ -999,4 +999,46 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q151 soft-dedup mass: identity holds; only dup members lose mass") {
+    val rows = SparkEntry.queries("q151_soft_dedup_weights")(spark, sf)
+      .select("n_docs", "n_dup_members", "eff_mass_ppm", "removed_mass_ppm")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mem, eff, rem) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(eff + rem == n * 1000000L,
+        s"effective + removed must be the raw mass: $r")
+      assert(mem <= n, r.toString)
+      // non-members keep exactly 1e6 each; members keep at most half
+      // (weight 1/csz with csz >= 2, half-up) and at least a sliver
+      assert(rem >= 0 && rem <= mem * 1000000L, r.toString)
+      assert(eff <= (n - mem) * 1000000L + mem * 500000L,
+        s"a dup member keeps at most half its mass (csz >= 2): $r")
+      assert(eff > (n - mem) * 1000000L || mem == 0,
+        s"member weights are positive: $r")
+    }
+    // globally some mass must be removed at this SF (near-dups exist)
+    assert(rows.map(_.getLong(3)).sum > 0, "corpus has dup clusters")
+  }
+
+  test("q152 split: no pair straddles splits; units partition the docs") {
+    val rows = SparkEntry.queries("q152_leakage_free_split")(spark, sf)
+      .select("split", "n_docs", "n_units", "n_cross_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0,
+        s"component-granular split can never leak a pair: $r")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1),
+        s"units per cell are between 1 and the cell's docs: $r")
+    }
+    assert(rows.map(_.getString(0)).toSet.subsetOf(
+      Set("train", "val", "test")))
+    // the census covers the whole corpus exactly once
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = graft.operators.Tables.documents(spark, sf).count()
+    assert(total == corpus, s"split census must cover the corpus: " +
+      s"$total vs $corpus")
+  }
 }
