@@ -516,6 +516,30 @@ object Dedup {
         max(col("src_ppjoin")).as("src_ppjoin"),
         max(col("src_embed")).as("src_embed"))
 
+  /** Per-doc SOFT-DEDUP sampling weight over any (doc_id, ...) frame
+    * and near-dup pair list: members of a component get weight
+    * 1/|component| in half-up integer ppm (the cluster keeps one
+    * document's worth of mass), docs outside any pair keep 1 000 000.
+    * The q151 kernel as a library surface — in production the pair
+    * list is [[readPairsStore]] output, so a weights manifest refresh
+    * never re-mines. Appends the `wppm` column; the label/size tables
+    * are bounded by the pair graph and broadcast, the input frame
+    * never shuffles.
+    */
+  def softDedupWeights(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val comp = connectedComponents(pairs)
+    val sizes = comp.groupBy(col("lbl")).agg(count(lit(1)).as("csz"))
+    val mem = comp.join(broadcast(sizes), "lbl")
+      .select(col("id").as("doc_id"), col("csz"))
+    docs.join(broadcast(mem), Seq("doc_id"), "left")
+      .withColumn("wppm",
+        when(col("csz").isNull, lit(1000000L))
+          .otherwise(expr("(2 * 1000000 + csz) div (2 * csz)")))
+      .drop("csz")
+  }
+
   /** q99's prefix-containment miner over any (doc_id, text) frame:
     * verified (doc_a, doc_b, nt_a, nt_b) pairs where doc_a's full
     * token sequence is a strict prefix of doc_b's. Anchor index =
@@ -2420,16 +2444,11 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"))
-        val comp = connectedComponents(multiSignalPairs(s, dir))
-        val sizes = comp.groupBy(col("lbl")).agg(count(lit(1)).as("csz"))
-        val mem = comp.join(broadcast(sizes), "lbl")
-          .select(col("id").as("doc_id"), col("csz"))
-        docs.join(broadcast(mem), Seq("doc_id"), "left")
-          .select(col("source"),
-            when(col("csz").isNull, lit(1000000L))
-              .otherwise(expr("(2 * 1000000 + csz) div (2 * csz)"))
-              .as("wppm"),
-            when(col("csz").isNull, 0L).otherwise(1L).as("is_mem"))
+        softDedupWeights(docs, multiSignalPairs(s, dir))
+          .select(col("source"), col("wppm"),
+            // components have >= 2 members, so a member's weight is
+            // always <= 500 000 and the full 1e6 marks a non-member
+            when(col("wppm") === 1000000L, 0L).otherwise(1L).as("is_mem"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("is_mem")).as("n_dup_members"),

@@ -219,6 +219,62 @@ object Multimodal {
               |  FROM md WHERE kind = 'video')
               |GROUP BY media_id ORDER BY media_id""".stripMargin)),
 
+    // ── Q153: CROSS-MODAL COVERAGE — the multimodal sample-assembly
+    // audit: join the text corpus to the media table by id
+    // (media_id ≡ doc_id for the paired subset) and report, per
+    // (source, kind), how many documents have a media twin, the
+    // paired payload bytes, and coverage vs the source's doc count in
+    // half-up ppm. This is the first number a multimodal training
+    // recipe needs — how much of each text source can actually be
+    // assembled into (text, image/audio/video) pairs.
+    //
+    // Scale shape: HERE the media table is dimension-sized, so both
+    // joins broadcast and the corpus pays two cheap 2-column scans
+    // (pairing + per-source totals). At a deployment where media is
+    // corpus-scale, the pairing join becomes a co-partitioned equi-
+    // join (both sides bucketed by id — the storage layout q135's
+    // z-order study argues for); the report stays bounded by
+    // |sources| × |kinds|. Oracle replays the pairing from the media
+    // dump, so the binary-side byte accounting is checked end to end.
+    QueryDef("q153_crossmodal_coverage",
+      (s, dir) => {
+        ensureMediaDump(s)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+        val media = mediaTable(s).toDF()
+          .select(col("media_id"), col("kind"),
+            length(col("payload")).cast("long").as("nbytes"))
+        val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        docs.join(broadcast(media), col("doc_id") === col("media_id"))
+          .groupBy(col("source"), col("kind"))
+          .agg(count(lit(1)).as("n_paired"),
+            sum(col("nbytes")).as("paired_bytes"))
+          .join(broadcast(tot), "source")
+          .select(col("source"), col("kind"), col("n_docs"),
+            col("n_paired"), col("paired_bytes"),
+            expr("(2 * n_paired * 1000000 + n_docs) div (2 * n_docs)")
+              .as("coverage_ppm"))
+          .orderBy(col("source"), col("kind"))
+      },
+      Some(s"""WITH $mediaCte,
+              |mb AS (
+              |  SELECT media_id, kind, len(bytes) AS nbytes FROM md),
+              |tot AS (
+              |  SELECT source, count(*) AS n_docs
+              |  FROM documents GROUP BY source),
+              |pr AS (
+              |  SELECT d.source, m.kind, count(*) AS n_paired,
+              |    sum(m.nbytes) AS paired_bytes
+              |  FROM documents d JOIN mb m ON m.media_id = d.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT p.source, p.kind, CAST(t.n_docs AS BIGINT) AS n_docs,
+              |  CAST(p.n_paired AS BIGINT) AS n_paired,
+              |  CAST(p.paired_bytes AS BIGINT) AS paired_bytes,
+              |  CAST((2 * p.n_paired * 1000000 + t.n_docs)
+              |    // (2 * t.n_docs) AS BIGINT) AS coverage_ppm
+              |FROM pr p JOIN tot t USING (source)
+              |ORDER BY p.source, p.kind""".stripMargin)),
+
     // ── Q62: stub thumbnailer — full oracle: output size is
     // ceil(len / ceil(len/64)) with the metadata dims rewritten.
     QueryDef("q62_media_resize",

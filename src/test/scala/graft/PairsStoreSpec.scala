@@ -113,4 +113,28 @@ class PairsStoreSpec extends AnyFunSuite {
     assert(!store.keys.exists(p => p._2 == 12L), "novel doc pairs with nothing")
     index.close()
   }
+
+  test("soft-dedup weights compose with an incrementally-appended store") {
+    import spark.implicits._
+    val path = tmpDir()
+    Dedup.writePairsStore(Dedup.minePairs(corpus), path)
+    val index = new IncrementalDedup.Index(spark, pairsStorePath = Some(path))
+    index.ingest(corpus)
+    // a later batch re-delivers an exact duplicate of doc 1
+    index.classifyAndIngest(Seq((10L, base)).toDF("doc_id", "text")).collect()
+    index.close()
+    val grown = corpus.select(col("doc_id"))
+      .union(Seq(10L, 12L).toDF("doc_id")) // 12 = a novel unpaired doc
+    val w = Dedup.softDedupWeights(grown,
+      Dedup.readPairsStore(spark, path).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3,10} is one component after the append: equal weights,
+    // exactly (2e6 + 4) div 8 = 250000 each; the unpaired doc keeps 1e6
+    assert(w(1L) == 250000L && w(2L) == 250000L && w(10L) == 250000L,
+      w.toString)
+    assert(w(3L) == 250000L, s"near-dup 3 rides the same component: $w")
+    assert(w(12L) == 1000000L, w.toString)
+    // the component's total mass is one document's worth (rounding ±)
+    assert(Seq(1L, 2L, 3L, 10L).map(w).sum == 1000000L, w.toString)
+  }
 }

@@ -1079,6 +1079,13 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("q153: media pairing join broadcasts; corpus never shuffles for it") {
+    val p = plan("q153_crossmodal_coverage")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the dimension-sized media table must be the broadcast build side")
+  }
+
   test("q150: chunk explode never re-shuffles; doc aggregate joins broadcast") {
     try {
       val p = plan("q150_context_chunks")
