@@ -95,5 +95,18 @@ class EdgeCaseCorpusSpec extends AnyFunSuite {
       .select("inter_exact", "kmv_both").collect().foreach { r =>
         assert(r.getLong(1) <= r.getLong(0), r.toString)
       }
+    // q151: mass identity survives NULL/empty/whitespace texts
+    SparkEntry.queries("q151_soft_dedup_weights")(spark, dir)
+      .select("n_docs", "eff_mass_ppm", "removed_mass_ppm").collect()
+      .foreach { r =>
+        assert(r.getLong(1) + r.getLong(2) == r.getLong(0) * 1000000L,
+          r.toString)
+      }
+    // q152: the split census still partitions the corpus, zero leaks
+    val sp = SparkEntry.queries("q152_leakage_free_split")(spark, dir)
+      .select("n_docs", "n_cross_pairs").collect()
+    assert(sp.forall(_.getLong(1) == 0), sp.mkString(","))
+    assert(sp.map(_.getLong(0)).sum == 50L,
+      "40 normal + 10 edge docs, each in exactly one split")
   }
 }
