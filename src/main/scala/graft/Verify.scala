@@ -69,6 +69,15 @@ object Verify {
       }
       finally spark.catalog.clearCache() // release per-query persist()s
     }
+    // Ten oracles replay from the q145 pair store: make sure it exists
+    // even under a name-filtered run or a swallowed q145 failure, so
+    // one missing side-file can't cascade into ten spurious compare
+    // failures (the round-9 artifact-zeroing class).
+    try graft.operators.Dedup.ensureStorePublished(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] pair-store publish failed: ${e.getMessage}")
+    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -516,10 +516,35 @@ object Dedup {
         max(col("src_ppjoin")).as("src_ppjoin"),
         max(col("src_embed")).as("src_embed"))
 
+  /** Verify's safety net: ten oracles (q71/q73/q87/q96/q132/q134/
+    * q139/q146/q151/q152) replay from the q145 pair store under
+    * `OracleDump.baseDir`, so a name-filtered Verify run that skips
+    * q145 — or a q145 Spark-side failure swallowed by Verify's
+    * per-query catch — must not cascade into ten spurious IO failures
+    * at DuckDB-compare time. Publishes the store for `dir` iff it is
+    * not already there (q145's own publish is the normal writer and
+    * remains the audited round trip).
+    */
+  def ensureStorePublished(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val name = s"graft_pairs_store_${new java.io.File(dir).getName}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(OracleDump.path(name)))) {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val fresh = minePairs(docs, Some(Tables.embeddings(s, dir)))
+      OracleDump.publish(name)(writePairsStore(fresh, _))
+    }
+  }
+
   /** Per-doc SOFT-DEDUP sampling weight over any (doc_id, ...) frame
     * and near-dup pair list: members of a component get weight
     * 1/|component| in half-up integer ppm (the cluster keeps one
     * document's worth of mass), docs outside any pair keep 1 000 000.
+    * Weights FLOOR at 1 ppm: past csz = 2·10⁶ members the half-up div
+    * would round to 0 and silently make the whole cluster unsampleable
+    * — the floor is the binding contract at that size (such a cluster
+    * then carries csz ppm, slightly more than one document's worth;
+    * a doc with weight exactly 0 is the worse failure).
     * The q151 kernel as a library surface — in production the pair
     * list is [[readPairsStore]] output, so a weights manifest refresh
     * never re-mines. Appends the `wppm` column; the label/size tables
@@ -536,7 +561,8 @@ object Dedup {
     docs.join(broadcast(mem), Seq("doc_id"), "left")
       .withColumn("wppm",
         when(col("csz").isNull, lit(1000000L))
-          .otherwise(expr("(2 * 1000000 + csz) div (2 * csz)")))
+          .otherwise(expr(
+            "greatest(1, (2 * 1000000 + csz) div (2 * csz))")))
       .drop("csz")
   }
 
@@ -2209,9 +2235,10 @@ object Dedup {
     // vanish if the signal is dropped), and how many docs it touches.
     // The tuning question behind every multi-signal dedup budget
     // ("can we stop paying for simhash?") answered from ONE mining
-    // pass — no per-ablation re-mine, no store dependency (q145 owns
-    // the store round trip; this reads the provenance frame
-    // directly).
+    // pass — no per-ablation re-mine (the Spark side reads the fresh
+    // provenance frame directly; since round 10 the ORACLE replays
+    // from the q145 store, whose zero-drift audit makes the two
+    // interchangeable).
     //
     // 100 TB shape: one [[minePairs]] pass (all text signals off one
     // signature scan), then pure linear arithmetic over the pair
@@ -2466,7 +2493,8 @@ object Dedup {
               |w AS (
               |  SELECT d.source,
               |    CASE WHEN m.doc_id IS NULL THEN 1000000
-              |         ELSE (2 * 1000000 + m.csz) // (2 * m.csz) END
+              |         ELSE greatest(1,
+              |           (2 * 1000000 + m.csz) // (2 * m.csz)) END
               |      AS wppm,
               |    CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END AS is_mem
               |  FROM documents d LEFT JOIN mem m USING (doc_id))
@@ -2501,19 +2529,13 @@ object Dedup {
     // both consume them (the q134/q139 deep-lineage rule).
     QueryDef("q152_leakage_free_split",
       (s, dir) => {
-        val dec20 = org.apache.spark.sql.types.DataTypes
-          .createDecimalType(20, 0)
-        val dec38 = org.apache.spark.sql.types.DataTypes
-          .createDecimalType(38, 0)
-        val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
-          .cast(dec38)
+        val two64 = TextAnalysis.two64 // shared exactness-critical shift
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"))
         val pairs = multiSignalPairs(s, dir).localCheckpoint()
         val comp = connectedComponents(pairs)
-        val m = call_function("graft_mix64", col("unit"))
-        val u = (m.cast(dec20) + when(m < 0, two64).otherwise(lit(0)))
-          .cast(dec38)
+        val u = TextAnalysis.unsignedDec(
+          call_function("graft_mix64", col("unit")))
         val lab = docs
           .join(broadcast(comp), col("doc_id") === col("id"), "left")
           .select(col("doc_id"), col("source"),

@@ -97,15 +97,24 @@ object OracleDump {
     Files.createDirectories(parent)
     val tmp = parent.resolve(
       s".${target.getFileName}.tmp-${UUID.randomUUID().toString.take(8)}")
-    write(tmp.toString)
+    try write(tmp.toString)
+    catch { // never leave staging junk beside the compare artifact
+      case e: Throwable => deleteRecursively(tmp); throw e
+    }
     // stale dump from a PRIOR process at a reused outDir: replace it.
     // (Concurrent processes never share a path — invariant 2 — so the
     // delete-then-rename window has no reader to race.)
     deleteRecursively(target)
     try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        deleteRecursively(tmp) // lost a same-path race: keep the winner
+      // lost a same-path race: keep the winner. rename(2) onto an
+      // existing EMPTY dir reports FileAlreadyExists; onto a non-empty
+      // one (any real parquet dump) it reports ENOTEMPTY — absorb both,
+      // but only when a winner actually exists.
+      case e: java.nio.file.FileSystemException
+          if Files.exists(target) ||
+            e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+        deleteRecursively(tmp)
     }
   }
 

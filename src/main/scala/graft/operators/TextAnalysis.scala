@@ -92,11 +92,17 @@ object TextAnalysis {
     * Headroom note: products stay under DECIMAL(38,0)'s 10³⁸ ceiling
     * for per-stratum counts up to ~10¹⁸ rows.
     */
-  private val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
-    .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+  private[graft] val two64 =
+    lit(new java.math.BigDecimal("18446744073709551616"))
+      .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
 
-  /** Signed long column → its unsigned-u64 value as DECIMAL(38,0). */
-  private def unsignedDec(c: org.apache.spark.sql.Column) =
+  /** Signed long column → its unsigned-u64 value as DECIMAL(38,0).
+    * Exactness-critical (both engines must agree bit-for-bit on
+    * hash-order/threshold comparisons) — shared across operator
+    * modules rather than re-derived (q152 reuses it for the q56 split
+    * rule).
+    */
+  private[graft] def unsignedDec(c: org.apache.spark.sql.Column) =
     (c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 0))
       + when(c < 0, two64).otherwise(lit(0)))
       .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))

@@ -98,6 +98,8 @@ def run_with_timeout(con, sql, seconds):
         t.join(30)
         if t.is_alive():
             print("  (worker survived interrupt — cursor abandoned)")
+        else:
+            cur.close()  # interrupted cleanly: release its resources
         return None, None, True
     cur.close()
     if err:
@@ -142,9 +144,11 @@ def main():
             failures += 1
             continue
         if name not in oracle:
+            # schema/hash were NOT compared — record null, never a
+            # fabricated True an adjudicator could mistake for a pass
             print(f"  {name}: rows-only ({len(gr)} rows)")
-            record(name, rows_match=len(gr) > 0, schema_match=True,
-                   hash_match=True, spark_rows=len(gr),
+            record(name, rows_match=len(gr) > 0, schema_match=None,
+                   hash_match=None, spark_rows=len(gr),
                    err=None if gr else "rows-only check found 0 rows")
             continue
         res, err, was_timeout = run_with_timeout(con, oracle[name], timeout)
