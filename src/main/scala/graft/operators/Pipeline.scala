@@ -217,9 +217,10 @@ object Pipeline {
               |    || strftime(make_timestamp(fs.ts * 1000), '%Y%m%d/%H')
               |    || '/' || b.stream_id || '_' || fs.ts || '.mp4' AS path,
               |  CAST(b.fseq - b.sseq + 1 AS INT) AS frame_count,
-              |  (SELECT sum(len(x.bytes)) FROM fr x
+              |  CAST((SELECT sum(len(x.bytes)) FROM fr x
               |   WHERE x.stream_id = b.stream_id
-              |     AND x.seq BETWEEN b.sseq AND b.fseq) AS file_size,
+              |     AND x.seq BETWEEN b.sseq AND b.fseq) AS BIGINT)
+              |    AS file_size,
               |  fe.ts - fs.ts AS duration_ms
               |FROM segb b
               |JOIN fr fs ON fs.stream_id = b.stream_id AND fs.seq = b.sseq

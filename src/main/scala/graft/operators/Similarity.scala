@@ -365,7 +365,8 @@ object Similarity {
               |  SELECT *, row_number() OVER (PARTITION BY query_id
               |    ORDER BY cos_raw DESC, cand_id) AS rn
               |  FROM scored)
-              |SELECT query_id, rn, cand_id, cos_raw AS cosine
+              |SELECT query_id, CAST(rn AS INT) AS rn, cand_id,
+              |  cos_raw AS cosine
               |FROM ranked WHERE rn <= 3
               |ORDER BY query_id, rn""".stripMargin)),
 
@@ -393,7 +394,7 @@ object Similarity {
             " / 10000.0").as("centroid_v"),
           col("n"))
         .orderBy(col("label"), col("dim")),
-      Some("""SELECT label, dim,
+      Some("""SELECT label, CAST(dim AS INT) AS dim,
              |  CAST(((sq + 1000000 * n) * 2 + n) // (2 * n) - 1000000 AS DOUBLE)
              |    / 10000.0 AS centroid_v,
              |  n
@@ -998,7 +999,8 @@ object Similarity {
              |    PARTITION BY vec_id ORDER BY d2, cid) AS rn
              |  FROM d),
              |asg AS (SELECT vec_id, cid, d2 FROM a WHERE rn = 1)
-             |SELECT s.cid, v.dim, CAST(count(*) AS BIGINT) AS n,
+             |SELECT s.cid, CAST(v.dim AS INT) AS dim,
+             |  CAST(count(*) AS BIGINT) AS n,
              |  CAST(((sum(v.q) + 1000000 * count(*)) * 2 + count(*))
              |    // (2 * count(*)) - 1000000 AS DOUBLE) / 10000.0
              |    AS centroid_v,

@@ -218,7 +218,8 @@ object VideoAnalytics {
           col("det_id"), col("confidence"))
         .orderBy(col("stream_id"), col("rn")),
       Some(s"""$detectionsCte
-              |SELECT stream_id, rn, frame_id, det_id, confidence FROM (
+              |SELECT stream_id, CAST(rn AS INT) AS rn, frame_id, det_id,
+              |  confidence FROM (
               |  SELECT *, row_number() OVER (
               |    PARTITION BY stream_id
               |    ORDER BY confidence DESC, frame_id, det_id) AS rn
@@ -250,7 +251,8 @@ object VideoAnalytics {
           .orderBy(col("stream_id"), col("object_class"), col("det_id"))
       },
       Some(s"""$detectionsCte
-              |SELECT stream_id, object_class, det_id, confidence, rn FROM (
+              |SELECT stream_id, object_class, det_id, confidence,
+              |  CAST(rn AS INT) AS rn FROM (
               |  SELECT stream_id, object_class, det_id, confidence,
               |    rank() OVER (PARTITION BY stream_id, object_class
               |                 ORDER BY confidence DESC) AS rn
@@ -284,7 +286,8 @@ object VideoAnalytics {
           .orderBy(col("stream_id"), col("object_class"), col("det_id"))
       },
       Some(s"""$detectionsCte
-              |SELECT stream_id, object_class, det_id, confidence, rn FROM (
+              |SELECT stream_id, object_class, det_id, confidence,
+              |  CAST(rn AS INT) AS rn FROM (
               |  SELECT stream_id, object_class, det_id, confidence,
               |    rank() OVER (PARTITION BY stream_id, object_class
               |                 ORDER BY confidence DESC) AS rn
@@ -466,7 +469,8 @@ object VideoAnalytics {
       },
       Some(s"""$detectionsCte
               |SELECT object_class,
-              |  least(9, greatest(0, CAST(floor(confidence * 10) AS INT))) AS bin,
+              |  CAST(least(9, greatest(0,
+              |    CAST(floor(confidence * 10) AS INT))) AS INT) AS bin,
               |  count(*) AS n
               |FROM detections
               |WHERE NOT isnan(confidence)

@@ -66,11 +66,21 @@ def norm(v):
     return str(v)
 
 
+# DuckDB output types the DRIVER's pandas-based comparator cannot
+# represent faithfully: HUGEINT/UHUGEINT coerce to float64 (so the
+# driver hashes `1152256.0` against Spark's int64 `1152256` and fails
+# even though every value matches — round 10's only red row, q21) and
+# DECIMAL coerces to object/float. No oracle may output one; builders
+# must CAST (typically to BIGINT).
+BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
 def table_rows(rel):
     cols = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
     names = [rel.columns[i] for i in cols]
+    types = [str(rel.types[i]) for i in cols]
     rows = [tuple(norm(r[i]) for i in cols) for r in rel.fetchall()]
-    return names, sorted(rows)
+    return names, sorted(rows), types
 
 
 def run_with_timeout(con, sql, seconds):
@@ -132,12 +142,17 @@ def main():
                         "hash_match": hash_match, "spark_rows": spark_rows,
                         "oracle_rows": oracle_rows, "err": err}
 
-    # toplevel dirs are query results; _dumps/ holds the oracle
-    # side-files Verify published (frames/media dumps, pair store)
+    # every toplevel dir is a query result: since round 11 Verify
+    # publishes the oracle side-files (frames/media dumps, pair store)
+    # to the SIBLING directory <outDir>_dumps, outside any iteration
+    # of outDir (round-10 verdict task 2 — the driver's scan picked up
+    # an in-outDir _dumps/ as a phantom query). The underscore filter
+    # stays as a belt against stale pre-round-11 outDirs.
     for name in sorted(p.name for p in OUT.iterdir()
                        if p.is_dir() and not p.name.startswith("_")):
         try:
-            gn, gr = table_rows(con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'"))
+            gn, gr, gt = table_rows(
+                con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'"))
         except Exception as e:
             print(f"✗ {name}: spark result unreadable: {e}")
             record(name, err=f"spark result unreadable: {e}")
@@ -145,8 +160,15 @@ def main():
             continue
         if name not in oracle:
             # schema/hash were NOT compared — record null, never a
-            # fabricated True an adjudicator could mistake for a pass
-            print(f"  {name}: rows-only ({len(gr)} rows)")
+            # fabricated True an adjudicator could mistake for a pass.
+            # An EMPTY rows-only result is a FAILURE (round-10 advice:
+            # the exit code and the JSON must agree — previously the
+            # err string was recorded but the sweep still exited 0).
+            if not gr:
+                print(f"✗ {name}: rows-only check found 0 rows")
+                failures += 1
+            else:
+                print(f"  {name}: rows-only ({len(gr)} rows)")
             record(name, rows_match=len(gr) > 0, schema_match=None,
                    hash_match=None, spark_rows=len(gr),
                    err=None if gr else "rows-only check found 0 rows")
@@ -172,7 +194,34 @@ def main():
             record(name, spark_rows=len(gr), err=f"oracle raised: {err}")
             failures += 1
             continue
-        en, er = res
+        en, er, et = res
+        # Oracle-dtype gate (round-10 verdict task 1b): the driver's
+        # pandas comparator coerces HUGEINT/UHUGEINT/DECIMAL, so a
+        # value-identical result still hash-fails there. This mirror
+        # normalizes values to strings and would never see it — gate
+        # on the DuckDB output types themselves.
+        bad = [f"{n}:{t}" for n, t in zip(en, et)
+               if any(t.startswith(b) for b in BANNED_ORACLE_TYPES)]
+        if bad:
+            print(f"✗ {name}: oracle dtype gate: {', '.join(bad)} "
+                  "(pandas-uncomparable — CAST in the oracle SQL)")
+            record(name, spark_rows=len(gr), oracle_rows=len(er),
+                   err=f"oracle dtype gate: {', '.join(bad)}")
+            failures += 1
+            continue
+        if gt != et:
+            # spark-vs-oracle DuckDB type drift (e.g. INT vs BIGINT):
+            # the values would still string-compare below, but a
+            # pandas-dtype-sensitive driver comparator could diverge —
+            # the whole surface is drift-free (q72/q91/q98 were aligned
+            # in round 11), so any drift is a regression. FATAL.
+            diffs = [f"{n}:{a}≠{b}" for n, a, b in zip(en, gt, et)
+                     if a != b]
+            print(f"✗ {name}: dtype drift: {', '.join(diffs)}")
+            record(name, spark_rows=len(gr), oracle_rows=len(er),
+                   err=f"dtype drift: {', '.join(diffs)}")
+            failures += 1
+            continue
         if gn != en:
             print(f"✗ {name}: COLUMN MISMATCH spark={gn} oracle={en}")
             record(name, rows_match=len(gr) == len(er), schema_match=False,
@@ -207,6 +256,12 @@ def main():
         failures += 1
     if timed_out:
         print(f"timed-out oracles ({len(timed_out)}): {','.join(timed_out)}")
+        print("WARNING: the q145 full re-mine anchor was SKIPPED — the "
+              "ten store-backed oracles replayed Spark-produced edges "
+              "without an independent mining check at this SF. Re-run "
+              "with a larger --oracle-timeout (sf0.1 fits ~120s on an "
+              "idle box) so the anchor is exercised at the SF the "
+              "store-backed oracles gate (round-10 advice).")
     try:
         json_path.write_text(json.dumps(
             {"sf_dir": SF_DIR, "out_dir": str(OUT), "failures": failures,
