@@ -19,12 +19,15 @@ import java.util.UUID
   *     tmpdir (removed on JVM exit), so a test suite and a bench run
   *     racing each other is impossible by construction.
   *  3. The correctness artifact is SELF-CONTAINED: graft.Verify
-  *     repoints [[baseDir]] at its own outDir before running any
-  *     query, and the oracle SQL references dumps through the
-  *     [[DirToken]]/[[SfToken]] placeholders that Verify resolves
-  *     when it writes oracle_sql.json — the dumps travel with the
-  *     parquet results the driver already reads, immune to tmpdir
-  *     lifecycle and to concurrent runs in other directories.
+  *     repoints [[baseDir]] at the SIBLING of its outDir
+  *     (`<outDir>_dumps` — same parent/lifecycle, but provably
+  *     outside any iteration of outDir, whose toplevel entries the
+  *     driver treats as query results), and the oracle SQL references
+  *     dumps through the [[DirToken]]/[[SfToken]] placeholders that
+  *     Verify resolves when it writes oracle_sql.json — the dumps
+  *     travel with the parquet results the driver already reads,
+  *     immune to tmpdir lifecycle and to concurrent runs in other
+  *     directories.
   */
 object OracleDump {
 
@@ -65,6 +68,14 @@ object OracleDump {
 
   private val completed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Whether THIS JVM already published `name` at its current
+    * resolved path. False for a dump that merely exists on disk from
+    * a prior process — callers that must never trust a possibly-stale
+    * leftover (a reused outDir) gate on this, not on Files.exists.
+    */
+  def isPublished(name: String): Boolean =
+    completed.contains(Paths.get(path(name)).toString)
 
   /** Write-once publication: the first call per (JVM, resolved path)
     * materializes the dump via `write(tmpPath)` and renames it into
@@ -108,12 +119,17 @@ object OracleDump {
     try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     catch {
       // lost a same-path race: keep the winner. rename(2) onto an
-      // existing EMPTY dir reports FileAlreadyExists; onto a non-empty
-      // one (any real parquet dump) it reports ENOTEMPTY — absorb both,
-      // but only when a winner actually exists.
-      case e: java.nio.file.FileSystemException
-          if Files.exists(target) ||
-            e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+      // existing EMPTY dir reports EEXIST (FileAlreadyExists); onto a
+      // non-empty one (any real parquet dump) ENOTEMPTY
+      // (DirectoryNotEmpty) — absorb EXACTLY those two, and only
+      // after re-verifying a winner is actually in place. Any other
+      // FileSystemException (EXDEV across filesystems, EPERM, ...)
+      // is a genuine publish failure and must propagate — absorbing
+      // it would let publish() return a path holding stale or no
+      // content (round-10 advice).
+      case _ @ (_: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.DirectoryNotEmptyException)
+          if Files.exists(target) =>
         deleteRecursively(tmp)
     }
   }

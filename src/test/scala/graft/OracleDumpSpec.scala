@@ -89,6 +89,24 @@ class OracleDumpSpec extends AnyFunSuite {
       "tmp staging dirs must be renamed away or deleted")
   }
 
+  test("isPublished: true only for THIS JVM's publications, never for " +
+      "a mere on-disk leftover") {
+    val name = s"dump_pubq_${System.nanoTime()}"
+    assert(!OracleDump.isPublished(name))
+    // simulate a PRIOR process's leftover at the same path: existence
+    // alone must not flip isPublished — Verify's store safety net
+    // gates on it to avoid pinning stale edges at a reused outDir
+    val leftover = Paths.get(OracleDump.path(s"${name}_prior"))
+    Files.createDirectories(leftover)
+    Files.writeString(leftover.resolve("part-00000"), "stale")
+    assert(!OracleDump.isPublished(s"${name}_prior"))
+    OracleDump.publish(name) { d =>
+      Files.createDirectories(Paths.get(d))
+      Files.writeString(Paths.get(d, "a"), "x")
+    }
+    assert(OracleDump.isPublished(name))
+  }
+
   test("token resolution rewrites dump references for the compare artifact") {
     val sql = s"SELECT * FROM '${OracleDump.DirToken}/x.parquet/*.parquet' " +
       s"JOIN '${OracleDump.DirToken}/store_${OracleDump.SfToken}/*.parquet'"

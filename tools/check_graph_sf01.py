@@ -30,9 +30,11 @@ import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_graph_sf01")
-# q145 publishes the store under Verify's outDir (round-10 relocation:
-# oracle side-files travel with the compare artifact)
-STORE = OUT / "_dumps" / f"graft_pairs_store_{Path(SF_DIR).name}"
+# q145 publishes the store in the SIBLING <outDir>_dumps directory
+# (round-11 relocation: side-files travel with the compare artifact
+# but stay outside the driver's result iteration of outDir)
+STORE = OUT.parent / (OUT.name + "_dumps") / \
+    f"graft_pairs_store_{Path(SF_DIR).name}"
 
 
 def run_verify():
