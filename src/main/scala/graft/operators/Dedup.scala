@@ -521,19 +521,54 @@ object Dedup {
     * `OracleDump.baseDir`, so a name-filtered Verify run that skips
     * q145 — or a q145 Spark-side failure swallowed by Verify's
     * per-query catch — must not cascade into ten spurious IO failures
-    * at DuckDB-compare time. Publishes the store for `dir` iff it is
-    * not already there (q145's own publish is the normal writer and
-    * remains the audited round trip).
+    * at DuckDB-compare time. Publishes the store for `dir` unless
+    * THIS JVM already published it (q145's own publish is the normal
+    * writer and remains the audited round trip). The gate is
+    * [[OracleDump.isPublished]], NOT on-disk existence: a store left
+    * on disk by a PRIOR process at a reused outDir could be stale for
+    * a changed miner, and trusting it would pin the ten store-backed
+    * oracles to yesterday's edges (round-10 advice) — re-mining at
+    * sf0.01 is seconds, staleness is unbounded.
     */
   def ensureStorePublished(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val name = s"graft_pairs_store_${new java.io.File(dir).getName}"
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(OracleDump.path(name)))) {
+    if (!OracleDump.isPublished(name)) {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val fresh = minePairs(docs, Some(Tables.embeddings(s, dir)))
       OracleDump.publish(name)(writePairsStore(fresh, _))
     }
+  }
+
+  /** Default row gate for [[gatedBroadcast]]: ~1M rows of narrow
+    * (id, id)/(id, count) tuples is tens of MB serialized — well
+    * inside a safe BroadcastExchange, far above anything this corpus
+    * produces. A 100 TB web corpus at realistic 30-50% dup rates
+    * blows past it by orders of magnitude, which is the point: the
+    * gate trips and the join falls back to a plain shuffle.
+    */
+  private[graft] val BroadcastRowGate = 1L << 20
+
+  /** Broadcast iff MEASURED small. Near-dup membership/pair/label
+    * tables are bounded by the pair GRAPH, not the corpus — at this
+    * corpus's benign dup rate that is dimension-like and broadcast is
+    * the right plan, but at realistic web-corpus rates (30-50% of
+    * docs in some near-dup pair) the pair graph is a corpus FRACTION,
+    * and a forced `broadcast()` is a driver-side BroadcastExchange
+    * collect with a hard size ceiling that AQE cannot override
+    * (round-10 verdict task 3). So: materialize once (localCheckpoint
+    * — the join reuses the checkpointed blocks, making the measuring
+    * count a cheap scan, not a recompute; pass `materialize = false`
+    * for frames a caller already checkpointed), count, and hint
+    * broadcast only under `maxRows`; above the gate the frame joins
+    * unhinted on its key and the planner/AQE picks sort-merge or
+    * shuffled-hash. Both shapes are pinned in DedupSpec.
+    */
+  private[graft] def gatedBroadcast(df: org.apache.spark.sql.DataFrame,
+      maxRows: Long = BroadcastRowGate, materialize: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val snap = if (materialize) df.localCheckpoint() else df
+    if (snap.count() <= maxRows) broadcast(snap) else snap
   }
 
   /** Per-doc SOFT-DEDUP sampling weight over any (doc_id, ...) frame
@@ -548,17 +583,21 @@ object Dedup {
     * The q151 kernel as a library surface — in production the pair
     * list is [[readPairsStore]] output, so a weights manifest refresh
     * never re-mines. Appends the `wppm` column; the label/size tables
-    * are bounded by the pair graph and broadcast, the input frame
-    * never shuffles.
+    * are bounded by the pair graph — dimension-like at THIS corpus's
+    * dup rate, a corpus fraction at realistic web rates — so they go
+    * through [[gatedBroadcast]]: measured-small sides broadcast (the
+    * input frame never shuffles), oversize sides fall back to plain
+    * equi-joins and the input shuffles once on doc_id.
     */
   def softDedupWeights(docs: org.apache.spark.sql.DataFrame,
-      pairs: org.apache.spark.sql.DataFrame)
+      pairs: org.apache.spark.sql.DataFrame,
+      broadcastGate: Long = BroadcastRowGate)
       : org.apache.spark.sql.DataFrame = {
     val comp = connectedComponents(pairs)
     val sizes = comp.groupBy(col("lbl")).agg(count(lit(1)).as("csz"))
-    val mem = comp.join(broadcast(sizes), "lbl")
+    val mem = comp.join(gatedBroadcast(sizes, broadcastGate), "lbl")
       .select(col("id").as("doc_id"), col("csz"))
-    docs.join(broadcast(mem), Seq("doc_id"), "left")
+    docs.join(gatedBroadcast(mem, broadcastGate), Seq("doc_id"), "left")
       .withColumn("wppm",
         when(col("csz").isNull, lit(1000000L))
           .otherwise(expr(
@@ -1636,11 +1675,16 @@ object Dedup {
     // pair list — so this skips connectedComponents entirely (no
     // O(log n) label-propagation rounds; q71/q73 pay that only
     // because they need the labels). The membership list is
-    // pair-graph-bounded (orders of magnitude smaller than the
-    // corpus) and BROADCASTS onto a two-column (doc_id, source)
-    // projection — the corpus-sized side is never shuffled for the
-    // label join; totals are one map-side-combined groupBy on the
-    // same projection. dup_ppm is integer half-up — no float rates.
+    // pair-graph-bounded — much smaller than the corpus at THIS
+    // corpus's dup rate, but a corpus FRACTION at realistic web
+    // rates (30-50% of docs in some pair) — so it goes through the
+    // measured gatedBroadcast: small lists broadcast onto the
+    // two-column (doc_id, source) projection (the corpus side never
+    // shuffles), oversize lists fall back to a plain doc_id equi-join
+    // under AQE. Totals are one map-side-combined groupBy on the same
+    // projection; the per-source rate table is genuinely dimension-
+    // sized (≤ |sources| rows) and stays force-broadcast. dup_ppm is
+    // integer half-up — no float rates.
     QueryDef("q87_source_dup_rate",
       (s, dir) => {
         val src = Tables.documents(s, dir)
@@ -1648,7 +1692,7 @@ object Dedup {
         val members = multiSignalPairs(s, dir)
           .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .distinct()
-        val dup = src.join(broadcast(members), Seq("doc_id"))
+        val dup = src.join(gatedBroadcast(members), Seq("doc_id"))
           .groupBy(col("source")).agg(count(lit(1)).as("n_dup0"))
         src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
           .join(broadcast(dup), Seq("source"), "left")
@@ -2460,13 +2504,16 @@ object Dedup {
     // engines.
     //
     // 100 TB shape: the component label table is bounded by the pair
-    // GRAPH (docs in no near-dup pair never enter it), so labels and
-    // cluster sizes are dimension-sized at any corpus scale — sizes
-    // broadcast onto labels, the labeled members broadcast onto the
-    // corpus (one LEFT broadcast join; the corpus-sized side never
-    // shuffles for the join), and the report is one source-keyed
-    // aggregation. In production the pairs come from the q145 store
-    // (mined once); the oracle replays exactly that contract.
+    // GRAPH (docs in no near-dup pair never enter it) — dimension-
+    // like here, a corpus FRACTION at realistic 30-50% web dup rates
+    // — so both small sides go through softDedupWeights' measured
+    // gatedBroadcast: under the gate, sizes broadcast onto labels and
+    // the labeled members broadcast onto the corpus (one LEFT
+    // broadcast join; the corpus-sized side never shuffles); over it,
+    // plain doc_id equi-joins under AQE. The report is one
+    // source-keyed aggregation. In production the pairs come from the
+    // q145 store (mined once); the oracle replays exactly that
+    // contract.
     QueryDef("q151_soft_dedup_weights",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -2518,13 +2565,18 @@ object Dedup {
     // different splits — structurally zero, and the oracle re-derives
     // the zero rather than assuming it.
     //
-    // 100 TB shape: the label table is bounded by the pair graph, so
-    // unit assignment is one broadcast LEFT join onto the corpus (the
-    // corpus never shuffles for it); the mix64 split rule is a per-row
-    // expression; the guarantee check broadcasts the bounded pair list
-    // onto the labeled corpus twice (the q87 membership shape); the
-    // census is one bounded (split, source) aggregation. Pairs come
-    // from one mining pass (the q145 store in production),
+    // 100 TB shape: the label/pair tables are bounded by the pair
+    // graph — dimension-like at this corpus's dup rate, a corpus
+    // FRACTION at realistic web rates — so every one of them goes
+    // through the measured gatedBroadcast: under the gate, unit
+    // assignment is one broadcast LEFT join onto the corpus (the
+    // corpus never shuffles for it) and the guarantee check
+    // broadcasts the pair list onto the labeled corpus twice (the
+    // q87 membership shape); over the gate they fall back to plain
+    // id-keyed equi-joins under AQE. The mix64 split rule is a
+    // per-row expression; the census is one bounded (split, source)
+    // aggregation; the one-row guarantee count stays force-broadcast.
+    // Pairs come from one mining pass (the q145 store in production),
     // localCheckpoint-ed because the splitter AND the guarantee check
     // both consume them (the q134/q139 deep-lineage rule).
     QueryDef("q152_leakage_free_split",
@@ -2537,7 +2589,10 @@ object Dedup {
         val u = TextAnalysis.unsignedDec(
           call_function("graft_mix64", col("unit")))
         val lab = docs
-          .join(broadcast(comp), col("doc_id") === col("id"), "left")
+          // comp is already localCheckpoint-ed inside CC → measure it
+          // in place, don't re-materialize
+          .join(gatedBroadcast(comp, materialize = false),
+            col("doc_id") === col("id"), "left")
           .select(col("doc_id"), col("source"),
             coalesce(col("lbl"), col("doc_id")).as("unit"))
           .withColumn("u", u)
@@ -2548,10 +2603,12 @@ object Dedup {
           .transform(graft.plans.CacheLifecycle.autoRelease) // census + check
         val sa = lab.select(col("doc_id"), col("split"))
         val leak = sa
-          .join(broadcast(pairs), col("doc_id") === col("doc_a"))
+          // pairs is localCheckpoint-ed above → measure in place
+          .join(gatedBroadcast(pairs, materialize = false),
+            col("doc_id") === col("doc_a"))
           .select(col("split").as("split_a"), col("doc_b"))
         val nLeaks = sa
-          .join(broadcast(leak), col("doc_id") === col("doc_b"))
+          .join(gatedBroadcast(leak), col("doc_id") === col("doc_b"))
           .filter(col("split") =!= col("split_a"))
           .agg(count(lit(1)).as("n_cross_pairs"))
         lab.groupBy(col("split"), col("source"))

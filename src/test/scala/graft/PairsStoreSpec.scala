@@ -137,4 +137,38 @@ class PairsStoreSpec extends AnyFunSuite {
     // the component's total mass is one document's worth (rounding ±)
     assert(Seq(1L, 2L, 3L, 10L).map(w).sum == 1000000L, w.toString)
   }
+
+  test("gatedBroadcast: broadcast under the gate, shuffle join above it") {
+    // The at-scale contract (round-10 verdict task 3): membership/
+    // label tables are pair-graph-bounded — dimension-LIKE at benign
+    // dup rates, a corpus FRACTION at realistic web rates — so the
+    // broadcast is a measured decision, not an assumption. Both plan
+    // shapes must produce identical weights.
+    val docs = corpus.select(col("doc_id"))
+    val pairs = Dedup.minePairs(corpus).select(col("doc_a"), col("doc_b"))
+    def run(gate: Long): (String, Map[Long, Long]) = {
+      val w = Dedup.softDedupWeights(docs, pairs, broadcastGate = gate)
+      (w.queryExecution.sparkPlan.toString,
+        w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    val (pUnder, wUnder) = run(Dedup.BroadcastRowGate)
+    assert(pUnder.contains("BroadcastHashJoin"), pUnder.take(800))
+    assert(!pUnder.contains("SortMergeJoin") &&
+      !pUnder.contains("ShuffledHashJoin"),
+      s"under the gate the corpus side must never shuffle:\n${pUnder.take(800)}")
+    // gate = 0 rows: no hint may be attached; with the planner's own
+    // auto-broadcast disabled (as a corpus-fraction table's size stats
+    // would disable it at 100 TB) the join MUST fall to a shuffle —
+    // proving no hidden hint survives to force a driver-side collect
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (pOver, wOver) = run(0L)
+      assert(!pOver.contains("BroadcastHashJoin"),
+        s"above the gate nothing may broadcast:\n${pOver.take(800)}")
+      assert(pOver.contains("SortMergeJoin") ||
+        pOver.contains("ShuffledHashJoin"), pOver.take(800))
+      assert(wOver == wUnder, "both shapes must compute identical weights")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
