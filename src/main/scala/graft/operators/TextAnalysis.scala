@@ -3413,7 +3413,100 @@ object TextAnalysis {
              |    // (2 * CAST(nt_sum AS HUGEINT)) AS BIGINT)
              |    AS overlap_ppm
              |FROM ca JOIN da USING (source)
-             |ORDER BY source""".stripMargin)))
+             |ORDER BY source""".stripMargin)),
+
+    // ── Q154: SEQUENCE-PACKING CENSUS — the GPT-style pretraining
+    // packer's budget sheet: documents are concatenated in a
+    // deterministic mix64(doc_id)-shuffled order and CUT every
+    // B = 256 tokens into fixed-length training sequences. Packing is
+    // per (source, shard) with shard = mix64(doc_id) mod 8 — exactly
+    // how a real pipeline packs (each writer/worker packs its own
+    // shard independently; a single global concatenation order would
+    // serialize the corpus through one task). Reports, per source,
+    // what the recipe budgets by: docs packed, token mass, packed
+    // sequences produced (Σ per-shard ceil(tokens/B)), documents cut
+    // by a sequence boundary (the attention-contamination count
+    // packing-with-masking must handle), and fill ratio in half-up
+    // ppm (1e6 − fill = the padding tax of the shards' last bins).
+    //
+    // 100 TB shape: ONE corpus shuffle on (source, shard) feeds both
+    // the running-sum window and the per-shard aggregate (the groupBy
+    // reuses the window's partitioning — no second corpus exchange);
+    // the per-shard cumsum is sequential only WITHIN a shard, and
+    // SHARDS is the deployment's parallelism knob (8 here keeps the
+    // oracle window tractable; a cluster run sizes it to cores, the
+    // hash shard key keeps it skew-free whatever the source mix).
+    // The census is |sources| × |shards| rows — dimension-sized.
+    // All arithmetic is integer (ceil-div, boundary compare, half-up
+    // ppm in DECIMAL) — identical in both engines; the mix64 order
+    // key compares as u64 on both sides (unsignedDec / HUGEINT m).
+    QueryDef("q154_sequence_packing",
+      (s, dir) => {
+        val B = 256L
+        val m = call_function("graft_mix64", col("doc_id"))
+        val d = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("source"), col("doc_id"),
+            size(toks).cast("long").as("nt"))
+          .filter(col("nt") >= 1)
+          .withColumn("shard", pmod(m, lit(8L)))
+          .withColumn("u", unsignedDec(m))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("shard"))
+          .orderBy(col("u"), col("doc_id"))
+          .rowsBetween(Long.MinValue, -1)
+        val packed = d
+          .withColumn("cb", coalesce(sum(col("nt")).over(w), lit(0L)))
+          .withColumn("straddle",
+            when(expr(s"cb div $B") =!= expr(s"(cb + nt - 1) div $B"),
+              1L).otherwise(0L))
+        packed.groupBy(col("source"), col("shard"))
+          .agg(count(lit(1)).as("nd"), sum(col("nt")).as("st"),
+            sum(col("straddle")).as("ns"))
+          .groupBy(col("source"))
+          .agg(sum(col("nd")).as("n_docs"),
+            sum(col("st")).as("tok_mass"),
+            sum(expr(s"(st + ${B - 1}) div $B")).as("n_seqs"),
+            sum(col("ns")).as("n_cut_docs"))
+          .select(col("source"), col("n_docs"), col("tok_mass"),
+            col("n_seqs"), col("n_cut_docs"),
+            expr(s"CAST((2 * CAST(tok_mass AS DECIMAL(38,0)) * 1000000"
+              + s" + n_seqs * $B)"
+              + s" div (2 * CAST(n_seqs AS DECIMAL(38,0)) * $B)"
+              + " AS BIGINT)").as("fill_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d0 AS (
+              |  SELECT source, doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+              |  FROM documents WHERE text IS NOT NULL),
+              |h0 AS (
+              |  SELECT source, doc_id, nt, CAST(doc_id AS HUGEINT) AS z
+              |  FROM d0 WHERE nt >= 1),
+              |${OracleSql.mix64Ctes("source, doc_id, nt", "h0")},
+              |sd AS (
+              |  SELECT source, doc_id, nt, m % 8 AS shard, m FROM mixed),
+              |cums AS (
+              |  SELECT source, shard, nt,
+              |    coalesce(sum(nt) OVER (PARTITION BY source, shard
+              |      ORDER BY m, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS cb
+              |  FROM sd),
+              |sh AS (
+              |  SELECT source, shard, count(*) AS nd, sum(nt) AS st,
+              |    sum(CASE WHEN cb // 256 <> (cb + nt - 1) // 256
+              |        THEN 1 ELSE 0 END) AS ns
+              |  FROM cums GROUP BY source, shard)
+              |SELECT source, CAST(sum(nd) AS BIGINT) AS n_docs,
+              |  CAST(sum(st) AS BIGINT) AS tok_mass,
+              |  CAST(sum((st + 255) // 256) AS BIGINT) AS n_seqs,
+              |  CAST(sum(ns) AS BIGINT) AS n_cut_docs,
+              |  CAST((2 * CAST(sum(st) AS HUGEINT) * 1000000
+              |      + sum((st + 255) // 256) * 256)
+              |    // (2 * CAST(sum((st + 255) // 256) AS HUGEINT) * 256)
+              |    AS BIGINT) AS fill_ppm
+              |FROM sh GROUP BY source ORDER BY source""".stripMargin)))
 
   /** OLS sufficient statistics + ppm slope/intercept over a
     * (source, x: long, y: long) frame — the q136 kernel, extracted so

@@ -1065,11 +1065,14 @@ class PlanSpec extends AnyFunSuite {
     try {
       for (q <- Seq("q151_soft_dedup_weights", "q152_leakage_free_split")) {
         val p = plan(q)
-        // the label/size/pair tables are bounded by the pair GRAPH —
-        // they must be the broadcast build side; the corpus-sized scan
-        // must never shuffle for a join (CC internals are behind the
-        // localCheckpoint truncation, so the query plan is exactly the
-        // consumer shape)
+        // the label/size/pair tables are bounded by the pair GRAPH and
+        // at this SF the measured gatedBroadcast admits every one of
+        // them — they must be the broadcast build side; the
+        // corpus-sized scan must never shuffle for a join (CC
+        // internals are behind the localCheckpoint truncation, so the
+        // query plan is exactly the consumer shape). Above the gate
+        // the same code degrades to plain equi-joins —
+        // PairsStoreSpec pins that shape.
         assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
           s"$q: corpus must meet the component tables via broadcast:\n" +
             p.take(1500))
@@ -1084,6 +1087,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the dimension-sized media table must be the broadcast build side")
+    // The broadcast contract made explicit (round-10 verdict task 6):
+    // exactly two sides broadcast — the MEDIA table (dimension-sized
+    // here; at media-at-corpus-scale deployments the pairing becomes
+    // the co-partitioned equi-join documented in the operator) and
+    // the per-source TOTALS, which are an AGGREGATE of the corpus
+    // (≤ |sources| rows). The corpus itself must never be a broadcast
+    // build side un-aggregated: walk the tree and demand every
+    // documents parquet scan beneath a BroadcastExchange has an
+    // aggregate between the exchange and the scan.
+    def depth(l: String): Int = l.indexWhere(_.isLetter)
+    case class Frame(d: Int, var agg: Boolean)
+    var frames = List.empty[Frame]
+    var rawUnderBroadcast = 0
+    p.linesIterator.foreach { l =>
+      val d = depth(l)
+      if (d >= 0) {
+        frames = frames.filter(_.d < d)
+        if (l.contains("HashAggregate")) frames.foreach(_.agg = true)
+        if (l.contains("parquet") && l.contains("documents") &&
+            frames.exists(!_.agg))
+          rawUnderBroadcast += 1
+        if (l.contains("BroadcastExchange")) frames ::= Frame(d, agg = false)
+      }
+    }
+    assert(rawUnderBroadcast == 0,
+      s"un-aggregated corpus scan under a BroadcastExchange:\n${p.take(2000)}")
+  }
+
+  test("q154: one corpus exchange — the (source, shard) window shuffle " +
+      "feeds the per-shard aggregate in place; no join") {
+    val exec = SparkEntry.queries("q154_sequence_packing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"), exec.take(1500))
+    assert(exec.contains("Window"), exec.take(500))
+    val hashEx = exec.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.count(_.contains("shard")) == 1,
+      s"exactly ONE corpus-wide (source, shard) exchange — the window's, " +
+        s"reused by the per-shard groupBy:\n${exec.take(1500)}")
+    assert(hashEx.size == 2,
+      s"only the |sources|x|shards|-row rollup may re-exchange:\n${
+        exec.take(1500)}")
   }
 
   test("q150: chunk explode never re-shuffles; doc aggregate joins broadcast") {

@@ -39,6 +39,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  test("q21 oracle: file_size is CAST to BIGINT (driver pandas dtype gate)") {
+    // DuckDB types sum(len(bytes)) as HUGEINT, which the driver's
+    // pandas comparator coerces to float64 — round 10's only red row
+    // was exactly this, with every value identical. The uncast form
+    // must never come back; tools/check_parity.py enforces the same
+    // invariant over ALL oracle output columns via DuckDB types.
+    val sql = SparkEntry.oracleSql("q21_pipeline_segments")
+    assert("AS BIGINT\\)\\s+AS file_size".r.findFirstIn(sql).isDefined,
+      s"file_size must be cast to BIGINT:\n$sql")
+  }
+
   test("query names are unique across modules (no silent map collisions)") {
     import graft.operators._
     val names = (Relational.defs ++ VideoAnalytics.defs ++ TextAnalysis.defs ++
@@ -1040,5 +1051,22 @@ class QueriesSpec extends AnyFunSuite {
     val corpus = graft.operators.Tables.documents(spark, sf).count()
     assert(total == corpus, s"split census must cover the corpus: " +
       s"$total vs $corpus")
+  }
+
+  test("q154 packing: sequence accounting exact; fill and cuts bounded") {
+    val rows = SparkEntry.queries("q154_sequence_packing")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, mass, nSeqs, cut, fill) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nSeqs * 256 >= mass, s"sequences must hold the mass: $r")
+      assert(nSeqs <= mass / 256 + 8,
+        s"at most one partial sequence per shard: $r")
+      assert(fill > 0 && fill <= 1000000L, s"fill is a ppm ratio: $r")
+      // a cut doc consumes >= 1 of the Σ(bins_shard − 1) boundaries
+      assert(cut < nSeqs, s"cuts bounded by sequence boundaries: $r")
+      assert(cut <= nDocs, r.toString)
+    }
   }
 }
