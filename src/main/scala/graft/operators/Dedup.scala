@@ -1390,8 +1390,12 @@ object Dedup {
     // is ONE row on each side of the exchange, no per-group sort, so
     // keeper election costs one capped shuffle over (component, len)
     // pairs regardless of how large the boilerplate components grow.
-    // The keepers table is one row per component — broadcast back onto
-    // the membership, never shuffling the corpus-sized side.
+    // The keepers table is one row per COMPONENT — smaller than the
+    // membership, but component count is still pair-graph-bounded
+    // (a corpus fraction at realistic web dup rates), so the
+    // back-join goes through the measured gatedBroadcast: broadcast
+    // when small, plain lbl-keyed equi-join when not (both sides of
+    // that join are graph-bounded, never the corpus).
     QueryDef("q73_dedup_keepers",
       (s, dir) => {
         graft.plans.TopK.ensure(s)
@@ -1411,7 +1415,11 @@ object Dedup {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("lbl"), col("doc_id").as("keeper_id"))
-        scored.join(broadcast(keepers), Seq("lbl"))
+        // materialize = false: keepers' TopKPerKey subtree must stay
+        // IN the consumer plan (PlanSpec pins the bounded operator);
+        // the measuring count re-runs one graph-bounded branch
+        scored.join(gatedBroadcast(keepers, materialize = false),
+          Seq("lbl"))
           .select(col("doc_id"), col("keeper_id"),
             (col("doc_id") === col("keeper_id")).as("is_keeper"))
           .orderBy(col("doc_id"))
