@@ -562,7 +562,7 @@ object Dedup {
     * for frames a caller already checkpointed), count, and hint
     * broadcast only under `maxRows`; above the gate the frame joins
     * unhinted on its key and the planner/AQE picks sort-merge or
-    * shuffled-hash. Both shapes are pinned in DedupSpec.
+    * shuffled-hash. Both shapes are pinned in PairsStoreSpec.
     */
   private[graft] def gatedBroadcast(df: org.apache.spark.sql.DataFrame,
       maxRows: Long = BroadcastRowGate, materialize: Boolean = true)
@@ -594,10 +594,18 @@ object Dedup {
       broadcastGate: Long = BroadcastRowGate)
       : org.apache.spark.sql.DataFrame = {
     val comp = connectedComponents(pairs)
+    // ONE measurement gates BOTH small sides: |sizes| ≤ |mem| = the
+    // member count, and comp is already localCheckpoint-ed inside CC,
+    // so the count is a cheap block scan — no extra materialization
+    // per gated side (the broadcast exchanges rebuild only the tiny
+    // aggregates over the checkpointed labels).
+    val nMembers = comp.count()
+    def gated(df: org.apache.spark.sql.DataFrame) =
+      if (nMembers <= broadcastGate) broadcast(df) else df
     val sizes = comp.groupBy(col("lbl")).agg(count(lit(1)).as("csz"))
-    val mem = comp.join(gatedBroadcast(sizes, broadcastGate), "lbl")
+    val mem = comp.join(gated(sizes), "lbl")
       .select(col("id").as("doc_id"), col("csz"))
-    docs.join(gatedBroadcast(mem, broadcastGate), Seq("doc_id"), "left")
+    docs.join(gated(mem), Seq("doc_id"), "left")
       .withColumn("wppm",
         when(col("csz").isNull, lit(1000000L))
           .otherwise(expr(
@@ -2651,7 +2659,78 @@ object Dedup {
               |  CAST(l.n_cross_pairs AS BIGINT) AS n_cross_pairs
               |FROM lab CROSS JOIN leak l
               |GROUP BY split, source, l.n_cross_pairs
-              |ORDER BY split, source""".stripMargin)))
+              |ORDER BY split, source""".stripMargin)),
+
+    // ── Q155: EFFECTIVE TOKEN MASS — the number the q151 weights
+    // exist to produce: per source, the post-soft-dedup token budget
+    // a training recipe actually multiplies into its epoch math.
+    // Each doc contributes nt·wppm ppm-tokens (near-dup cluster
+    // members share one document's worth of mass, q151's kernel), so
+    // eff_tokens is the half-up de-ppm'd sum and saved_ppm the mass
+    // the weighting removed relative to the raw token count — the
+    // per-source "dedup dividend" in tokens rather than q96's bytes
+    // or q151's document counts. Tokens are the q150 whitespace
+    // convention (split on ' ', empties kept) over non-null texts;
+    // weights come from components over the FULL pair graph (the
+    // oracle replays both from the q145 store).
+    //
+    // 100 TB shape: q151's — one corpus scan, the membership join
+    // through softDedupWeights' measured broadcast gate, a
+    // |sources|-row census. The ppm-token sum accumulates in
+    // DECIMAL(38,0) (nt·wppm is ~1e10 per doc; an int64 sum wraps
+    // past ~1e6 average-sized docs per source — DECIMAL carries the
+    // corpus headroom and both final ratios divide inside DECIMAL
+    // before the BIGINT cast).
+    QueryDef("q155_effective_token_mass",
+      (s, dir) => {
+        val dec38 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0)
+        val docs = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("nt"))
+        softDedupWeights(docs, multiSignalPairs(s, dir))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("raw_tokens"),
+            sum(col("nt").cast(dec38) * col("wppm")).as("s_d"))
+          .select(col("source"), col("n_docs"), col("raw_tokens"),
+            expr("CAST((2 * s_d + 1000000) div (2 * 1000000) AS BIGINT)")
+              .as("eff_tokens"),
+            expr("CAST((2 * (CAST(raw_tokens AS DECIMAL(38,0)) * 1000000"
+              + " - s_d) * 1000000"
+              + " + CAST(raw_tokens AS DECIMAL(38,0)) * 1000000)"
+              + " div (2 * CAST(raw_tokens AS DECIMAL(38,0)) * 1000000)"
+              + " AS BIGINT)").as("saved_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE $storeCompCtes,
+              |sizes AS (
+              |  SELECT keeper, count(*) AS csz FROM comp GROUP BY keeper),
+              |mem AS (
+              |  SELECT c.id AS doc_id, s.csz
+              |  FROM comp c JOIN sizes s ON s.keeper = c.keeper),
+              |dd AS (
+              |  SELECT d.source,
+              |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+              |    CASE WHEN m.doc_id IS NULL THEN 1000000
+              |         ELSE greatest(1,
+              |           (2 * 1000000 + m.csz) // (2 * m.csz)) END AS wppm
+              |  FROM documents d LEFT JOIN mem m USING (doc_id)
+              |  WHERE d.text IS NOT NULL),
+              |a AS (
+              |  SELECT source, count(*) AS n_docs, sum(nt) AS raw_tokens,
+              |    sum(CAST(nt AS HUGEINT) * wppm) AS s_d
+              |  FROM dd GROUP BY source)
+              |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+              |  CAST(raw_tokens AS BIGINT) AS raw_tokens,
+              |  CAST((2 * s_d + 1000000) // (2 * 1000000) AS BIGINT)
+              |    AS eff_tokens,
+              |  CAST((2 * (CAST(raw_tokens AS HUGEINT) * 1000000 - s_d)
+              |      * 1000000 + CAST(raw_tokens AS HUGEINT) * 1000000)
+              |    // (2 * CAST(raw_tokens AS HUGEINT) * 1000000)
+              |    AS BIGINT) AS saved_ppm
+              |FROM a ORDER BY source""".stripMargin)))
 
   /** Per-node triangle participation over an undirected pair list
     * (doc_a, doc_b) — q134's library op, compact-forward style

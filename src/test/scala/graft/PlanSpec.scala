@@ -1063,7 +1063,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("q151/q152: component tables broadcast onto the corpus, never SMJ") {
     try {
-      for (q <- Seq("q151_soft_dedup_weights", "q152_leakage_free_split")) {
+      for (q <- Seq("q151_soft_dedup_weights", "q152_leakage_free_split",
+          "q155_effective_token_mass")) {
         val p = plan(q)
         // the label/size/pair tables are bounded by the pair GRAPH and
         // at this SF the measured gatedBroadcast admits every one of

@@ -1053,6 +1053,31 @@ class QueriesSpec extends AnyFunSuite {
       s"$total vs $corpus")
   }
 
+  test("q155 effective mass: bounded by raw; saved_ppm consistent") {
+    val rows = SparkEntry.queries("q155_effective_token_mass")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, raw, eff, saved) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(n > 0 && raw >= n, s"every doc has >= 1 token: $r")
+      assert(eff <= raw, s"weighting can only remove mass: $r")
+      // members keep >= 1 ppm each, so eff stays positive
+      assert(eff > 0, r.toString)
+      assert(saved >= 0 && saved < 1000000L, r.toString)
+      // saved_ppm is the half-up ppm of (raw·1e6 − Σnt·wppm)/(raw·1e6);
+      // recomputing it from the REPORTED eff loses eff's half-token
+      // de-ppm rounding, worth up to 1e6/(2·raw) ppm — the band is
+      // that rounding radius plus 1 for the two half-up steps
+      val approx = ((raw - eff) * 1000000.0 / raw).round
+      val band = 1000000.0 / (2 * raw) + 1
+      assert(math.abs(saved - approx) <= band,
+        s"saved_ppm must match the removed fraction: $r vs $approx ± $band")
+    }
+    // at this SF near-dups exist: some source saves mass
+    assert(rows.exists(_.getLong(4) > 0), "corpus has dup clusters")
+  }
+
   test("q154 packing: sequence accounting exact; fill and cuts bounded") {
     val rows = SparkEntry.queries("q154_sequence_packing")(spark, sf)
       .collect()
