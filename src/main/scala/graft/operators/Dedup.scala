@@ -571,6 +571,21 @@ object Dedup {
     if (snap.count() <= maxRows) broadcast(snap) else snap
   }
 
+  /** [[gatedBroadcast]] with the row count supplied by the CALLER —
+    * for frames whose cardinality is knowable from a cheaper,
+    * already-materialized surrogate (q73: |keepers| ≡ |components|,
+    * countable on the checkpointed label table), so the gate never
+    * executes the expensive branch just to measure it (round-11
+    * advice: a materialize=false gate on an un-checkpointed branch
+    * re-runs that branch once per measurement). The frame itself
+    * stays un-materialized IN the consumer plan — the shape
+    * PlanSpec's operator pins require.
+    */
+  private[graft] def gatedBroadcastAt(df: org.apache.spark.sql.DataFrame,
+      measuredRows: Long, maxRows: Long = BroadcastRowGate)
+      : org.apache.spark.sql.DataFrame =
+    if (measuredRows <= maxRows) broadcast(df) else df
+
   /** Per-doc SOFT-DEDUP sampling weight over any (doc_id, ...) frame
     * and near-dup pair list: members of a component get weight
     * 1/|component| in half-up integer ppm (the cluster keeps one
@@ -735,7 +750,7 @@ object Dedup {
     * signatures Σ (relpos+1)·u mod 2⁶⁴, derived from groupBy sums as
     * Σ pos·u − (min−1)·Σ u in DECIMAL(38,0). Returns
     * (doc_id, source, n_anchors, sig) — one row per chunk, UNCACHED
-    * (q103 persists under the cache-lifecycle contract). Boundaries
+    * (q103's single-pass report never re-reads it). Boundaries
     * are content positions, so a shared passage chunks identically in
     * every doc containing it regardless of offset — the
     * shift-invariance QueriesSpec asserts directly.
@@ -769,6 +784,110 @@ object Dedup {
         ((col("sum_pu")
           - (col("minp") - 1).cast(dec38) * col("sum_u")) % two64)
           .as("sig"))
+  }
+
+  /** q103's per-source CDC dup-rate report over any (doc_id, source,
+    * text) frame — the SINGLE-PASS formulation: each chunk row learns
+    * its corpus-wide (sig, n_anchors) multiplicity from a count()
+    * window over that partition and the per-source census aggregates
+    * the windowed rows in place. The chunk table is consumed exactly
+    * once (no cache, no checkpoint) and there is NO broadcast: the
+    * join-back alternative — broadcast the distinct duplicate-
+    * signature set onto the chunk table — collects a set that scales
+    * with corpus dup content onto the driver (forced) or, gated,
+    * pays a second corpus-scale pass over chunks. PairsStoreSpec pins
+    * this result equal to the join-back shape and asserts the plan
+    * carries no BroadcastExchange.
+    */
+  private[graft] def cdcDupRateFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cdcChunksFrom(docs)
+      .select(col("source"), col("sig"), col("n_anchors"))
+      .withColumn("tot", count(lit(1)).over(
+        Window.partitionBy(col("sig"), col("n_anchors"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("tot") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("source"), col("n_chunks"), col("n_dup"),
+        expr("(2 * n_dup * 1000000 + n_chunks) div (2 * n_chunks)")
+          .as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** q156's dup-graph-aware eval-decontamination report over any
+    * (doc_id, source, text) frame: direct = a non-`evalSource` doc
+    * whose distinct 5-gram shingles are ≥ 20% contained in the
+    * `evalSource` shingle set (q48's threshold, probed in the
+    * decontamination direction); seeds = every eval doc ∪ every
+    * direct doc; contamination propagates through whole near-dup
+    * COMPONENTS of the 3-signal pair graph (transitive paraphrase
+    * chains). Returns per train source: doc counts (direct /
+    * neighbor-only) and the removed token mass. See the q156 comment
+    * block for the 100 TB shape.
+    */
+  private[graft] def dupAwareDecontaminationFrom(
+      docsIn: org.apache.spark.sql.DataFrame,
+      evalSource: String = "src0"): org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.ensure(docsIn.sparkSession)
+    val docs = docsIn
+      .select(col("doc_id"), col("source"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long"))
+          .as("nt"),
+        call_function("graft_shingle_hashes",
+          coalesce(col("text"), lit("")), lit(5)).as("sh"))
+      // three consumers (eval branch, probe branch, census) ACROSS
+      // the gate's measuring actions — an autoRelease cache would
+      // release itself on the first gate count (the q152 pairs
+      // rationale): checkpoint, not cache
+      .localCheckpoint()
+    val evalSet = docs.filter(col("source") === evalSource)
+      .select(explode(col("sh")).as("s")).distinct()
+      .withColumn("hit", lit(1))
+    val direct = docs.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(gatedBroadcast(evalSet), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(col("hit")).as("n_matched"))
+      .filter(col("n_matched") * 5 >= col("n_ngrams"))
+      .select(col("doc_id"))
+      // two consumers (seed union + report back-join), each behind
+      // its own gate measurement — checkpoint, not cache
+      .localCheckpoint()
+    val comp = connectedComponents(multiSignalPairsFrom(
+      docsIn.select(col("doc_id"), col("text"))))
+    val seeds = docs.filter(col("source") === evalSource)
+      .select(col("doc_id")).union(direct)
+    val badLbl = comp
+      .join(gatedBroadcast(seeds), col("id") === col("doc_id"))
+      .select(col("lbl")).distinct()
+    val reached = comp.join(gatedBroadcast(badLbl), Seq("lbl"))
+      .select(col("id").as("doc_id"), lit(1).as("r"))
+    docs.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("source"), col("nt"))
+      .join(gatedBroadcast(
+        direct.withColumn("d", lit(1)), materialize = false),
+        Seq("doc_id"), "left")
+      .join(gatedBroadcast(reached), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("d").isNotNull, 1L).otherwise(0L))
+          .as("n_direct"),
+        sum(when(col("d").isNull && col("r").isNotNull, 1L)
+          .otherwise(0L)).as("n_neighbor"),
+        sum(col("nt")).as("total_tokens"),
+        sum(when(col("d").isNotNull || col("r").isNotNull, col("nt"))
+          .otherwise(0L)).as("removed_tokens"))
+      .select(col("source"), col("n_docs"), col("n_direct"),
+        col("n_neighbor"), col("removed_tokens"),
+        expr("CAST(CASE WHEN total_tokens = 0 THEN 0"
+          + " ELSE (2 * CAST(removed_tokens AS DECIMAL(38,0))"
+          + " * 1000000 + total_tokens)"
+          + " div (2 * CAST(total_tokens AS DECIMAL(38,0))) END"
+          + " AS BIGINT)").as("removed_ppm"))
+      .orderBy(col("source"))
   }
 
   /** The full char-level 3-miner union replay, terminating in CTE
@@ -1413,7 +1532,8 @@ object Dedup {
         // miners read text through their own shared-signature scan)
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("n_chars").as("len"))
-        val scored = connectedComponents(multiSignalPairs(s, dir))
+        val comp = connectedComponents(multiSignalPairs(s, dir))
+        val scored = comp
           .join(docs, col("id") === col("doc_id"))
           .select(col("lbl"), col("doc_id"), col("len"))
         val w = org.apache.spark.sql.expressions.Window
@@ -1423,10 +1543,15 @@ object Dedup {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("lbl"), col("doc_id").as("keeper_id"))
-        // materialize = false: keepers' TopKPerKey subtree must stay
-        // IN the consumer plan (PlanSpec pins the bounded operator);
-        // the measuring count re-runs one graph-bounded branch
-        scored.join(gatedBroadcast(keepers, materialize = false),
+        // the gate's measurement: |keepers| ≡ |components|, counted
+        // on the CHECKPOINTED label table (comp is localCheckpoint-ed
+        // inside CC — a cheap block-scan agg), never by executing the
+        // keepers branch itself (a plain gatedBroadcast here would
+        // re-run the corpus-side scoring join once per measurement —
+        // round-11 advice); keepers' TopKPerKey subtree stays IN the
+        // consumer plan (PlanSpec pins the bounded operator)
+        val nComponents = comp.select(col("lbl")).distinct().count()
+        scored.join(gatedBroadcastAt(keepers, nComponents),
           Seq("lbl"))
           .select(col("doc_id"), col("keeper_id"),
             (col("doc_id") === col("keeper_id")).as("is_keeper"))
@@ -2003,31 +2128,29 @@ object Dedup {
     // oracle. Paired with the anchor count so two chunks only ever
     // merge on (signature, length).
     //
-    // 100 TB shape: one corpus scan; the boundary flag and running
-    // chunk index are a PER-DOC window (hash-partitioned by doc_id —
-    // local sorts only, no global ordering anywhere); the signature
-    // groupBy is chunk-count-sized (≈ corpus/16 anchors) and map-side
-    // combinable; the duplicate-signature set is dedup-bounded (≪
-    // chunk count, the q87 membership argument) and BROADCASTS back
-    // onto the chunk table — the corpus never shuffles a second time.
+    // 100 TB shape: one corpus scan, ONE pass over the chunk table.
+    // The boundary flag and running chunk index are a PER-DOC window
+    // (hash-partitioned by doc_id — local sorts only, no global
+    // ordering anywhere); the per-chunk global multiplicity is a
+    // count() window over the (sig, n_anchors) partition of the
+    // NARROW (source, sig, n_anchors) projection — the same
+    // shuffle volume the old dup-set groupBy paid (mostly-unique
+    // signatures defeat its map-side combine) — and the per-source
+    // census aggregates the windowed rows in place. No broadcast
+    // anywhere: the previous shape force-broadcast the duplicate-
+    // signature set back onto the chunk table, but that set scales
+    // with corpus dup content (billions of rows at realistic 30-50%
+    // web dup rates — the round-10 argument that retired q87/q151/
+    // q152's forced hints), and even the measured gatedBroadcast
+    // variant would pay a SECOND corpus-scale pass over the chunk
+    // table (re-derive or cache it — both corpus-sized). The window
+    // formulation needs neither the hint nor the second pass, so the
+    // chunk table is consumed exactly once and nothing here has a
+    // driver-side size ceiling. Both shapes are pinned equal (and the
+    // no-BroadcastExchange plan asserted) in PairsStoreSpec.
     QueryDef("q103_cdc_chunks",
-      (s, dir) => {
-        val chunks = cdcChunksFrom(Tables.documents(s, dir)
-            .select(col("doc_id"), col("source"), col("text")))
-          .transform(graft.plans.CacheLifecycle.autoRelease)
-        val dup = chunks.groupBy(col("sig"), col("n_anchors"))
-          .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-          .select(col("sig"), col("n_anchors"), lit(1).as("isdup"))
-        chunks.join(broadcast(dup), Seq("sig", "n_anchors"), "left")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("isdup").isNotNull, 1L).otherwise(0L))
-              .as("n_dup"))
-          .select(col("source"), col("n_chunks"), col("n_dup"),
-            expr("(2 * n_dup * 1000000 + n_chunks) div (2 * n_chunks)")
-              .as("dup_ppm"))
-          .orderBy(col("source"))
-      },
+      (s, dir) => cdcDupRateFrom(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))),
       Some(s"""WITH ${OracleSql.toksCte("documents", "doc_id, source")},
               |hl AS (
               |  SELECT doc_id, source,
@@ -2730,6 +2853,96 @@ object Dedup {
               |      * 1000000 + CAST(raw_tokens AS HUGEINT) * 1000000)
               |    // (2 * CAST(raw_tokens AS HUGEINT) * 1000000)
               |    AS BIGINT) AS saved_ppm
+              |FROM a ORDER BY source""".stripMargin)),
+
+    // ── Q156: DUP-GRAPH-AWARE EVAL DECONTAMINATION — q48's direct
+    // n-gram check plus the hop the n-gram test structurally misses:
+    // a train doc that PARAPHRASES an eval doc (or a contaminated
+    // train doc) shares few 13/5-grams but sits one near-dup edge
+    // away in the q145 pair graph, and a careful recipe drops it too
+    // (the dup-graph propagation step of decontamination pipelines,
+    // cf. the GPT-3 appendix-C dedup+overlap combination). Direct =
+    // a non-src0 ("train") doc whose distinct 5-gram shingles are
+    // ≥ 20% contained in the src0 ("eval") shingle set — q48's
+    // threshold, probed in the decontamination direction (train rows
+    // probe the eval set, not vice versa). Seeds = every eval doc ∪
+    // every direct doc; contamination then propagates through whole
+    // near-dup COMPONENTS (transitive paraphrase chains, not one
+    // hop). Output per train source: doc counts (direct / neighbor-
+    // only) and the removed token mass — the budget line dropping
+    // both classes costs, in the q155 convention.
+    //
+    // 100 TB shape: the eval shingle set is tiny BY CONSTRUCTION (an
+    // eval benchmark, not a corpus) — it rides the measured
+    // gatedBroadcast, so the train corpus is probed by one broadcast
+    // LEFT join and never shuffles for it; the per-doc containment
+    // aggregate is map-side combinable (a doc's shingles are
+    // co-located after explode). Every graph-side table (seeds,
+    // contaminated labels, reached members, the direct list) is
+    // eval- or pair-graph-bounded and joins through the same gate —
+    // measured-small sides broadcast onto the corpus, oversize sides
+    // fall back to doc_id equi-joins under AQE. The shingled corpus
+    // projection is localCheckpoint-ed because three branches consume
+    // it ACROSS the gate's measuring actions (an autoRelease cache
+    // would release itself on the first gate count — the q152 pairs
+    // rationale). The oracle replays the graph side from the q145
+    // store (the q152 pattern) and the n-gram side with q48's exact
+    // hash64 replay.
+    QueryDef("q156_dup_aware_decontamination",
+      (s, dir) => dupAwareDecontaminationFrom(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))),
+      Some(s"""WITH RECURSIVE $storeCompCtes,
+              |${OracleSql.toksCte("documents", "doc_id, source")},
+              |${OracleSql.shinglesCte(5, "doc_id, source")},
+              |sh AS (SELECT doc_id, source, unnest(sset) AS sg FROM shing),
+              |hs AS (
+              |  SELECT doc_id, source, ${OracleSql.hash64("sg")} AS s
+              |  FROM sh),
+              |ev AS (SELECT DISTINCT s FROM hs WHERE source = 'src0'),
+              |probe AS (
+              |  SELECT h.doc_id, count(*) AS n_ngrams,
+              |    count(e.s) AS n_matched
+              |  FROM hs h LEFT JOIN ev e ON e.s = h.s
+              |  WHERE h.source <> 'src0'
+              |  GROUP BY h.doc_id),
+              |direct AS (
+              |  SELECT doc_id FROM probe WHERE n_matched * 5 >= n_ngrams),
+              |seeds AS (
+              |  SELECT doc_id FROM documents WHERE source = 'src0'
+              |  UNION SELECT doc_id FROM direct),
+              |badc AS (
+              |  SELECT DISTINCT c.keeper
+              |  FROM comp c JOIN seeds s ON s.doc_id = c.id),
+              |rc AS (
+              |  SELECT c.id AS doc_id
+              |  FROM comp c JOIN badc b ON b.keeper = c.keeper),
+              |tr AS (
+              |  SELECT d.doc_id, d.source,
+              |    CASE WHEN d.text IS NULL THEN 0
+              |         ELSE len(string_split(d.text, ' ')) END AS nt,
+              |    CASE WHEN di.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isd,
+              |    CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isr
+              |  FROM documents d
+              |  LEFT JOIN direct di ON di.doc_id = d.doc_id
+              |  LEFT JOIN rc r ON r.doc_id = d.doc_id
+              |  WHERE d.source <> 'src0'),
+              |a AS (
+              |  SELECT source, count(*) AS n_docs, sum(isd) AS n_direct,
+              |    sum(CASE WHEN isd = 0 AND isr = 1 THEN 1 ELSE 0 END)
+              |      AS n_neighbor,
+              |    sum(nt) AS total_tokens,
+              |    sum(CASE WHEN isd = 1 OR isr = 1 THEN nt ELSE 0 END)
+              |      AS removed_tokens
+              |  FROM tr GROUP BY source)
+              |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+              |  CAST(n_direct AS BIGINT) AS n_direct,
+              |  CAST(n_neighbor AS BIGINT) AS n_neighbor,
+              |  CAST(removed_tokens AS BIGINT) AS removed_tokens,
+              |  CAST(CASE WHEN total_tokens = 0 THEN 0
+              |       ELSE (2 * CAST(removed_tokens AS HUGEINT) * 1000000
+              |           + total_tokens)
+              |         // (2 * CAST(total_tokens AS HUGEINT)) END
+              |    AS BIGINT) AS removed_ppm
               |FROM a ORDER BY source""".stripMargin)))
 
   /** Per-node triangle participation over an undirected pair list

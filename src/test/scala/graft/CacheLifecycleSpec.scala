@@ -42,8 +42,9 @@ class CacheLifecycleSpec extends AnyFunSuite {
   // frame-class frame), q89 (shared signature scan), q71 (triple
   // signature table + CC-internal actions), q96 (triple signature
   // table through the savings report), q97 (sig+bands+hl calibration
-  // signature table), q101/q102 (distinct-trigram pass), q103
-  // (chunk signature table).
+  // signature table), q101/q102 (distinct-trigram pass). q103 stays
+  // in the list as a stays-cache-free guard: its single-pass window
+  // shape (round 12) persists nothing at all.
   for (q <- Seq("q42_minhash_lsh_pairs", "q46_ngram_jaccard_pairs",
       "q48_contamination_check", "q66_distinctive_terms",
       "q86_length_drift", "q53_ann_lsh", "q88_label_confusion",

@@ -171,4 +171,78 @@ class PairsStoreSpec extends AnyFunSuite {
       assert(wOver == wUnder, "both shapes must compute identical weights")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("q103 single-pass dup rate: no broadcast, equals the join-back shape") {
+    // Round-11 verdict task 1: the dup-chunk-signature set scales
+    // with corpus dup content, so q103 may not force-broadcast it.
+    // The fix removes the join entirely — per-chunk multiplicity is a
+    // count() window over the (sig, n_anchors) partition — so the
+    // plan must carry NO BroadcastExchange at all, and the result
+    // must equal the retired join-back formulation.
+    import spark.implicits._
+    val shared = (1 to 200).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", shared + " tailA1 tailA2 tailA3"),
+      (2L, "srcB", "head1 head2 head3 " + shared), // shifted copy
+      (3L, "srcA", (300 to 380).map(i => s"u$i").mkString(" ")),
+      (4L, "srcB", (400 to 460).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val res = Dedup.cdcDupRateFrom(docs)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"the single-pass shape has no broadcast:\n${plan.take(1200)}")
+    val rows = res.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the shared passage must yield cross-doc duplicate chunks in
+    // BOTH sources (CDC shift-invariance) — the test is non-vacuous
+    assert(rows("srcA")._2 > 0 && rows("srcB")._2 > 0, rows.toString)
+    // retired shape: distinct duplicate-signature set joined back
+    val chunks = Dedup.cdcChunksFrom(docs).persist()
+    val dup = chunks.groupBy(col("sig"), col("n_anchors"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("sig"), col("n_anchors"), lit(1).as("isdup"))
+    val ref = chunks.join(dup, Seq("sig", "n_anchors"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("source"), col("n_chunks"), col("n_dup"),
+        expr("(2 * n_dup * 1000000 + n_chunks) div (2 * n_chunks)")
+          .as("dup_ppm"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    chunks.unpersist()
+    assert(rows == ref, s"shapes disagree: window=$rows join-back=$ref")
+  }
+
+  test("q156 decontamination: direct hit, graph neighbor, clean doc") {
+    // E (eval): 16 tokens. B (train): E's text + 40 junk tokens →
+    // 12/52 = 23% of B's shingles are eval-contained (≥ 20%: DIRECT),
+    // but J(E,B) = 12/52 — below every miner threshold, so B's edge
+    // to the graph comes only from C. C (train) = B's junk alone: 0%
+    // eval containment (NOT direct), but J(B,C) = 36/52 = 0.69 ≥ 0.5
+    // → a ppjoin near-dup edge B–C → C is NEIGHBOR-only (the
+    // paraphrase-leakage hop the n-gram test misses). D: clean.
+    import spark.implicits._
+    val evalTxt = (1 to 16).map(i => s"e$i").mkString(" ")
+    val junk = (1 to 40).map(i => s"j$i").mkString(" ")
+    val docs = Seq(
+      (1L, "src0", evalTxt),
+      (2L, "srcA", evalTxt + " " + junk),
+      (3L, "srcA", junk),
+      (4L, "srcB", (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.dupAwareDecontaminationFrom(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // srcA: 2 docs, B direct, C neighbor-only; every srcA token is
+    // contaminated mass → removed 56 + 40 of 96 → ppm 1e6
+    assert(got("srcA") == ((2L, 1L, 1L, 96L, 1000000L)), got.toString)
+    // srcB: untouched
+    assert(got("srcB") == ((1L, 0L, 0L, 0L, 0L)), got.toString)
+    // the eval source never appears in the report
+    assert(!got.contains("src0"), got.toString)
+  }
 }
