@@ -815,33 +815,22 @@ object Dedup {
       .orderBy(col("source"))
   }
 
-  /** q156's dup-graph-aware eval-decontamination report over any
-    * (doc_id, source, text) frame: direct = a non-`evalSource` doc
-    * whose distinct 5-gram shingles are ≥ 20% contained in the
-    * `evalSource` shingle set (q48's threshold, probed in the
-    * decontamination direction); seeds = every eval doc ∪ every
-    * direct doc; contamination propagates through whole near-dup
-    * COMPONENTS of the 3-signal pair graph (transitive paraphrase
-    * chains). Returns per train source: doc counts (direct /
-    * neighbor-only) and the removed token mass. See the q156 comment
-    * block for the 100 TB shape.
+  /** Shared decontamination kernel (q156/q157): over a
+    * localCheckpoint-ed (doc_id, source, nt, sh) projection and the
+    * near-dup component labels, returns (direct, reached) — direct =
+    * non-`evalSource` docs whose distinct 5-gram shingles are ≥ 20%
+    * contained in the `evalSource` shingle set (q48's threshold,
+    * probed in the decontamination direction); reached = every member
+    * of a component containing a seed (eval doc ∪ direct doc) —
+    * transitive paraphrase chains, not one hop. Every graph-side
+    * table is eval- or pair-graph-bounded and joins through the
+    * measured gate; `direct` comes back localCheckpoint-ed (two
+    * consumers — seed union + report back-join — each behind its own
+    * gate measurement).
     */
-  private[graft] def dupAwareDecontaminationFrom(
-      docsIn: org.apache.spark.sql.DataFrame,
-      evalSource: String = "src0"): org.apache.spark.sql.DataFrame = {
-    graft.plans.GraftFunctions.ensure(docsIn.sparkSession)
-    val docs = docsIn
-      .select(col("doc_id"), col("source"),
-        when(col("text").isNull, lit(0L))
-          .otherwise(size(split(col("text"), " ")).cast("long"))
-          .as("nt"),
-        call_function("graft_shingle_hashes",
-          coalesce(col("text"), lit("")), lit(5)).as("sh"))
-      // three consumers (eval branch, probe branch, census) ACROSS
-      // the gate's measuring actions — an autoRelease cache would
-      // release itself on the first gate count (the q152 pairs
-      // rationale): checkpoint, not cache
-      .localCheckpoint()
+  private def contaminationFlags(docs: org.apache.spark.sql.DataFrame,
+      comp: org.apache.spark.sql.DataFrame, evalSource: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val evalSet = docs.filter(col("source") === evalSource)
       .select(explode(col("sh")).as("s")).distinct()
       .withColumn("hit", lit(1))
@@ -853,11 +842,7 @@ object Dedup {
         count(col("hit")).as("n_matched"))
       .filter(col("n_matched") * 5 >= col("n_ngrams"))
       .select(col("doc_id"))
-      // two consumers (seed union + report back-join), each behind
-      // its own gate measurement — checkpoint, not cache
       .localCheckpoint()
-    val comp = connectedComponents(multiSignalPairsFrom(
-      docsIn.select(col("doc_id"), col("text"))))
     val seeds = docs.filter(col("source") === evalSource)
       .select(col("doc_id")).union(direct)
     val badLbl = comp
@@ -865,6 +850,41 @@ object Dedup {
       .select(col("lbl")).distinct()
     val reached = comp.join(gatedBroadcast(badLbl), Seq("lbl"))
       .select(col("id").as("doc_id"), lit(1).as("r"))
+    (direct, reached)
+  }
+
+  /** The (doc_id, source, nt, sh) projection [[contaminationFlags]]
+    * probes — localCheckpoint-ed because three consumers (eval
+    * branch, probe branch, census) sit ACROSS the gate's measuring
+    * actions; an autoRelease cache would release itself on the first
+    * gate count (the q152 pairs rationale).
+    */
+  private def shingledDocs(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.ensure(docsIn.sparkSession)
+    docsIn
+      .select(col("doc_id"), col("source"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long"))
+          .as("nt"),
+        call_function("graft_shingle_hashes",
+          coalesce(col("text"), lit("")), lit(5)).as("sh"))
+      .localCheckpoint()
+  }
+
+  /** q156's dup-graph-aware eval-decontamination report over any
+    * (doc_id, source, text) frame: [[contaminationFlags]] aggregated
+    * per train source — doc counts (direct / neighbor-only) and the
+    * removed token mass. See the q156 comment block for the 100 TB
+    * shape.
+    */
+  private[graft] def dupAwareDecontaminationFrom(
+      docsIn: org.apache.spark.sql.DataFrame,
+      evalSource: String = "src0"): org.apache.spark.sql.DataFrame = {
+    val docs = shingledDocs(docsIn)
+    val comp = connectedComponents(multiSignalPairsFrom(
+      docsIn.select(col("doc_id"), col("text"))))
+    val (direct, reached) = contaminationFlags(docs, comp, evalSource)
     docs.filter(col("source") =!= evalSource)
       .select(col("doc_id"), col("source"), col("nt"))
       .join(gatedBroadcast(
@@ -888,6 +908,94 @@ object Dedup {
           + " div (2 * CAST(total_tokens AS DECIMAL(38,0))) END"
           + " AS BIGINT)").as("removed_ppm"))
       .orderBy(col("source"))
+  }
+
+  /** q157's final-cut manifest over any (doc_id, source, text) frame:
+    * the per-(source, status) census of the whole curation waterfall,
+    * first-failing-gate attribution in the order a careful recipe
+    * applies the gates —
+    *   1. `contaminated`  — [[contaminationFlags]]: direct n-gram
+    *      overlap with the `evalSource` set OR a near-dup component
+    *      containing a seed (decontamination runs FIRST: a
+    *      contaminated keeper must fall here, not survive as `dup`'s
+    *      elected representative);
+    *   2. `dup`           — a near-dup component member that is not
+    *      its component's min-id keeper (the q63/q73 election);
+    *   3. `low_quality`   — the q45 Gopher rule (top bigram count × 5
+    *      > bigram count; docs with < 2 tokens pass vacuously);
+    *   4. `kept_{train,val,test}` — survivors routed by the q56/q152
+    *      mix64 90/5/5 rule. Splitting at component granularity and
+    *      splitting keepers coincide here: a surviving doc's label is
+    *      its own id (non-keepers fell at gate 2), so unit ≡ doc_id
+    *      and no two near-dups can straddle a boundary.
+    * Reports n_docs, token mass, and half-up ppm of the source's
+    * total token mass (the columns a training recipe multiplies into
+    * its epoch math, with per-gate loss attribution).
+    *
+    * 100 TB shape: ONE mining pass feeds both graph gates (the q145
+    * store in production); every graph-side table (direct, reached,
+    * comp) is eval- or pair-graph-bounded and rides the measured
+    * gate — under it the corpus is probed by broadcast LEFT joins and
+    * never shuffles for them; over it they fall back to doc_id
+    * equi-joins under AQE. The quality gate is the q45 two-level
+    * hash aggregation ((doc, bigram) then doc, both map-side
+    * partial); source/nt ride through its shuffles so no extra
+    * corpus join is paid. The census is |sources| × 6 rows; the
+    * source-total window runs on that tiny frame, not the corpus.
+    */
+  private[graft] def finalCutManifestFrom(
+      docsIn: org.apache.spark.sql.DataFrame,
+      evalSource: String = "src0"): org.apache.spark.sql.DataFrame = {
+    val docs = shingledDocs(docsIn)
+    val comp = connectedComponents(multiSignalPairsFrom(
+      docsIn.select(col("doc_id"), col("text"))))
+    val (direct, reached) = contaminationFlags(docs, comp, evalSource)
+    val base = docsIn.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("source"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long"))
+          .as("nt"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"), col("nt"),
+        explode_outer(TextAnalysis.bigramsOfT).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(first(col("source")).as("source"), first(col("nt")).as("nt"),
+        count(col("bg")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("source")).as("source"), first(col("nt")).as("nt"),
+        sum(col("c")).as("nbg"), max(col("c")).as("topc"))
+    val u = TextAnalysis.unsignedDec(
+      call_function("graft_mix64", col("doc_id")))
+    val two64 = TextAnalysis.two64
+    val lab = base
+      .join(gatedBroadcast(direct.withColumn("d", lit(1)),
+        materialize = false), Seq("doc_id"), "left")
+      .join(gatedBroadcast(reached), Seq("doc_id"), "left")
+      // comp is already localCheckpoint-ed inside CC → measure in place
+      .join(gatedBroadcast(comp, materialize = false),
+        col("doc_id") === col("id"), "left")
+      .withColumn("u", u)
+      .withColumn("status",
+        when(col("d").isNotNull || col("r").isNotNull, lit("contaminated"))
+          .when(col("lbl").isNotNull && col("lbl") =!= col("doc_id"),
+            lit("dup"))
+          .when(col("topc") * 5 > col("nbg"), lit("low_quality"))
+          .otherwise(concat(lit("kept_"),
+            when(col("u") * 10 < two64 * 9, lit("train"))
+              .when(col("u") * 20 < two64 * 19, lit("val"))
+              .otherwise(lit("test")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    lab.groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+      .withColumn("src_tokens", sum(col("tokens")).over(w))
+      .select(col("source"), col("status"), col("n_docs"), col("tokens"),
+        expr("CAST(CASE WHEN src_tokens = 0 THEN 0"
+          + " ELSE (2 * CAST(tokens AS DECIMAL(38,0)) * 1000000"
+          + " + src_tokens)"
+          + " div (2 * CAST(src_tokens AS DECIMAL(38,0))) END"
+          + " AS BIGINT)").as("mass_ppm"))
+      .orderBy(col("source"), col("status"))
   }
 
   /** The full char-level 3-miner union replay, terminating in CTE
@@ -2943,7 +3051,110 @@ object Dedup {
               |           + total_tokens)
               |         // (2 * CAST(total_tokens AS HUGEINT)) END
               |    AS BIGINT) AS removed_ppm
-              |FROM a ORDER BY source""".stripMargin)))
+              |FROM a ORDER BY source""".stripMargin)),
+
+    // ── Q157: FINAL-CUT MANIFEST — the whole curation waterfall as
+    // one first-failing-gate attribution census: decontamination
+    // (q156's direct + component propagation) → dedup keeper election
+    // (q63/q73) → Gopher bigram-repetition quality (q45) → mix64
+    // 90/5/5 split of the survivors (q56/q152). Per (train source,
+    // status ∈ {contaminated, dup, low_quality, kept_train, kept_val,
+    // kept_test}): doc count, token mass, and half-up ppm of the
+    // source's total mass — THE sheet a pipeline owner signs before a
+    // training run: what ships, and which gate each dropped token
+    // died at. Gate order is the one careful recipes apply (a
+    // contaminated keeper is attributed to decontamination, not
+    // elected at the dedup gate). See [[finalCutManifestFrom]] for
+    // the 100 TB shape. Oracle: graph side replayed from the q145
+    // store (the q152 pattern), n-gram side with q48's hash64 replay,
+    // quality side with q45's bigram CTEs, split with q152's mix64
+    // chain — every gate independently re-derived.
+    QueryDef("q157_final_cut_manifest",
+      (s, dir) => finalCutManifestFrom(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))),
+      Some(s"""WITH RECURSIVE $storeCompCtes,
+              |${OracleSql.toksCte("documents", "doc_id, source")},
+              |${OracleSql.shinglesCte(5, "doc_id, source")},
+              |shu AS (SELECT doc_id, source, unnest(sset) AS sg FROM shing),
+              |hsx AS (
+              |  SELECT doc_id, source, ${OracleSql.hash64("sg")} AS s
+              |  FROM shu),
+              |ev AS (SELECT DISTINCT s FROM hsx WHERE source = 'src0'),
+              |probe AS (
+              |  SELECT h.doc_id, count(*) AS n_ngrams,
+              |    count(e.s) AS n_matched
+              |  FROM hsx h LEFT JOIN ev e ON e.s = h.s
+              |  WHERE h.source <> 'src0'
+              |  GROUP BY h.doc_id),
+              |direct AS (
+              |  SELECT doc_id FROM probe WHERE n_matched * 5 >= n_ngrams),
+              |seeds AS (
+              |  SELECT doc_id FROM documents WHERE source = 'src0'
+              |  UNION SELECT doc_id FROM direct),
+              |badc AS (
+              |  SELECT DISTINCT c.keeper
+              |  FROM comp c JOIN seeds s ON s.doc_id = c.id),
+              |rc AS (
+              |  SELECT c.id AS doc_id
+              |  FROM comp c JOIN badc b ON b.keeper = c.keeper),
+              |tt AS (
+              |  SELECT doc_id, string_split(text, ' ') AS t
+              |  FROM documents WHERE source <> 'src0'),
+              |bgr AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              |    i -> t[i] || ' ' || t[i + 1])) AS bg
+              |  FROM tt WHERE len(t) >= 2),
+              |bcn AS (
+              |  SELECT doc_id, bg, count(*) AS c FROM bgr
+              |  GROUP BY doc_id, bg),
+              |qd AS (
+              |  SELECT doc_id, sum(c) AS nbg, max(c) AS topc
+              |  FROM bcn GROUP BY doc_id),
+              |tr AS (
+              |  SELECT d.doc_id, d.source,
+              |    CASE WHEN d.text IS NULL THEN 0
+              |         ELSE len(string_split(d.text, ' ')) END AS nt,
+              |    CASE WHEN di.doc_id IS NOT NULL OR r.doc_id IS NOT NULL
+              |         THEN 1 ELSE 0 END AS bad,
+              |    CASE WHEN c.id IS NOT NULL AND c.keeper <> d.doc_id
+              |         THEN 1 ELSE 0 END AS isdup,
+              |    CASE WHEN coalesce(q.topc, 0) * 5 > coalesce(q.nbg, 0)
+              |         THEN 1 ELSE 0 END AS lowq
+              |  FROM documents d
+              |  LEFT JOIN direct di ON di.doc_id = d.doc_id
+              |  LEFT JOIN rc r ON r.doc_id = d.doc_id
+              |  LEFT JOIN comp c ON c.id = d.doc_id
+              |  LEFT JOIN qd q ON q.doc_id = d.doc_id
+              |  WHERE d.source <> 'src0'),
+              |h0 AS (
+              |  SELECT doc_id, source, nt, bad, isdup, lowq,
+              |    CAST(doc_id AS HUGEINT) AS z
+              |  FROM tr),
+              |${OracleSql.mix64Ctes("doc_id, source, nt, bad, isdup, lowq",
+                 "h0")},
+              |st AS (
+              |  SELECT source, nt,
+              |    CASE WHEN bad = 1 THEN 'contaminated'
+              |         WHEN isdup = 1 THEN 'dup'
+              |         WHEN lowq = 1 THEN 'low_quality'
+              |         WHEN m * 10 < 9 * ${OracleSql.MOD} THEN 'kept_train'
+              |         WHEN m * 20 < 19 * ${OracleSql.MOD} THEN 'kept_val'
+              |         ELSE 'kept_test' END AS status
+              |  FROM mixed),
+              |a AS (
+              |  SELECT source, status, count(*) AS n_docs,
+              |    sum(nt) AS tokens
+              |  FROM st GROUP BY source, status)
+              |SELECT source, status, CAST(n_docs AS BIGINT) AS n_docs,
+              |  CAST(tokens AS BIGINT) AS tokens,
+              |  CAST(CASE WHEN sum(tokens) OVER (PARTITION BY source) = 0
+              |       THEN 0
+              |       ELSE (2 * CAST(tokens AS HUGEINT) * 1000000
+              |           + sum(tokens) OVER (PARTITION BY source))
+              |         // (2 * CAST(sum(tokens) OVER (PARTITION BY source)
+              |              AS HUGEINT)) END
+              |    AS BIGINT) AS mass_ppm
+              |FROM a ORDER BY source, status""".stripMargin)))
 
   /** Per-node triangle participation over an undirected pair list
     * (doc_a, doc_b) — q134's library op, compact-forward style

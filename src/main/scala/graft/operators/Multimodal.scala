@@ -111,6 +111,93 @@ object Multimodal {
     }
   }
 
+  /** Histogram aHash over a payload — q158's decode-stage kernel.
+    * 64-bin byte histogram (4 byte-values per bin); bit i = 1 iff
+    * bin i holds strictly more than 1/64 of the bytes (the aHash
+    * above-mean rule applied to the histogram). Packed as FOUR
+    * 16-bit band ints (b0 = bins 0–15 … b3 = bins 48–63) — the band
+    * decomposition IS the near-join index (pigeonhole: two hashes ≤ 3
+    * bits apart agree on ≥ 1 whole band), and 4 non-negative ints
+    * sidestep the bit-63 sign trap a single packed i64 would carry
+    * across engines. Batched via mapPartitions like extractFeatures:
+    * a real perceptual hash (DCT over decoded pixels) initializes its
+    * codec once per partition and emits the same (id, 4×i16) shape.
+    */
+  def phashBands(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = m.payload
+        val hist = new Array[Int](64)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 2) += 1; i += 1 }
+        val b = new Array[Int](4)
+        var j = 0
+        while (j < 64) {
+          if (hist(j).toLong * 64 > bytes.length) b(j >> 4) |= 1 << (j & 15)
+          j += 1
+        }
+        (m.media_id, m.kind, b(0), b(1), b(2), b(3))
+      }
+    }.toDF("media_id", "kind", "b0", "b1", "b2", "b3")
+  }
+
+  /** q158's census over a (media_id, kind, b0..b3) signature frame
+    * (the [[phashBands]] output, localCheckpoint-ed or persisted by
+    * the caller — two consumers sit across the broadcast gate's
+    * measuring counts). Exact-hash grouping first, banded near-join
+    * over the DISTINCT signature set only (pigeonhole: hamming ≤ 3 ⇒
+    * ≥ 1 identical 16-bit band, so the candidate set provably
+    * contains every pair under the radius), bit_count verify,
+    * connectedComponents over the verified sig graph, and the
+    * cluster-map back-join through the measured broadcast gate — the
+    * media table never shuffles for it.
+    */
+  private[graft] def phashClusters(sigs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.ensure(sigs.sparkSession)
+    val sidCol = call_function("graft_hash64",
+      concat_ws("-", col("b0").cast("string"), col("b1").cast("string"),
+        col("b2").cast("string"), col("b3").cast("string")))
+    val ds = sigs.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(count(lit(1)).as("nm"))
+      .withColumn("sid", sidCol)
+    val bx = ds.select(col("sid"), col("b0"), col("b1"), col("b2"),
+      col("b3"), posexplode(array(col("b0"), col("b1"), col("b2"),
+        col("b3"))).as(Seq("bi", "v")))
+    val xa = bx.select(col("bi"), col("v"), col("sid").as("sid_a"),
+      col("b0").as("xb0"), col("b1").as("xb1"),
+      col("b2").as("xb2"), col("b3").as("xb3"))
+    val xb = bx.select(col("bi"), col("v"), col("sid").as("sid_b"),
+      col("b0").as("yb0"), col("b1").as("yb1"),
+      col("b2").as("yb2"), col("b3").as("yb3"))
+    val vp = xa.join(xb, Seq("bi", "v"))
+      .filter(col("sid_a") < col("sid_b"))
+      .select(col("sid_a"), col("sid_b"), col("xb0"), col("xb1"),
+        col("xb2"), col("xb3"), col("yb0"), col("yb1"), col("yb2"),
+        col("yb3"))
+      .distinct()
+      .filter(expr("bit_count(xb0 ^ yb0) + bit_count(xb1 ^ yb1)"
+        + " + bit_count(xb2 ^ yb2) + bit_count(xb3 ^ yb3) <= 3"))
+      .select(col("sid_a").as("doc_a"), col("sid_b").as("doc_b"))
+    val comp = Dedup.connectedComponents(vp)
+    val cm = ds
+      // comp is already localCheckpoint-ed inside CC → measure in
+      // place; cm itself is distinct-sig-bounded → measured gate
+      .join(Dedup.gatedBroadcast(comp, materialize = false),
+        col("sid") === col("id"), "left")
+      .select(col("b0"), col("b1"), col("b2"), col("b3"), col("sid"),
+        coalesce(col("lbl"), col("sid")).as("cl"))
+    sigs.join(Dedup.gatedBroadcast(cm), Seq("b0", "b1", "b2", "b3"))
+      .groupBy(col("cl"))
+      .agg(min(col("media_id")).as("cluster_rep"),
+        count(lit(1)).as("n_media"),
+        countDistinct(col("sid")).as("n_sigs"),
+        countDistinct(col("kind")).as("n_kinds"))
+      .select(col("cluster_rep"), col("n_media"), col("n_sigs"),
+        col("n_kinds"))
+      .orderBy(col("n_media").desc, col("cluster_rep"))
+  }
+
   /** STUB frame sampling: every `stride`-th 64-byte block of a video
     * payload as one "frame" (stands in for I-frame extraction; the
     * 1→N row shape and array<binary> schema are the real contract).
@@ -293,5 +380,107 @@ object Multimodal {
               |  SELECT media_id, kind, len(bytes) AS n,
               |    greatest(1, (len(bytes) + 63) // 64) AS st
               |  FROM md)
-              |ORDER BY media_id""".stripMargin)))
+              |ORDER BY media_id""".stripMargin)),
+
+    // ── Q158: MEDIA PERCEPTUAL-HASH NEAR-DUP — image/media dedup as
+    // production multimodal pipelines run it: exact-hash grouping
+    // FIRST (identical perceptual hashes collapse before any join),
+    // then a banded near-join over the DISTINCT hash set only, then
+    // component merge — so the expensive quadratic step never sees
+    // the corpus, only its distinct-signature projection. Pipeline:
+    // [[phashBands]] per payload (the decode-stage kernel) → group by
+    // the 4-band signature (distinct sigs are a corpus FRACTION —
+    // every exact re-encode/re-crawl collapses here) → explode 4
+    // (band, value) keys per distinct sig and self-join (pigeonhole:
+    // hamming ≤ 3 ⇒ ≥ 1 identical 16-bit band, so the candidate set
+    // provably contains every pair under the radius) → verify
+    // bit_count(xor) over the 4 bands ≤ 3 → connectedComponents over
+    // the verified sig graph → per-cluster census: representative
+    // (min media_id), media count, distinct signatures, distinct
+    // kinds. The synthetic payloads carry 5 scene classes with
+    // shifted byte histograms, so the clusters are real, not empty.
+    //
+    // 100 TB shape: the slim (id, kind, 4×i16) signature projection
+    // is what a production ingest writes as a column (the q145-store
+    // pattern) — here localCheckpoint stands in for that asset; the
+    // band self-join and CC run on DISTINCT signatures (dimension-
+    // like vs the corpus); the cluster map joins back through the
+    // measured broadcast gate, so the media table never shuffles for
+    // it. Sig ids are graft_hash64 of the band tuple — collisions are
+    // negligible and BOTH engines replay the same hash, so parity is
+    // deterministic; cluster identity is exposed via min(media_id),
+    // never the label value (signed-vs-unsigned min order differs
+    // across engines; grouping is order-agnostic).
+    QueryDef("q158_media_phash_dedup",
+      (s, dir) => {
+        ensureMediaDump(s)
+        // production: a persisted ingest-time column; here: one slim
+        // checkpoint (two consumers sit across the gate's measuring
+        // counts — the q152 pairs rationale)
+        phashClusters(phashBands(mediaTable(s)).localCheckpoint())
+      },
+      Some(s"""WITH RECURSIVE $mediaCte,
+              |ub AS (
+              |  SELECT media_id, kind, (b + 256) % 256 AS b
+              |  FROM (SELECT media_id, kind, unnest(bytes) AS b FROM md)),
+              |nn AS (SELECT media_id, count(*) AS n FROM ub GROUP BY 1),
+              |hb AS (
+              |  SELECT media_id, b // 4 AS bin, count(*) AS c
+              |  FROM ub GROUP BY 1, 2),
+              |bits AS (
+              |  SELECT h.media_id, h.bin FROM hb h JOIN nn USING (media_id)
+              |  WHERE h.c * 64 > nn.n),
+              |bnd AS (
+              |  SELECT media_id, bin // 16 AS bi, sum(1 << (bin % 16)) AS v
+              |  FROM bits GROUP BY 1, 2),
+              |sig AS (
+              |  SELECT m.media_id, m.kind,
+              |    coalesce(max(CASE WHEN bi = 0 THEN v END), 0) AS b0,
+              |    coalesce(max(CASE WHEN bi = 1 THEN v END), 0) AS b1,
+              |    coalesce(max(CASE WHEN bi = 2 THEN v END), 0) AS b2,
+              |    coalesce(max(CASE WHEN bi = 3 THEN v END), 0) AS b3
+              |  FROM md m LEFT JOIN bnd b ON b.media_id = m.media_id
+              |  GROUP BY 1, 2),
+              |dsx AS (
+              |  SELECT b0, b1, b2, b3,
+              |    ${OracleSql.hash64("CAST(b0 AS VARCHAR) || '-' ||"
+                 + " CAST(b1 AS VARCHAR) || '-' || CAST(b2 AS VARCHAR)"
+                 + " || '-' || CAST(b3 AS VARCHAR)")} AS sid
+              |  FROM (SELECT DISTINCT b0, b1, b2, b3 FROM sig)),
+              |bandx AS (
+              |  SELECT sid, b0, b1, b2, b3, 0 AS bi, b0 AS v FROM dsx
+              |  UNION ALL SELECT sid, b0, b1, b2, b3, 1, b1 FROM dsx
+              |  UNION ALL SELECT sid, b0, b1, b2, b3, 2, b2 FROM dsx
+              |  UNION ALL SELECT sid, b0, b1, b2, b3, 3, b3 FROM dsx),
+              |vp AS (
+              |  SELECT a, b FROM (
+              |    SELECT DISTINCT x.sid AS a, y.sid AS b,
+              |      x.b0 AS xb0, x.b1 AS xb1, x.b2 AS xb2, x.b3 AS xb3,
+              |      y.b0 AS yb0, y.b1 AS yb1, y.b2 AS yb2, y.b3 AS yb3
+              |    FROM bandx x JOIN bandx y
+              |      ON x.bi = y.bi AND x.v = y.v AND x.sid < y.sid)
+              |  WHERE bit_count(xor(xb0, yb0)) + bit_count(xor(xb1, yb1))
+              |      + bit_count(xor(xb2, yb2)) + bit_count(xor(xb3, yb3))
+              |      <= 3),
+              |edges AS (
+              |  SELECT a, b FROM vp UNION ALL SELECT b, a FROM vp),
+              |reach(src, dst) AS (
+              |  SELECT DISTINCT a AS src, a AS dst FROM edges
+              |  UNION
+              |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+              |compx AS (
+              |  SELECT src AS id, min(dst) AS lbl FROM reach GROUP BY src),
+              |cm AS (
+              |  SELECT d.b0, d.b1, d.b2, d.b3, d.sid,
+              |    coalesce(c.lbl, d.sid) AS cl
+              |  FROM dsx d LEFT JOIN compx c ON c.id = d.sid),
+              |mm AS (
+              |  SELECT s.media_id, s.kind, m.sid, m.cl
+              |  FROM sig s JOIN cm m USING (b0, b1, b2, b3))
+              |SELECT CAST(min(media_id) AS BIGINT) AS cluster_rep,
+              |  CAST(count(*) AS BIGINT) AS n_media,
+              |  CAST(count(DISTINCT sid) AS BIGINT) AS n_sigs,
+              |  CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds
+              |FROM mm GROUP BY cl
+              |ORDER BY n_media DESC, cluster_rep""".stripMargin)))
 }

@@ -42,9 +42,9 @@ object TextAnalysis {
     * inside a higher-order lambda re-evaluates the full split per
     * element — O(n²) chars per doc, measured 2.7 s → 0.6 s at sf0.1).
     * Linear zip of the array with its tail. Shared by
-    * q35/q45/q49/q58/q59.
+    * q35/q45/q49/q58/q59 and Dedup's q157 quality gate.
     */
-  private val bigramsOfT = {
+  private[graft] val bigramsOfT = {
     val t = col("t")
     when(size(t) < 2, array().cast("array<string>"))
       .otherwise(zip_with(
