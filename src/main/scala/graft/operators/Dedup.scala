@@ -958,12 +958,14 @@ object Dedup {
         split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("source"), col("nt"),
         explode_outer(TextAnalysis.bigramsOfT).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(first(col("source")).as("source"), first(col("nt")).as("nt"),
-        count(col("bg")).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(first(col("source")).as("source"), first(col("nt")).as("nt"),
-        sum(col("c")).as("nbg"), max(col("c")).as("topc"))
+      // source/nt ride in the GROUP KEY (functionally dependent on
+      // doc_id), not as first() carries — first()'s valueSet forces
+      // sort-based aggregation; keyed columns keep both levels inside
+      // HashAggregate with map-side partials
+      .groupBy(col("doc_id"), col("source"), col("nt"), col("bg"))
+      .agg(count(col("bg")).as("c"))
+      .groupBy(col("doc_id"), col("source"), col("nt"))
+      .agg(sum(col("c")).as("nbg"), max(col("c")).as("topc"))
     val u = TextAnalysis.unsignedDec(
       call_function("graft_mix64", col("doc_id")))
     val two64 = TextAnalysis.two64
@@ -1035,7 +1037,7 @@ object Dedup {
     * in DuckDB and put the driver's whole correctness artifact at the
     * mercy of a time budget (round-9 verdict task 2).
     */
-  private def storePairsCtes: String =
+  private[graft] def storePairsCtes: String =
     s"""pairs AS (
        |  SELECT doc_a, doc_b FROM $storeGlob
        |  WHERE src_minhash OR src_simhash OR src_ppjoin)""".stripMargin

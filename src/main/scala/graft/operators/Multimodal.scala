@@ -482,5 +482,109 @@ object Multimodal {
               |  CAST(count(DISTINCT sid) AS BIGINT) AS n_sigs,
               |  CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds
               |FROM mm GROUP BY cl
-              |ORDER BY n_media DESC, cluster_rep""".stripMargin)))
+              |ORDER BY n_media DESC, cluster_rep""".stripMargin)),
+
+    // ── Q159: CROSS-MODAL DEDUP CONSISTENCY — the audit a multimodal
+    // curation pipeline runs between its two dedup signals: of the
+    // TEXT near-dup pairs (the q145 3-signal graph), how many have
+    // media twins on both endpoints, and of those, how many ALSO
+    // agree under the q158 perceptual hash (hamming ≤ 3)? A low
+    // agreement ppm flags copied captions on unrelated media (or
+    // re-encoded media with rewritten text) — the mislabeled-pair
+    // classes LAION-style (text, image) dedup audits exist to catch.
+    // One row: pair counts for each stage, phash-match ppm (half-up),
+    // and the exact hamming mass over the paired subset.
+    //
+    // 100 TB shape: the pair list is graph-bounded (the q145 store in
+    // production — here one mining pass); the media signature table
+    // is dimension-sized HERE so both endpoint joins broadcast it
+    // (LEFT, so pairs without media twins stay countable) — at
+    // media-at-corpus-scale deployments they become the
+    // co-partitioned id-keyed equi-joins documented at q153, and the
+    // census stays one row. All arithmetic is integer (bit_count /
+    // cross-multiplied ppm), so parity is engine-exact.
+    QueryDef("q159_crossmodal_dedup_consistency",
+      (s, dir) => {
+        ensureMediaDump(s)
+        val pairs = Dedup.multiSignalPairsFrom(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        val sigs = phashBands(mediaTable(s))
+        val sa = sigs.select(col("media_id").as("doc_a"),
+          col("b0").as("a0"), col("b1").as("a1"),
+          col("b2").as("a2"), col("b3").as("a3"))
+        val sb = sigs.select(col("media_id").as("doc_b"),
+          col("b0").as("c0"), col("b1").as("c1"),
+          col("b2").as("c2"), col("b3").as("c3"))
+        pairs
+          .join(broadcast(sa), Seq("doc_a"), "left")
+          .join(broadcast(sb), Seq("doc_b"), "left")
+          .withColumn("both",
+            when(col("a0").isNotNull && col("c0").isNotNull, 1L)
+              .otherwise(0L))
+          .withColumn("ham",
+            when(col("both") === 1L,
+              expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1)"
+                + " + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)")
+                .cast("long")))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("both")).as("n_with_media"),
+            sum(when(col("both") === 1L && col("ham") <= 3L, 1L)
+              .otherwise(0L)).as("n_phash_match"),
+            sum(when(col("both") === 1L, col("ham")).otherwise(0L))
+              .as("sum_hamming"))
+          .select(col("n_pairs"), col("n_with_media"),
+            col("n_phash_match"), col("sum_hamming"),
+            expr("CAST(CASE WHEN n_with_media = 0 THEN 0"
+              + " ELSE (2 * n_phash_match * 1000000 + n_with_media)"
+              + " div (2 * n_with_media) END AS BIGINT)")
+              .as("match_ppm"))
+      },
+      Some(s"""WITH ${Dedup.storePairsCtes},
+              |$mediaCte,
+              |ub AS (
+              |  SELECT media_id, kind, (b + 256) % 256 AS b
+              |  FROM (SELECT media_id, kind, unnest(bytes) AS b FROM md)),
+              |nn AS (SELECT media_id, count(*) AS n FROM ub GROUP BY 1),
+              |hb AS (
+              |  SELECT media_id, b // 4 AS bin, count(*) AS c
+              |  FROM ub GROUP BY 1, 2),
+              |bits AS (
+              |  SELECT h.media_id, h.bin FROM hb h JOIN nn USING (media_id)
+              |  WHERE h.c * 64 > nn.n),
+              |bnd AS (
+              |  SELECT media_id, bin // 16 AS bi, sum(1 << (bin % 16)) AS v
+              |  FROM bits GROUP BY 1, 2),
+              |sig AS (
+              |  SELECT m.media_id,
+              |    coalesce(max(CASE WHEN bi = 0 THEN v END), 0) AS b0,
+              |    coalesce(max(CASE WHEN bi = 1 THEN v END), 0) AS b1,
+              |    coalesce(max(CASE WHEN bi = 2 THEN v END), 0) AS b2,
+              |    coalesce(max(CASE WHEN bi = 3 THEN v END), 0) AS b3
+              |  FROM md m LEFT JOIN bnd b ON b.media_id = m.media_id
+              |  GROUP BY 1),
+              |j AS (
+              |  SELECT p.doc_a, p.doc_b,
+              |    CASE WHEN a.media_id IS NOT NULL
+              |          AND b.media_id IS NOT NULL THEN 1 ELSE 0 END AS bo,
+              |    CASE WHEN a.media_id IS NOT NULL
+              |          AND b.media_id IS NOT NULL
+              |         THEN bit_count(xor(a.b0, b.b0))
+              |            + bit_count(xor(a.b1, b.b1))
+              |            + bit_count(xor(a.b2, b.b2))
+              |            + bit_count(xor(a.b3, b.b3)) END AS ham
+              |  FROM pairs p
+              |  LEFT JOIN sig a ON a.media_id = p.doc_a
+              |  LEFT JOIN sig b ON b.media_id = p.doc_b)
+              |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(coalesce(sum(bo), 0) AS BIGINT) AS n_with_media,
+              |  CAST(coalesce(sum(CASE WHEN bo = 1 AND ham <= 3
+              |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_phash_match,
+              |  CAST(coalesce(sum(CASE WHEN bo = 1 THEN ham ELSE 0 END), 0)
+              |    AS BIGINT) AS sum_hamming,
+              |  CAST(CASE WHEN coalesce(sum(bo), 0) = 0 THEN 0
+              |       ELSE (2 * coalesce(sum(CASE WHEN bo = 1 AND ham <= 3
+              |             THEN 1 ELSE 0 END), 0) * 1000000
+              |           + sum(bo)) // (2 * sum(bo)) END
+              |    AS BIGINT) AS match_ppm
+              |FROM j""".stripMargin)))
 }

@@ -1149,4 +1149,44 @@ class PlanSpec extends AnyFunSuite {
         "the per-source back-join must broadcast")
     } finally spark.catalog.clearCache()
   }
+
+  test("q157: gate tables broadcast onto the quality aggregate; all hash-aggregated") {
+    try {
+      val p = plan("q157_final_cut_manifest")
+      // at test SF the measured gate admits every graph-side table —
+      // exactly three LeftOuter broadcast joins meet the corpus
+      // (direct, reached, comp); above the gate the same code
+      // degrades to plain equi-joins (PairsStoreSpec's both-shapes
+      // contract for the shared gatedBroadcast)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        p.take(1500))
+      assert("BroadcastHashJoin .*LeftOuter".r.findAllIn(p).size == 3,
+        p.take(2000))
+      // the Gopher bigram gate must stay hash-based: source/nt ride
+      // in the group KEY — a first() carry would force SortAggregate
+      assert(!p.contains("SortAggregate"), p.take(2000))
+      assert(p.contains("Not(EqualTo(source,src0))"),
+        "eval-source filter must reach the scan:\n" + p.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q158/q159: media never shuffles — signatures and cluster map broadcast") {
+    try {
+      // q158's consumer plan (CC and the band join are behind the
+      // distinct-signature checkpoints): the cluster map must meet
+      // the signature table as the broadcast build side
+      val p = plan("q158_media_phash_dedup")
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        p.take(1500))
+      // q159: exactly two LeftOuter broadcasts carry the per-endpoint
+      // signatures onto the pair list (LEFT so media-less pairs stay
+      // countable); the pair list itself never shuffles for them
+      val p9 = plan("q159_crossmodal_dedup_consistency")
+      assert("BroadcastHashJoin .*LeftOuter".r.findAllIn(p9).size == 2,
+        p9.take(2000))
+      assert(!p9.contains("SortMergeJoin") && !p9.contains("ShuffledHashJoin"),
+        p9.take(1500))
+    } finally spark.catalog.clearCache()
+  }
 }
