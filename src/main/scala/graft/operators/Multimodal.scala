@@ -142,18 +142,35 @@ object Multimodal {
     }.toDF("media_id", "kind", "b0", "b1", "b2", "b3")
   }
 
+  /** Hot-band cap for [[phashClusters]]: a 16-bit band VALUE shared
+    * by more distinct signatures than this is a degenerate band (the
+    * all-dark / all-saturated histogram region every corpus
+    * over-produces) — joining through it is quadratic in its bucket
+    * size, the same blow-up the q42 LSH bucket cap and q99 anchor cap
+    * exist to stop. Dropping it trades away ONLY pairs whose sole
+    * identical band is that degenerate value (they still differ in
+    * all three informative bands) — the standard LSH df-cap recall
+    * trade, taken deliberately and spec-pinned. 4096 distinct sigs
+    * per band value is far above anything the test corpus produces
+    * (results here are cap-free-identical) and bounds candidates at
+    * 4096 · |band rows| — linear — at any corpus size.
+    */
+  private[graft] val PhashMaxBucket = 4096
+
   /** q158's census over a (media_id, kind, b0..b3) signature frame
     * (the [[phashBands]] output, localCheckpoint-ed or persisted by
     * the caller — two consumers sit across the broadcast gate's
     * measuring counts). Exact-hash grouping first, banded near-join
     * over the DISTINCT signature set only (pigeonhole: hamming ≤ 3 ⇒
     * ≥ 1 identical 16-bit band, so the candidate set provably
-    * contains every pair under the radius), bit_count verify,
+    * contains every pair under the radius — less the documented
+    * [[PhashMaxBucket]] hot-band trade), bit_count verify,
     * connectedComponents over the verified sig graph, and the
     * cluster-map back-join through the measured broadcast gate — the
     * media table never shuffles for it.
     */
-  private[graft] def phashClusters(sigs: DataFrame): DataFrame = {
+  private[graft] def phashClusters(sigs: DataFrame,
+      maxBucket: Int = PhashMaxBucket): DataFrame = {
     graft.plans.GraftFunctions.ensure(sigs.sparkSession)
     val sidCol = call_function("graft_hash64",
       concat_ws("-", col("b0").cast("string"), col("b1").cast("string"),
@@ -161,9 +178,16 @@ object Multimodal {
     val ds = sigs.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
       .agg(count(lit(1)).as("nm"))
       .withColumn("sid", sidCol)
-    val bx = ds.select(col("sid"), col("b0"), col("b1"), col("b2"),
+    // cached: the band explosion feeds BOTH the hot-bucket agg and
+    // the anti-join probe side (the q99 container pattern)
+    val bandRows = ds.select(col("sid"), col("b0"), col("b1"), col("b2"),
       col("b3"), posexplode(array(col("b0"), col("b1"), col("b2"),
         col("b3"))).as(Seq("bi", "v")))
+      .transform(graft.plans.CacheLifecycle.autoRelease)
+    val hot = bandRows.groupBy(col("bi"), col("v"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("bi"), col("v"))
+    val bx = bandRows.join(broadcast(hot), Seq("bi", "v"), "left_anti")
     val xa = bx.select(col("bi"), col("v"), col("sid").as("sid_a"),
       col("b0").as("xb0"), col("b1").as("xb1"),
       col("b2").as("xb2"), col("b3").as("xb3"))
@@ -452,12 +476,18 @@ object Multimodal {
               |  UNION ALL SELECT sid, b0, b1, b2, b3, 1, b1 FROM dsx
               |  UNION ALL SELECT sid, b0, b1, b2, b3, 2, b2 FROM dsx
               |  UNION ALL SELECT sid, b0, b1, b2, b3, 3, b3 FROM dsx),
+              |hotb AS (
+              |  SELECT bi, v FROM bandx GROUP BY bi, v
+              |  HAVING count(*) > $PhashMaxBucket),
+              |coldx AS (
+              |  SELECT * FROM bandx bb WHERE NOT EXISTS (
+              |    SELECT 1 FROM hotb h WHERE h.bi = bb.bi AND h.v = bb.v)),
               |vp AS (
               |  SELECT a, b FROM (
               |    SELECT DISTINCT x.sid AS a, y.sid AS b,
               |      x.b0 AS xb0, x.b1 AS xb1, x.b2 AS xb2, x.b3 AS xb3,
               |      y.b0 AS yb0, y.b1 AS yb1, y.b2 AS yb2, y.b3 AS yb3
-              |    FROM bandx x JOIN bandx y
+              |    FROM coldx x JOIN coldx y
               |      ON x.bi = y.bi AND x.v = y.v AND x.sid < y.sid)
               |  WHERE bit_count(xor(xb0, yb0)) + bit_count(xor(xb1, yb1))
               |      + bit_count(xor(xb2, yb2)) + bit_count(xor(xb3, yb3))

@@ -115,6 +115,29 @@ class FinalCutSpec extends AnyFunSuite {
       (6L, 1L, 1L, 1L)), out.mkString(", "))
   }
 
+  test("phashClusters: hot-band cap drops the degenerate bucket, keeps cold-band merges") {
+    import spark.implicits._
+    // all four sigs share band 3 = 0 — the degenerate bucket (size 4
+    // > cap 3). Sigs 1/2 also share cold bands 0 and 2 and are ham 1
+    // apart: their merge must SURVIVE the cap (routes through a cold
+    // band). Sigs 3/4 are ham 3 apart but share ONLY the hot band:
+    // under the cap they stay singletons — the documented recall
+    // trade — while the uncapped control merges them.
+    val sigs = Seq(
+      (1L, "image", 7, 1, 5, 0),
+      (2L, "image", 7, 3, 5, 0),
+      (3L, "image", 0x100, 0x200, 0x400, 0),
+      (4L, "image", 0x101, 0x201, 0x401, 0)
+    ).toDF("media_id", "kind", "b0", "b1", "b2", "b3")
+    val capped = Multimodal.phashClusters(sigs, maxBucket = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)),
+      capped.mkString(", "))
+    val free = Multimodal.phashClusters(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(free.toSeq == Seq((1L, 2L), (3L, 2L)), free.mkString(", "))
+  }
+
   test("q158 over the synthetic media table: 5 scene classes dominate") {
     val out = SparkEntry.queries("q158_media_phash_dedup")(
       spark, "/root/testdata/sf0.001")
