@@ -164,7 +164,8 @@ object Dedup {
   private def ppjoinPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    ppjoinPairsFrom(sortedShingleHashes(docs).transform(graft.plans.CacheLifecycle.autoRelease))
+    ppjoinPairsFrom(
+      graft.plans.CacheLifecycle.materializeSpread(sortedShingleHashes)(docs))
   }
 
   /** [[ppjoinPairs]] over an already-persisted (doc_id, hl) index —
@@ -261,7 +262,8 @@ object Dedup {
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    minhashPairsFrom(minhashSigs(docs).transform(graft.plans.CacheLifecycle.autoRelease))
+    minhashPairsFrom(
+      graft.plans.CacheLifecycle.materializeSpread(minhashSigs)(docs))
   }
 
   /** The (doc_id, bands, hl) signature projection both SHINGLE_K
@@ -414,10 +416,13 @@ object Dedup {
   private[graft] def multiSignalPairsFrom(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // ONE signature scan for all three miners: minhash bands, sorted
-    // shingle hashes and simhash computed and cached in one pass over
-    // text; each miner reads its projection of the same in-memory
-    // table — the corpus itself is scanned exactly once.
-    val shared = tripleSigs(docs).transform(graft.plans.CacheLifecycle.autoRelease)
+    // shingle hashes and simhash computed in one pass over text, then
+    // materializeSpread (r12): computed ONCE, across all cores, BEFORE
+    // the miners' concurrent AQE branches exist — a lazy cache here
+    // cost one full serial signature pass per query (see
+    // CacheLifecycle.materializeSpread).
+    val shared =
+      graft.plans.CacheLifecycle.materializeSpread(tripleSigs)(docs)
     minhashPairsFrom(shared).select(col("doc_a"), col("doc_b"))
       .union(simhashPairsFromSigs(shared.select(col("doc_id"), col("sh")))
         .select(col("doc_a"), col("doc_b")))
@@ -467,7 +472,11 @@ object Dedup {
       .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .filter(col("doc_id") =!= col("mn"))
       .select(col("mn").as("doc_a"), col("doc_id").as("doc_b"))
-    val shared = tripleSigs(docs).transform(graft.plans.CacheLifecycle.autoRelease)
+    // materializeSpread (r12): one parallel signature pass shared by
+    // the three concurrent miner branches — multiSignalPairsFrom's
+    // rationale
+    val shared =
+      graft.plans.CacheLifecycle.materializeSpread(tripleSigs)(docs)
     val tagged = tag(exact, W_EXACT)
       .union(tag(minhashPairsFrom(shared), W_MINHASH))
       .union(tag(simhashPairsFromSigs(shared.select(col("doc_id"), col("sh"))),
@@ -829,28 +838,64 @@ object Dedup {
     * gate measurement).
     */
   private def contaminationFlags(docs: org.apache.spark.sql.DataFrame,
-      comp: org.apache.spark.sql.DataFrame, evalSource: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val evalSet = docs.filter(col("source") === evalSource)
+      comp: org.apache.spark.sql.DataFrame, evalSource: String,
+      gate: Long = BroadcastRowGate)
+      : (org.apache.spark.sql.DataFrame, Long,
+         org.apache.spark.sql.DataFrame, Long) = {
+    // r12 probe shape: under the broadcast gate the eval shingle set
+    // travels as ONE sorted array row and each train doc's overlap is
+    // a sorted-merge (graft_sorted_overlap, req 0 = exact intersection
+    // count) — the explode-every-train-shingle → broadcast-join →
+    // re-aggregate-per-doc pass (one row per corpus shingle, measured
+    // 8–15 task-seconds per query at sf0.1) collapses into a per-row
+    // merge over the already-sorted sh column. n_matched = |sh ∩ eval|
+    // and n_ngrams = size(sh) are exactly the exploded formulation's
+    // counts (sh is DISTINCT sorted by the graft_shingle_hashes
+    // contract; empty-text docs carry the 1-element hash-of-"" array,
+    // so no doc row vanishes or divides by zero). Above the gate the
+    // original explode + plain equi-join runs unchanged — same
+    // fallback honesty as every other measured gate; both shapes are
+    // spec-pinned equal (DecontaminationSpec).
+    val evalSh = docs.filter(col("source") === evalSource)
       .select(explode(col("sh")).as("s")).distinct()
-      .withColumn("hit", lit(1))
-    val direct = docs.filter(col("source") =!= evalSource)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .join(gatedBroadcast(evalSet), Seq("s"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_ngrams"),
-        count(col("hit")).as("n_matched"))
-      .filter(col("n_matched") * 5 >= col("n_ngrams"))
-      .select(col("doc_id"))
       .localCheckpoint()
+    val nEvalSh = evalSh.count()
+    val train = docs.filter(col("source") =!= evalSource)
+    val direct = (if (nEvalSh <= gate) {
+      val evalArr = evalSh.agg(sort_array(collect_list(col("s"))).as("ev"))
+      train.select(col("doc_id"), col("sh"))
+        .join(broadcast(evalArr))
+        .filter(expr("CAST(graft_sorted_overlap(sh, ev, 0) AS BIGINT)")
+          * 5 >= size(col("sh")).cast("long"))
+        .select(col("doc_id"))
+    } else {
+      train.select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(evalSh.withColumn("hit", lit(1)), Seq("s"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          count(col("hit")).as("n_matched"))
+        .filter(col("n_matched") * 5 >= col("n_ngrams"))
+        .select(col("doc_id"))
+    }).localCheckpoint()
+    // ONE count per materialized table; every graph-side gate below
+    // rides a surrogate bound instead of its own measuring action
+    // (|seeds| ≤ |eval docs| + |direct|, |badLbl| ≤ |comp|,
+    // |reached| ≤ |comp|) — gatedBroadcastAt keeps the frames lazy in
+    // the consumer plan, and an upper-bound gate only ever falls back
+    // EARLIER than an exact one (the conservative direction).
+    val nDirect = direct.count()
+    val nEvalDocs = docs.filter(col("source") === evalSource).count()
+    val nComp = comp.count()
     val seeds = docs.filter(col("source") === evalSource)
       .select(col("doc_id")).union(direct)
     val badLbl = comp
-      .join(gatedBroadcast(seeds), col("id") === col("doc_id"))
+      .join(gatedBroadcastAt(seeds, nEvalDocs + nDirect, gate),
+        col("id") === col("doc_id"))
       .select(col("lbl")).distinct()
-    val reached = comp.join(gatedBroadcast(badLbl), Seq("lbl"))
+    val reached = comp
+      .join(gatedBroadcastAt(badLbl, nComp, gate), Seq("lbl"))
       .select(col("id").as("doc_id"), lit(1).as("r"))
-    (direct, reached)
+    (direct, nDirect, reached, nComp)
   }
 
   /** The (doc_id, source, nt, sh) projection [[contaminationFlags]]
@@ -862,14 +907,17 @@ object Dedup {
   private def shingledDocs(docsIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     graft.plans.GraftFunctions.ensure(docsIn.sparkSession)
-    docsIn
-      .select(col("doc_id"), col("source"),
-        when(col("text").isNull, lit(0L))
-          .otherwise(size(split(col("text"), " ")).cast("long"))
-          .as("nt"),
-        call_function("graft_shingle_hashes",
-          coalesce(col("text"), lit("")), lit(5)).as("sh"))
-      .localCheckpoint()
+    // materializeSpread (r12) = the localCheckpoint this always was,
+    // plus the parallel-kernel spread (k=5 shingling of a one-split
+    // scan otherwise runs single-threaded)
+    graft.plans.CacheLifecycle.materializeSpread(
+      (d: org.apache.spark.sql.DataFrame) => d
+        .select(col("doc_id"), col("source"),
+          when(col("text").isNull, lit(0L))
+            .otherwise(size(split(col("text"), " ")).cast("long"))
+            .as("nt"),
+          call_function("graft_shingle_hashes",
+            coalesce(col("text"), lit("")), lit(5)).as("sh")))(docsIn)
   }
 
   /** q156's dup-graph-aware eval-decontamination report over any
@@ -880,17 +928,18 @@ object Dedup {
     */
   private[graft] def dupAwareDecontaminationFrom(
       docsIn: org.apache.spark.sql.DataFrame,
-      evalSource: String = "src0"): org.apache.spark.sql.DataFrame = {
+      evalSource: String = "src0",
+      gate: Long = BroadcastRowGate): org.apache.spark.sql.DataFrame = {
     val docs = shingledDocs(docsIn)
     val comp = connectedComponents(multiSignalPairsFrom(
       docsIn.select(col("doc_id"), col("text"))))
-    val (direct, reached) = contaminationFlags(docs, comp, evalSource)
+    val (direct, nDirect, reached, nComp) =
+      contaminationFlags(docs, comp, evalSource, gate)
     docs.filter(col("source") =!= evalSource)
       .select(col("doc_id"), col("source"), col("nt"))
-      .join(gatedBroadcast(
-        direct.withColumn("d", lit(1)), materialize = false),
+      .join(gatedBroadcastAt(direct.withColumn("d", lit(1)), nDirect, gate),
         Seq("doc_id"), "left")
-      .join(gatedBroadcast(reached), Seq("doc_id"), "left")
+      .join(gatedBroadcastAt(reached, nComp, gate), Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("d").isNotNull, 1L).otherwise(0L))
@@ -945,36 +994,43 @@ object Dedup {
     */
   private[graft] def finalCutManifestFrom(
       docsIn: org.apache.spark.sql.DataFrame,
-      evalSource: String = "src0"): org.apache.spark.sql.DataFrame = {
+      evalSource: String = "src0",
+      gate: Long = BroadcastRowGate): org.apache.spark.sql.DataFrame = {
     val docs = shingledDocs(docsIn)
     val comp = connectedComponents(multiSignalPairsFrom(
       docsIn.select(col("doc_id"), col("text"))))
-    val (direct, reached) = contaminationFlags(docs, comp, evalSource)
+    val (direct, nDirect, reached, nComp) =
+      contaminationFlags(docs, comp, evalSource, gate)
+    // r12: the quality gate's two-level bigram aggregation (explode →
+    // groupBy(doc,…,bg) → groupBy(doc,…)) shuffled one row per bigram
+    // occurrence and hash-aggregated |docs|×|distinct bigrams| groups
+    // for a PER-DOCUMENT statistic — graft_bigram_census computes the
+    // identical (nbg, topc) row-locally, deleting both exchanges (and
+    // the serial Generate stage the raw one-split scan produced).
+    // Null/short texts yield (0, 0) exactly as explode_outer +
+    // count(bg) did.
     val base = docsIn.filter(col("source") =!= evalSource)
       .select(col("doc_id"), col("source"),
         when(col("text").isNull, lit(0L))
           .otherwise(size(split(col("text"), " ")).cast("long"))
           .as("nt"),
-        split(col("text"), " ").as("t"))
+        call_function("graft_bigram_census",
+          coalesce(split(col("text"), " "),
+            array().cast("array<string>"))).as("bc"))
       .select(col("doc_id"), col("source"), col("nt"),
-        explode_outer(TextAnalysis.bigramsOfT).as("bg"))
-      // source/nt ride in the GROUP KEY (functionally dependent on
-      // doc_id), not as first() carries — first()'s valueSet forces
-      // sort-based aggregation; keyed columns keep both levels inside
-      // HashAggregate with map-side partials
-      .groupBy(col("doc_id"), col("source"), col("nt"), col("bg"))
-      .agg(count(col("bg")).as("c"))
-      .groupBy(col("doc_id"), col("source"), col("nt"))
-      .agg(sum(col("c")).as("nbg"), max(col("c")).as("topc"))
+        col("bc.nbg").as("nbg"), col("bc.topc").as("topc"))
     val u = TextAnalysis.unsignedDec(
       call_function("graft_mix64", col("doc_id")))
     val two64 = TextAnalysis.two64
     val lab = base
-      .join(gatedBroadcast(direct.withColumn("d", lit(1)),
-        materialize = false), Seq("doc_id"), "left")
-      .join(gatedBroadcast(reached), Seq("doc_id"), "left")
-      // comp is already localCheckpoint-ed inside CC → measure in place
-      .join(gatedBroadcast(comp, materialize = false),
+      // r12: all three graph-side gates ride the counts
+      // contaminationFlags already measured (|reached| ≤ |comp| — the
+      // upper-bound-gate direction is the conservative one), so no
+      // gate here spends its own measuring job
+      .join(gatedBroadcastAt(direct.withColumn("d", lit(1)), nDirect, gate),
+        Seq("doc_id"), "left")
+      .join(gatedBroadcastAt(reached, nComp, gate), Seq("doc_id"), "left")
+      .join(gatedBroadcastAt(comp, nComp, gate),
         col("doc_id") === col("id"), "left")
       .withColumn("u", u)
       .withColumn("status",
@@ -1068,11 +1124,10 @@ object Dedup {
     */
   private[graft] def simhashPairsFrom(docsIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    simhashPairsFromSigs(docsIn
-      .select(col("doc_id"),
+    simhashPairsFromSigs(graft.plans.CacheLifecycle.materializeSpread(
+      (d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"),
         call_function("graft_simhash", coalesce(col("text"), lit("")), lit(2))
-          .as("sh"))
-      .transform(graft.plans.CacheLifecycle.autoRelease)) // both self-join sides; one UDF pass (see q42 note)
+          .as("sh")))(docsIn)) // both self-join sides; one parallel pass (q42 note)
 
   /** [[simhashPairsFrom]]'s banded join over an already-persisted
     * (doc_id, sh) signature frame — q71/q73 pass a projection of the
@@ -1990,7 +2045,8 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val shared = minhashSigs(docs).transform(graft.plans.CacheLifecycle.autoRelease)
+        val shared =
+          graft.plans.CacheLifecycle.materializeSpread(minhashSigs)(docs)
         val cand = minhashCandidates(shared)
           .select(col("doc_a"), col("doc_b"))
         val exact = ppjoinPairsFrom(shared.select(col("doc_id"), col("hl")))
@@ -2104,16 +2160,16 @@ object Dedup {
         // never by re-shingling text through graft_minhash_bands —
         // exactly how an ingest-time signature store works (bands are
         // an index OVER the signature column, not a second signature)
-        val sigs = docs.select(col("doc_id"),
-          call_function("graft_minhash_sig",
-            coalesce(col("text"), lit("")),
-            lit(SHINGLE_K), lit(NUM_HASHES)).as("sig"),
-          call_function("graft_shingle_hashes",
-            coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"))
-          .select(col("doc_id"), col("sig"),
-            call_function("graft_lsh_bands", col("sig"),
-              lit(ROWS_PER_BAND)).as("bands"), col("hl"))
-          .transform(graft.plans.CacheLifecycle.autoRelease)
+        val sigs = graft.plans.CacheLifecycle.materializeSpread(
+          (d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"),
+            call_function("graft_minhash_sig",
+              coalesce(col("text"), lit("")),
+              lit(SHINGLE_K), lit(NUM_HASHES)).as("sig"),
+            call_function("graft_shingle_hashes",
+              coalesce(col("text"), lit("")), lit(SHINGLE_K)).as("hl"))
+            .select(col("doc_id"), col("sig"),
+              call_function("graft_lsh_bands", col("sig"),
+                lit(ROWS_PER_BAND)).as("bands"), col("hl")))(docs)
         val cand = minhashCandidates(sigs)
         val sa = sigs.select(col("doc_id").as("doc_a"),
           col("sig").as("sig_a"), col("hl").as("hl_a"))

@@ -409,14 +409,20 @@ object TextAnalysis {
     // crosses an engine boundary.
     QueryDef("q45_repetition_ratios",
       (s, dir) => {
+        // r12: the explode → groupBy(doc, bg) → groupBy(doc) pair of
+        // aggregations shuffled one row per bigram occurrence for an
+        // aggregate whose scope is a single document — the per-doc
+        // census is computed row-locally by graft_bigram_census (zero
+        // exchanges; bit-identical counts — see BigramCensus). The
+        // size(t) >= 2 filter reproduces explode-of-empty-array row
+        // elimination: docs with < 2 tokens had no bigram rows.
         Tables.documents(s, dir)
           .select(col("doc_id"), toks.as("t"))
-          .select(col("doc_id"), explode(bigramsOfT).as("bg"))
-          .groupBy(col("doc_id"), col("bg"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_c"),
-            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"),
+            call_function("graft_bigram_census", col("t")).as("bc"))
+          .select(col("doc_id"), col("bc.nbg").as("n_bigrams"),
+            col("bc.topc").as("top_c"), col("bc.dupc").as("dup_c"))
           .select(col("doc_id"), col("n_bigrams"),
             expr("CAST((2 * top_c * 1000000 + n_bigrams) div (2 * n_bigrams)" +
               " AS DOUBLE) / 1000000.0").as("top_frac"),

@@ -61,6 +61,54 @@ object CacheLifecycle {
   private val sessions =
     new ConcurrentHashMap[SparkSession, ConcurrentHashMap[AnyRef, DataFrame]]()
 
+  /** Eagerly materialize an expensive generator table ONCE, spread
+    * across the session's full parallelism, for plans whose branches
+    * consume it CONCURRENTLY (AQE submits every leaf exchange job at
+    * the same time).
+    *
+    * Why not [[autoRelease]] (lazy persist) for these: a lazy cache is
+    * built by whichever task first computes each partition — when N
+    * concurrent AQE stage jobs all scan the not-yet-built cache, every
+    * one of them pays the full generator pass (measured r12: the
+    * multi-signal mine ran 6–14 parallel single-task stages of
+    * 0.85–1.0 s each, all recomputing/lock-waiting the same signature
+    * partition; wall cost ≈ one full SERIAL generator pass per query,
+    * per the BlockManager "already exists; not re-adding" races).
+    * Checkpointing first runs the generator exactly once, as its own
+    * job, before any consumer exists.
+    *
+    * Why the spread: generator inputs are typically a narrow
+    * projection of a table scan, and parquet cannot split below a row
+    * group — a small-file corpus scans as ONE partition, so the
+    * per-row signature kernels (minhash/simhash/shingle hashes) run
+    * single-threaded however many cores the session has. When the
+    * scan's partition count is below the session's default
+    * parallelism, one round-robin repartition of the (narrow) input
+    * spreads the kernel work across all cores. The condition is
+    * data-derived: at deployment scale a corpus scan has thousands of
+    * splits and the repartition (and its shuffle) simply never
+    * happens; production pipelines additionally persist signature
+    * tables at ingest, making this a test/bench-regime path only.
+    *
+    * Lifecycle: localCheckpoint blocks are reclaimed by the
+    * ContextCleaner when the returned frame is garbage-collected
+    * (the connectedComponents label-generation contract).
+    */
+  def materializeSpread(mk: DataFrame => DataFrame)(input: DataFrame)
+      : DataFrame = {
+    val target = input.sparkSession.sparkContext.defaultParallelism
+    // .rdd only PLANS here (inputs are scan+project, exchange-free),
+    // so getNumPartitions is the scan's split count. The repartition
+    // goes on the INPUT, before `mk`'s kernel projection — Catalyst
+    // collapses a projection into its scan, so repartitioning the
+    // OUTPUT would still run the kernel single-task and merely move
+    // its rows afterwards.
+    val spread =
+      if (input.rdd.getNumPartitions < target) input.repartition(target)
+      else input
+    mk(spread).localCheckpoint()
+  }
+
   /** Persist `df` and release its cache after the first completed
     * action that reads it. Returns `df` for chaining (fits
     * `.transform(CacheLifecycle.autoRelease)`).

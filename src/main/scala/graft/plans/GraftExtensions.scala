@@ -97,7 +97,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (args: Seq[Expression]) => LshBucket(args(0),
-        litInt(args(1), "graft_lsh_bucket"))))
+        litInt(args(1), "graft_lsh_bucket"))),
+    (FunctionIdentifier("graft_bigram_census"),
+      new ExpressionInfo(classOf[BigramCensus].getName, "graft_bigram_census"),
+      (args: Seq[Expression]) => BigramCensus(args.head)))
 
   /** Idempotent session-local registration (overwrites are no-ops —
     * the builders are stateless).

@@ -466,3 +466,90 @@ case class Fingerprint(child: Expression, window: Int) extends UnaryExpression {
 
   override def prettyName: String = "graft_fingerprint"
 }
+
+/** Static kernel behind [[BigramCensus]] — one local hash map per
+  * document, no Spark state. Separated so generated code calls a
+  * plain static method (the TextKernels pattern).
+  */
+object BigramCensusKernel {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Census of adjacent-token bigrams of a token array: returns
+    * (nbg, topc, dupc) = (total bigrams = n−1, count of the most
+    * frequent bigram string, total count of bigrams occurring more
+    * than once). Bigram identity is the STRING `a + " " + b` —
+    * byte-identical to `concat(a, ' ', b)` of the relational
+    * formulation, so grouping semantics match exactly (hash-collision
+    * free by construction: the map keys are the strings themselves).
+    * Arrays with fewer than 2 elements yield (0, 0, 0).
+    */
+  def census(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Integer](
+      math.min(n * 2, 1 << 16))
+    var i = 0
+    while (i < n - 1) {
+      val bg = UTF8String.concat(
+        arr.getUTF8String(i), SPACE, arr.getUTF8String(i + 1))
+      val c = counts.get(bg)
+      counts.put(bg, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    var topc = 0L
+    var dupc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      if (c > topc) topc = c
+      if (c > 1) dupc += c
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((n - 1).toLong, topc, dupc))
+  }
+}
+
+/** Per-document bigram census (q45 / q157's Gopher repetition gate):
+  * struct(nbg, topc, dupc) over a token array, computed row-locally.
+  *
+  * The relational formulation this replaces — explode(bigrams) →
+  * groupBy(doc, bigram) → groupBy(doc) — shuffles one row per bigram
+  * OCCURRENCE (corpus token mass) and hash-aggregates |docs| ×
+  * |distinct bigrams per doc| groups, for an aggregate whose scope is
+  * a single document. Per-doc aggregates need no exchange at all:
+  * this expression computes the same three numbers in one pass over
+  * the row (guide §2.3 "aggregate before you shuffle", taken to its
+  * limit — the shuffle disappears). Output is bit-identical to the
+  * two-level aggregation: counts are exact string-keyed ints, no
+  * hashing shortcut.
+  */
+case class BigramCensus(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nbg", LongType, nullable = false),
+    StructField("topc", LongType, nullable = false),
+    StructField("dupc", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bigram_census needs array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    BigramCensusKernel.census(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.plans.BigramCensusKernel.census($a);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BigramCensus =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bigram_census"
+}

@@ -74,6 +74,21 @@ class FinalCutSpec extends AnyFunSuite {
     assert(ppm >= 999997L && ppm <= 1000003L, s"ppm=$ppm")
   }
 
+  test("q156/q157: both probe/gate shapes produce identical results (r12)") {
+    // gate = 0 forces the OVER-gate shapes everywhere: the explode +
+    // plain equi-join contamination probe (instead of the sorted-
+    // overlap merge against the one-row eval array) and un-hinted
+    // equi-joins at every gatedBroadcastAt site. Results must be
+    // byte-identical to the default (under-gate, broadcast) shapes —
+    // the r12 probe rewrite is a plan change only.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(Dedup.finalCutManifestFrom(corpus)) ==
+      canon(Dedup.finalCutManifestFrom(corpus, gate = 0L)))
+    assert(canon(Dedup.dupAwareDecontaminationFrom(corpus)) ==
+      canon(Dedup.dupAwareDecontaminationFrom(corpus, gate = 0L)))
+  }
+
   // ── q158 ────────────────────────────────────────────────────────
 
   test("phashBands: histogram bit packing") {
